@@ -1,0 +1,29 @@
+import os
+
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh (the standard
+# JAX host-device-count trick, SURVEY.md §4.4). Must be set before jax import.
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def ref_lib():
+    """Compiled C++ reference decoder, or skip."""
+    from tools import ref_shim
+
+    lib = ref_shim.get_lib()
+    if lib is None:
+        pytest.skip(f"reference shim unavailable: {ref_shim._lib_err}")
+    return ref_shim
+
+
+def random_plane(rng, h, w, maxv):
+    return rng.integers(0, maxv + 1, size=(h, w), dtype=np.uint16)
