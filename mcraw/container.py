@@ -31,6 +31,9 @@ import numpy as np
 from .errors import IOException
 
 INDEX_MAGIC_NUMBER = 0x8A905612  # Container.hpp:23
+# BufferIndex.magicNumber is an int32, so the magic compares as negative
+# (Decoder.cpp:252 compares int32 against the uint32 constant).
+INDEX_MAGIC_I32 = INDEX_MAGIC_NUMBER - (1 << 32)
 CONTAINER_VERSION = 3  # Container.hpp:25
 CONTAINER_ID = b"MOTION "  # Container.hpp:26
 
@@ -144,7 +147,7 @@ class ContainerReader:
         magic, num_offsets, index_data_offset = BUFFER_INDEX_FMT.unpack(
             self._read(pos, BUFFER_INDEX_FMT.size)
         )
-        if magic != np.int32(INDEX_MAGIC_NUMBER):
+        if magic != INDEX_MAGIC_I32:
             raise IOException("Corrupted file")
         raw = self._read(index_data_offset, BUFFER_OFFSET_FMT.size * num_offsets)
         self._offsets = np.frombuffer(raw, dtype=BUFFER_OFFSET_DTYPE)

@@ -266,7 +266,7 @@ class ContainerWriter:
             int(C.ItemType.BUFFER_INDEX), C.BUFFER_INDEX_FMT.size
         )
         self._out += C.BUFFER_INDEX_FMT.pack(
-            np.int32(C.INDEX_MAGIC_NUMBER),
+            C.INDEX_MAGIC_I32,
             len(self._frame_offsets),
             index_data_offset,
         )
