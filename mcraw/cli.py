@@ -1,0 +1,162 @@
+"""Command-line interface.
+
+Default subcommand reproduces the reference example CLI exactly
+(example.cpp:141-203): ``mcraw decode <file> [-n N]`` prints the frame
+count, writes ``audio.wav``, then ``frame_%06d.dng`` for the first N frames
+— byte-identical output to the C++ example on the same container.
+
+Extras beyond the reference: --output-dir, --resume (skip existing DNGs),
+--batch (TPU batched decode), `info`, and `encode` (synthetic clips).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .emit.dng import write_dng
+from .emit.wav import write_wav
+from .errors import MotionCamException
+from .pipeline import Decoder
+
+
+def _cmd_decode(args: argparse.Namespace) -> int:
+    try:
+        d = Decoder(args.input, backend=args.backend)
+        frames = d.frames
+        container_metadata = d.container_metadata
+
+        print(f"Found {len(frames)} frames")
+
+        end_frame = args.num_frames
+        if end_frame is None or end_frame < 0:
+            end_frame = len(frames)
+        end_frame = min(len(frames), max(0, end_frame))
+
+        outdir = args.output_dir
+        os.makedirs(outdir, exist_ok=True)
+
+        chunks = d.load_audio()
+        write_wav(
+            os.path.join(outdir, "audio.wav"),
+            d.audio_sample_rate_hz(),
+            d.num_audio_channels(),
+            chunks,
+        )
+
+        if args.batch and end_frame > 0:
+            ts = frames[:end_frame]
+            imgs, metas = d.decode_batch(ts)
+            imgs = np.asarray(imgs)
+            for i in range(end_frame):
+                path = os.path.join(outdir, f"frame_{i:06d}.dng")
+                print(f"Writing {path}")
+                write_dng(path, imgs[i], metas[i], container_metadata)
+        else:
+            for i in range(end_frame):
+                path = os.path.join(outdir, f"frame_{i:06d}.dng")
+                if args.resume and os.path.exists(path):
+                    continue
+                img, metadata = d.load_frame(frames[i])
+                print(f"Writing {path}")
+                write_dng(path, img, metadata, container_metadata)
+    except MotionCamException as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return -1
+    return 0
+
+
+def _cmd_info(args: argparse.Namespace) -> int:
+    import json
+
+    d = Decoder(args.input, backend="numpy")
+    meta = d.container_metadata
+    frames = d.frames
+    info = {
+        "frames": len(frames),
+        "first_timestamp": frames[0] if frames else None,
+        "last_timestamp": frames[-1] if frames else None,
+        "audio_chunks": d._reader.num_audio_chunks,
+        "audio_sample_rate": meta.get("extraData", {}).get("audioSampleRate"),
+        "audio_channels": meta.get("extraData", {}).get("audioChannels"),
+    }
+    if frames:
+        _, fmeta = d._reader.frame_payload(frames[0])
+        info.update(
+            width=fmeta.get("width"),
+            height=fmeta.get("height"),
+            compression_type=fmeta.get("compressionType"),
+        )
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def _cmd_encode(args: argparse.Namespace) -> int:
+    """Author a synthetic .mcraw (testing / demo)."""
+    from . import encode as E
+    from .metadata import example_container_metadata, example_frame_metadata
+
+    rng = np.random.default_rng(args.seed)
+    writer = E.ContainerWriter(example_container_metadata())
+    for i in range(args.frames):
+        img = rng.integers(0, 4096, size=(args.height, args.width), dtype=np.uint16)
+        if args.codec == 7:
+            payload = E.encode_modern(img)
+        else:
+            payload = E.encode_legacy(img)
+        writer.add_frame(
+            1000 + 33 * i, payload, example_frame_metadata(args.width, args.height, args.codec)
+        )
+        writer.add_audio(
+            rng.integers(-3000, 3000, size=2048).astype(np.int16), i * 10**6
+        )
+    with open(args.output, "wb") as f:
+        f.write(writer.finish())
+    print(f"Wrote {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    # Reference-compatible invocation: `mcraw <file> [-n N]`
+    if argv and not argv[0].startswith("-") and argv[0] not in ("decode", "info", "encode"):
+        argv = ["decode"] + argv
+
+    ap = argparse.ArgumentParser(prog="mcraw")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("decode", help="extract DNG frames + WAV audio")
+    p.add_argument("input")
+    p.add_argument("-n", dest="num_frames", type=int, default=None,
+                   help="number of frames to export")
+    p.add_argument("--output-dir", default=".")
+    p.add_argument("--backend", default="auto", choices=("auto", "jax", "numpy"))
+    p.add_argument("--batch", action="store_true",
+                   help="decode all frames in one batched device program")
+    p.add_argument("--resume", action="store_true",
+                   help="skip frames whose DNG already exists")
+    p.set_defaults(fn=_cmd_decode)
+
+    p = sub.add_parser("info", help="print container summary as JSON")
+    p.add_argument("input")
+    p.set_defaults(fn=_cmd_info)
+
+    p = sub.add_parser("encode", help="author a synthetic .mcraw clip")
+    p.add_argument("output")
+    p.add_argument("--frames", type=int, default=3)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=64)
+    p.add_argument("--codec", type=int, default=7, choices=(6, 7))
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=_cmd_encode)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""Host-side serial scans: native C++ fast path with pure-Python fallback.
+
+Two format-imposed serial chains run on the host (SURVEY.md §7 hard parts):
+- the modern codec's metadata streams (inline 2-byte headers; ~numBlocks/64
+  iterations per frame), and
+- the legacy codec's whole-block header chain (~W*H/16 iterations per frame).
+
+The C extension (native/mcraw_host.cpp, built by native/build.py) walks both
+at memory speed; this module falls back to the NumPy reference when the
+extension is unavailable so every feature works everywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+from . import numpy_ref as R
+from . import tables as T
+from ..errors import DecodeError
+
+_lib = None
+_lib_tried = False
+
+
+def _find_ext() -> Path | None:
+    root = Path(__file__).resolve().parents[2] / "native"
+    for name in ("libmcraw_host.so",):
+        p = root / name
+        if p.exists():
+            return p
+    env = os.environ.get("MCRAW_NATIVE_LIB")
+    if env and Path(env).exists():
+        return Path(env)
+    return None
+
+
+def get_lib():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    path = _find_ext()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+
+    lib.mcraw_metadata_scan.restype = ctypes.c_int64
+    lib.mcraw_metadata_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64,
+    ]
+    lib.mcraw_legacy_scan.restype = ctypes.c_int64
+    lib.mcraw_legacy_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _lib = lib
+    return _lib
+
+
+def have_native() -> bool:
+    return get_lib() is not None
+
+
+def decode_metadata_stream(data: np.ndarray, offset: int) -> tuple[np.ndarray, int]:
+    """Decode one modern metadata stream. Native when available."""
+    lib = get_lib()
+    if lib is None:
+        return R.decode_metadata_stream(data, offset)
+
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(data)
+    if offset + 4 > n:
+        raise DecodeError("metadata stream header out of bounds")
+    num_blocks = int(np.frombuffer(data[offset : offset + 4].tobytes(), "<u4")[0])
+    groups = (num_blocks + 63) // 64
+    out = np.zeros(groups * 64, dtype=np.uint16)
+    end = lib.mcraw_metadata_scan(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        offset,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        num_blocks,
+    )
+    if end < 0:
+        raise DecodeError("metadata stream truncated")
+    return out[:num_blocks], int(end)
+
+
+def legacy_scan(
+    data: np.ndarray, num_blocks: int, start_offset: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Walk the legacy header chain. Native when available."""
+    lib = get_lib()
+    if lib is None:
+        return R.legacy_scan(data, num_blocks, start_offset)
+
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    bits = np.zeros(num_blocks, dtype=np.int32)
+    refs = np.zeros(num_blocks, dtype=np.uint16)
+    offs = np.zeros(num_blocks, dtype=np.int64)
+    end = lib.mcraw_legacy_scan(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data),
+        start_offset,
+        num_blocks,
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        refs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if end < 0:
+        raise DecodeError("legacy stream truncated")
+    return bits, refs, offs

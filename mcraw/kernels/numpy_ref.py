@@ -68,8 +68,8 @@ def decode_metadata_stream(data: np.ndarray, offset: int) -> tuple[np.ndarray, i
     n = len(data)
     if offset + 4 > n:
         raise DecodeError("metadata stream header out of bounds")
-    num_blocks = int(
-        data[offset]
+    num_blocks = (
+        int(data[offset])
         | (int(data[offset + 1]) << 8)
         | (int(data[offset + 2]) << 16)
         | (int(data[offset + 3]) << 24)

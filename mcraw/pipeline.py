@@ -1,0 +1,188 @@
+"""Decoder facade: the public API mirroring the reference Decoder
+(Decoder.hpp:47-92), plus TPU-first batched and sharded whole-clip decode.
+
+Single-frame parity surface:
+    d = Decoder(path)
+    d.frames                      # sorted timestamps (getFrames)
+    d.container_metadata          # parsed JSON (getContainerMetadata)
+    img, meta = d.load_frame(ts)  # loadFrame -> (H, W) uint16 + frame JSON
+    d.audio_sample_rate_hz / d.num_audio_channels
+    d.load_audio()                # batch; silently skips bad chunks
+    d.audio_chunks()              # streaming; stops at first failure
+    (Decoder.cpp:169-182 — the batch/stream error asymmetry is preserved.)
+
+TPU surface:
+    d.load_frame_device(ts)         # decode on accelerator, stays in HBM
+    d.decode_batch(timestamps)      # one jitted vmapped decode
+    d.decode_batch(ts, mesh=mesh)   # frame-data-parallel over a device mesh
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from .container import (
+    ContainerReader,
+    COMPRESSION_TYPE,
+    COMPRESSION_TYPE_LEGACY,
+)
+from .errors import IOException
+from .metadata import ContainerMetadata, FrameMetadata
+
+AudioChunk = tuple[int, np.ndarray]  # (timestampNs or -1, interleaved int16)
+
+
+class Decoder:
+    def __init__(self, source: str | bytes, backend: str = "auto"):
+        """backend: 'auto' (TPU/JAX if importable, else NumPy), 'jax', 'numpy'."""
+        self._reader = ContainerReader(source)
+        if backend == "auto":
+            try:
+                import jax  # noqa: F401
+
+                backend = "jax"
+            except ImportError:  # pragma: no cover
+                backend = "numpy"
+        if backend not in ("jax", "numpy"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._backend = backend
+
+    # -- container surface ---------------------------------------------------
+
+    @property
+    def frames(self) -> list[int]:
+        return self._reader.frames
+
+    def get_frames(self) -> list[int]:
+        return self._reader.frames
+
+    @property
+    def container_metadata(self) -> dict:
+        return self._reader.container_metadata
+
+    def get_container_metadata(self) -> dict:
+        return self._reader.container_metadata
+
+    @property
+    def typed_metadata(self) -> ContainerMetadata:
+        return ContainerMetadata(self._reader.container_metadata)
+
+    def audio_sample_rate_hz(self) -> int:
+        return self.typed_metadata.audio_sample_rate
+
+    def num_audio_channels(self) -> int:
+        return self.typed_metadata.audio_channels
+
+    def close(self) -> None:
+        self._reader.close()
+
+    def __enter__(self) -> "Decoder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- frame decode ---------------------------------------------------------
+
+    def _plan(self, timestamp: int):
+        from .kernels import unpack as U
+
+        payload, meta = self._reader.frame_payload(timestamp)
+        fm = FrameMetadata(meta)
+        ct = fm.compression_type
+        if ct == COMPRESSION_TYPE:
+            return U.prepare_modern(payload, fm.width, fm.height), meta, True
+        if ct == COMPRESSION_TYPE_LEGACY:
+            return U.prepare_legacy(payload, fm.width, fm.height), meta, False
+        raise IOException("Invalid compression type")
+
+    def load_frame(self, timestamp: int) -> tuple[np.ndarray, dict]:
+        """Decode one frame to host memory: ((H, W) uint16, frame JSON)."""
+        if self._backend == "numpy":
+            from .kernels import numpy_ref as R
+
+            payload, meta = self._reader.frame_payload(timestamp)
+            fm = FrameMetadata(meta)
+            ct = fm.compression_type
+            if ct == COMPRESSION_TYPE:
+                img = R.decode_modern(np.asarray(payload), fm.width, fm.height)
+            elif ct == COMPRESSION_TYPE_LEGACY:
+                img = R.decode_legacy(np.asarray(payload), fm.width, fm.height)
+            else:
+                raise IOException("Invalid compression type")
+            return img, meta
+        img, meta = self.load_frame_device(timestamp)
+        return np.asarray(img), meta
+
+    def load_frame_device(self, timestamp: int):
+        """Decode one frame on the accelerator; result stays in device HBM."""
+        import jax.numpy as jnp
+
+        from .kernels import unpack as U
+
+        plan, meta, modern = self._plan(timestamp)
+        if modern:
+            img = U.decode_modern_device(
+                jnp.asarray(plan.payload),
+                jnp.asarray(plan.offsets),
+                jnp.asarray(plan.cls),
+                jnp.asarray(plan.refs),
+                tiles_y=plan.tiles_y,
+                tiles_x=plan.tiles_x,
+                width=plan.width,
+                height=plan.height,
+            )
+        else:
+            img = U.decode_legacy_device(
+                jnp.asarray(plan.payload),
+                jnp.asarray(plan.offsets),
+                jnp.asarray(plan.cls),
+                jnp.asarray(plan.refs),
+                padded_width=plan.padded_width,
+                width=plan.width,
+                height=plan.height,
+            )
+        return img, meta
+
+    def decode_batch(self, timestamps: list[int] | None = None, mesh=None):
+        """Decode many frames in one jitted program.
+
+        All frames must share geometry and codec (one clip). With a mesh, the
+        batch is frame-data-parallel sharded over the mesh's first axis.
+        Returns ((F, H, W) uint16 device array, [frame JSON, ...]).
+        """
+        from .parallel import decode_frames_batched
+
+        if timestamps is None:
+            timestamps = self.frames
+        plans, metas, moderns = [], [], []
+        for ts in timestamps:
+            plan, meta, modern = self._plan(ts)
+            plans.append(plan)
+            metas.append(meta)
+            moderns.append(modern)
+        if len(set(moderns)) > 1:
+            raise IOException("mixed codecs in one batch")
+        return decode_frames_batched(plans, moderns[0], mesh=mesh), metas
+
+    # -- audio -----------------------------------------------------------------
+
+    def load_audio(self) -> list[AudioChunk]:
+        """Batch load; skips failed chunks (Decoder.cpp:169-178)."""
+        out = []
+        for i in range(self._reader.num_audio_chunks):
+            chunk = self._reader.audio_chunk(i)
+            if chunk is None:
+                continue
+            out.append(chunk)
+        return out
+
+    def audio_chunks(self) -> Iterator[AudioChunk]:
+        """Streaming loader; stops at the first failure (Decoder.cpp:83-93)."""
+        for i in range(self._reader.num_audio_chunks):
+            chunk = self._reader.audio_chunk(i)
+            if chunk is None:
+                return
+            yield chunk

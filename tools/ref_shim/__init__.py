@@ -87,6 +87,37 @@ def _call(name: str, payload: np.ndarray, width: int, height: int, out_rows: int
     return n, out
 
 
+def build_example() -> Path | None:
+    """Compile the reference example CLI (DNG+WAV emitter) for end-to-end
+    byte-parity tests. Returns the binary path or None."""
+    if not (REFERENCE_ROOT / "example.cpp").exists():
+        return None
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    exe = _CACHE / "ref_example"
+    srcs = [
+        str(REFERENCE_ROOT / "example.cpp"),
+        str(REFERENCE_ROOT / "lib/Decoder.cpp"),
+        str(REFERENCE_ROOT / "lib/RawData.cpp"),
+        str(REFERENCE_ROOT / "lib/RawData_Legacy.cpp"),
+    ]
+    stamp = exe.with_suffix(".stamp")
+    key = "|".join(srcs)
+    if exe.exists() and stamp.exists() and stamp.read_text() == key:
+        return exe
+    cmd = [
+        "g++", "-std=c++17", "-O2", "-include", "cstring",
+        "-I", str(REFERENCE_ROOT / "lib/include"),
+        "-I", str(REFERENCE_ROOT / "thirdparty"),
+        "-o", str(exe), *srcs,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError:
+        return None
+    stamp.write_text(key)
+    return exe
+
+
 def ref_decode(payload: np.ndarray, width: int, height: int):
     """Run the reference modern decoder. Returns (written_count, image).
 
