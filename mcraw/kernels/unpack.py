@@ -162,19 +162,29 @@ def _class_unpack(w: jnp.ndarray, cls_row: int, modern: bool) -> jnp.ndarray:
     return out
 
 
-def unpack_select(w: jnp.ndarray, cls: jnp.ndarray, modern: bool) -> jnp.ndarray:
+def unpack_select(
+    w: jnp.ndarray, cls: jnp.ndarray, modern: bool, table_driven: bool = False
+) -> jnp.ndarray:
     """(N, MAX_LEN) windows + per-block class -> (N, BLOCK) values.
 
     Computes every class's unpack and one-hot selects: ~10x the VPU work of
     an oracle dispatch, but zero divergence and fully fusible — the frame
-    stays HBM-bandwidth-bound.
+    stays HBM-bandwidth-bound. Uses the gather-free structured forms
+    (structured.py); `table_driven=True` selects the table-generated
+    reference forms (tests pin the two to each other).
     """
+    from . import structured as S
+
     classes = T.MODERN_CLASSES if modern else T.LEGACY_CLASSES
+    fns = S.MODERN_STRUCTURED if modern else S.LEGACY_STRUCTURED
     out = None
     for row, c in enumerate(classes):
         if c == 0:
             continue  # zero contribution
-        vals = _class_unpack(w, row, modern)
+        if table_driven:
+            vals = _class_unpack(w, row, modern)
+        else:
+            vals = fns[c](w)
         sel = (cls == row)[:, None]
         contrib = jnp.where(sel, vals, 0)
         out = contrib if out is None else out | contrib

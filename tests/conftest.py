@@ -1,12 +1,24 @@
 import os
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh (the standard
-# JAX host-device-count trick, SURVEY.md §4.4). Must be set before jax import.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# JAX host-device-count trick, SURVEY.md §4.4). The env vars alone are not
+# enough when an accelerator platform plugin (axon) is installed, so also
+# force the config before any backend initializes.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import pytest
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except ImportError:  # pragma: no cover
+    pass
 
 
 @pytest.fixture(scope="session")

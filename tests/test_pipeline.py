@@ -1,0 +1,107 @@
+"""Decoder facade + batched/sharded decode on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from mcraw import encode as E  # noqa: E402
+from mcraw.errors import IOException  # noqa: E402
+from mcraw.metadata import (  # noqa: E402
+    example_container_metadata,
+    example_frame_metadata,
+)
+from mcraw.pipeline import Decoder  # noqa: E402
+
+
+def make_clip(rng, num_frames=8, h=16, w=128, codec=7):
+    writer = E.ContainerWriter(example_container_metadata())
+    frames = []
+    for i in range(num_frames):
+        img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+        frames.append(img)
+        payload = E.encode_modern(img) if codec == 7 else E.encode_legacy(img)
+        writer.add_frame(
+            100 + i, payload, example_frame_metadata(w, h, codec)
+        )
+        writer.add_audio(
+            rng.integers(-100, 100, size=64).astype(np.int16), i * 1000
+        )
+    return writer.finish(), frames
+
+
+def test_load_frame_both_backends(rng):
+    blob, frames = make_clip(rng, num_frames=2)
+    for backend in ("numpy", "jax"):
+        d = Decoder(blob, backend=backend)
+        for ts, img in zip(d.frames, frames):
+            out, meta = d.load_frame(ts)
+            assert np.array_equal(out, img), backend
+            assert meta["width"] == 128
+
+
+def test_invalid_compression_type(rng):
+    writer = E.ContainerWriter(example_container_metadata())
+    img = rng.integers(0, 64, size=(4, 64), dtype=np.uint16)
+    writer.add_frame(1, E.encode_modern(img), example_frame_metadata(64, 4, 99))
+    d = Decoder(writer.finish())
+    with pytest.raises(IOException, match="Invalid compression type"):
+        d.load_frame(1)
+
+
+def test_audio_loaders(rng):
+    blob, _ = make_clip(rng, num_frames=3)
+    d = Decoder(blob)
+    batch = d.load_audio()
+    stream = list(d.audio_chunks())
+    assert len(batch) == len(stream) == 3
+    for (ta, sa), (tb, sb) in zip(batch, stream):
+        assert ta == tb
+        assert np.array_equal(sa, sb)
+
+
+def test_decode_batch_single_device(rng):
+    blob, frames = make_clip(rng, num_frames=4)
+    d = Decoder(blob, backend="jax")
+    imgs, metas = d.decode_batch()
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (4, 16, 128)
+    for i, img in enumerate(frames):
+        assert np.array_equal(imgs[i], img)
+    assert len(metas) == 4
+
+
+def test_decode_batch_legacy(rng):
+    blob, frames = make_clip(rng, num_frames=2, codec=6)
+    d = Decoder(blob, backend="jax")
+    imgs, _ = d.decode_batch()
+    for i, img in enumerate(frames):
+        assert np.array_equal(np.asarray(imgs)[i], img)
+
+
+def test_decode_batch_sharded_over_mesh(rng):
+    """Frame data-parallelism over the 8-device virtual mesh."""
+    from mcraw.parallel import default_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    blob, frames = make_clip(rng, num_frames=8)
+    d = Decoder(blob, backend="jax")
+    mesh = default_mesh()
+    imgs, _ = d.decode_batch(mesh=mesh)
+    # sharded across devices
+    assert len(imgs.sharding.device_set) == 8
+    imgs = np.asarray(imgs)
+    for i, img in enumerate(frames):
+        assert np.array_equal(imgs[i], img)
+
+
+def test_decode_batch_uneven_mesh_raises(rng):
+    from mcraw.parallel import default_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    blob, _ = make_clip(rng, num_frames=3)
+    d = Decoder(blob, backend="jax")
+    with pytest.raises(ValueError, match="not divisible"):
+        d.decode_batch(mesh=default_mesh())
