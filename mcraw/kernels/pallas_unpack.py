@@ -1,0 +1,296 @@
+"""Fused Pallas TPU kernel for the modern-codec block unpack.
+
+This is the framework's hot kernel (SURVEY.md §2 C3): packed variable-length
+blocks in HBM -> per-block uint16 values, at HBM bandwidth.
+
+Why not XLA: forming per-block 128-byte windows is a gather, and XLA's TPU
+gather runs ~1.7 GB/s (measured). The kernel replaces it with a two-stage
+in-VMEM realignment that maps onto the hardware:
+
+  1. one sequential DMA per chunk of 256 blocks (blocks are contiguous in the
+     payload; a chunk spans <= 32 KB),
+  2. coarse row fetch: a one-hot fp32 matmul on the MXU picks each block's
+     two 512-byte rows out of the chunk (exact: operands are 16-bit halves,
+     one nonzero per one-hot row),
+  3. fine alignment: per-lane dynamic shuffles (tpu.dynamic_gather via
+     take_along_axis along lanes, a single-vreg shuffle) rotate each block's
+     window into place and spread words into a byte matrix,
+  4. the shared structured per-class unpack + one-hot class select (pure
+     VPU), + 12-bit reference add.
+
+Block offsets are always 8-byte aligned (all modern block lengths are
+multiples of 8, RawData.cpp:27-45), so rotations are word-granular and the
+byte spread folds into the same shuffle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tables as T
+from . import unpack as U
+
+BLOCKS_PER_CHUNK = 256  # one chunk = one DMA + one MXU/VPU pass
+_MAX_WORDS_PER_BLOCK = 32  # 128 bytes
+_ROWS = 72  # ceil(256 blocks * 32 words / 128 lanes) = 64, +2 cross, pad to 8
+
+
+def _unpack_kernel(
+    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row
+    offs_ref,  # (1, B) int32 absolute word offset per block
+    cls_ref,  # (1, B) int32 class row per block
+    refs_ref,  # (1, B) int32 reference per block
+    payload_ref,  # HBM (P32/128, 128) int32
+    out_ref,  # (B, 64) uint16
+    scratch_ref,  # VMEM (_ROWS, 128) int32
+    sem,  # DMA semaphore
+):
+    i = pl.program_id(0)
+    base_row = base_ref[i]
+
+    dma = pltpu.make_async_copy(
+        payload_ref.at[pl.ds(base_row, _ROWS), :], scratch_ref, sem
+    )
+    dma.start()
+
+    b = offs_ref.shape[1]
+    offs_col = jnp.transpose(offs_ref[:], (1, 0))  # (B, 1)
+    rel = offs_col - base_row * 128  # word offset within scratch
+    q = rel >> 7  # scratch row of window start
+    s = rel & 127  # word rotation within the row pair
+
+    # One-hot row selectors. The matmul operand is split into byte planes:
+    # bytes (<=255) and one-hot rows are exact in bfloat16, each output is a
+    # single product, and accumulation is fp32 — so the MXU pass is exact
+    # even at default precision.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _ROWS), 1)
+    oh0 = (row_ids == q).astype(jnp.bfloat16)  # (B, R)
+    oh1 = (row_ids == q + 1).astype(jnp.bfloat16)
+
+    dma.wait()
+
+    span = scratch_ref[:]
+    planes = jnp.concatenate(
+        [
+            (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(jnp.bfloat16)
+            for k in range(4)
+        ],
+        axis=1,
+    )  # (R, 512)
+
+    def pick(oh):
+        p = jnp.dot(oh, planes, preferred_element_type=jnp.float32)
+        p = p.astype(jnp.int32)  # (B, 512)
+        return (
+            p[:, 0:128]
+            | (p[:, 128:256] << 8)
+            | (p[:, 256:384] << 16)
+            | (p[:, 384:512] << 24)
+        )
+
+    row0 = pick(oh0)  # (B, 128) words q
+    row1 = pick(oh1)  # (B, 128) words q+1
+
+    # Fused rotate + word->byte spread: byte lane j reads word s + j//4.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+
+    def rotate(step):
+        idx = s + (lane >> step)  # (B, 128)
+        in0 = idx < 128
+        w0 = jnp.take_along_axis(row0, jnp.where(in0, idx, 0), axis=1)
+        w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, idx - 128), axis=1)
+        return jnp.where(in0, w0, w1)
+
+    bytes_ = jax.lax.shift_right_logical(rotate(2), 8 * (lane & 3)) & 0xFF
+    # Class 16 is a halfword copy; a second rotation at halfword granularity
+    # avoids the even/odd lane de-interleave Mosaic can't express.
+    half16 = (
+        jax.lax.shift_right_logical(rotate(1), 16 * (lane & 1)) & 0xFFFF
+    )[:, :64]
+
+    cls_col = jnp.transpose(cls_ref[:], (1, 0))  # (B, 1)
+    vals = _unpack_select_2d(bytes_, half16, cls_col)
+
+    refs_col = jnp.transpose(refs_ref[:], (1, 0))
+    out_ref[:] = ((vals + refs_col) & 0xFFFF).astype(jnp.uint16)
+
+
+# Kernel-safe structured unpack: Mosaic cannot lower >2D reshapes, so these
+# variants use only 2D lane slices + concatenates. Semantics are pinned to
+# structured.py (and thus to the tables / C++ reference) by tests.
+
+
+def _k_m1(w):
+    return jnp.concatenate([(w[:, :8] >> m) & 1 for m in range(8)], axis=1)
+
+
+def _k_m2(w):
+    return jnp.concatenate(
+        [(w[:, 8 * h : 8 * h + 8] >> (2 * m)) & 3 for h in range(2) for m in range(4)],
+        axis=1,
+    )
+
+
+def _k_m4(w):
+    return jnp.concatenate(
+        [(w[:, 8 * c : 8 * c + 8] >> (4 * m)) & 15 for c in range(4) for m in range(2)],
+        axis=1,
+    )
+
+
+def _k_m8(w):
+    return w[:, :64]
+
+
+def _k_m10(w):
+    parts = [
+        w[:, 8 * k : 8 * k + 8] | (((w[:, 32:40] >> (2 * k)) & 3) << 8)
+        for k in range(4)
+    ]
+    parts += [
+        w[:, 40 + 8 * k : 48 + 8 * k] | (((w[:, 72:80] >> (2 * k)) & 3) << 8)
+        for k in range(4)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_select_2d(
+    bytes_: jnp.ndarray, half16: jnp.ndarray, cls_col: jnp.ndarray
+) -> jnp.ndarray:
+    """unpack_select with a (B, 1) class column (kernel-friendly select)."""
+    from . import structured as S
+
+    fns = {
+        1: _k_m1,
+        2: _k_m2,
+        3: S.MODERN_STRUCTURED[3],  # already 2D-only
+        4: _k_m4,
+        5: S.MODERN_STRUCTURED[5],
+        6: S.MODERN_STRUCTURED[6],
+        8: _k_m8,
+        10: _k_m10,
+    }
+    out = None
+    for row, c in enumerate(T.MODERN_CLASSES):
+        if c == 0:
+            continue
+        vals = half16 if c == 16 else fns[c](bytes_)
+        contrib = jnp.where(cls_col == row, vals, 0)
+        out = contrib if out is None else out | contrib
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
+def _unpack_blocks_pallas(
+    payload2d: jnp.ndarray,  # (rows, 128) int32
+    base_rows: jnp.ndarray,  # (num_chunks,) int32
+    offs: jnp.ndarray,  # (num_chunks, B) int32 word offsets
+    cls: jnp.ndarray,  # (num_chunks, B) int32
+    refs: jnp.ndarray,  # (num_chunks, B) int32
+    *,
+    num_chunks: int,
+    interpret: bool = False,
+):
+    b = offs.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, b), lambda i, base: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, base: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b), lambda i, base: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # payload stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _unpack_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 64), jnp.uint16),
+        interpret=interpret,
+    )(base_rows, offs, cls, refs, payload2d)
+
+
+def prepare_chunked(plan: U.ModernPlan):
+    """Reshape a ModernPlan's arrays into the kernel's chunked layout."""
+    n = len(plan.offsets)
+    b = BLOCKS_PER_CHUNK
+    num_chunks = max(1, -(-n // b))
+    pad_n = num_chunks * b
+
+    offs_w = np.zeros(pad_n, dtype=np.int32)
+    offs_w[:n] = plan.offsets // 4  # word offsets (8-byte aligned -> even)
+    offs_w[n:] = offs_w[n - 1] if n else 0
+    cls = np.zeros(pad_n, dtype=np.int32)
+    cls[:n] = plan.cls
+    refs = np.zeros(pad_n, dtype=np.int32)
+    refs[:n] = plan.refs
+
+    base_rows = (offs_w.reshape(num_chunks, b)[:, 0] // 128).astype(np.int32)
+
+    # Pad payload so every chunk's _ROWS-row DMA window exists.
+    pay = plan.payload
+    rows_needed = int(base_rows[-1]) + _ROWS
+    total = max(rows_needed * 512, len(pay))
+    total += (-total) % 512
+    padded = np.zeros(total, dtype=np.uint8)
+    padded[: len(pay)] = pay
+    payload2d = padded.view("<i4").reshape(-1, 128)
+
+    return (
+        payload2d,
+        base_rows,
+        offs_w.reshape(num_chunks, b),
+        cls.reshape(num_chunks, b),
+        refs.reshape(num_chunks, b),
+        num_chunks,
+        n,
+    )
+
+
+def decode_modern_pallas(
+    payload: np.ndarray, width: int, height: int, interpret: bool = False
+):
+    """Full modern decode with the Pallas unpack kernel + XLA epilogue."""
+    plan = U.prepare_modern(payload, width, height)
+    payload2d, base_rows, offs, cls, refs, num_chunks, n = prepare_chunked(plan)
+    vals = _unpack_blocks_pallas(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(offs),
+        jnp.asarray(cls),
+        jnp.asarray(refs),
+        num_chunks=num_chunks,
+        interpret=interpret,
+    )[:n]
+    img = _deinterleave_packed(vals, plan.tiles_y, plan.tiles_x)
+    return img[: plan.height, : plan.width]
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
+def _deinterleave_packed(vals: jnp.ndarray, tiles_y: int, tiles_x: int):
+    """Bayer de-interleave via int32 packing (refs already added).
+
+    Packing the even/odd column pair into one int32 and bitcasting to uint16
+    turns the parity interleave (a minor-dim-2 transpose, slow on TPU) into
+    integer ops; the remaining transpose keeps a 32-lane minor dim.
+    """
+    v = vals.astype(jnp.int32).reshape(tiles_y, tiles_x, 2, 2, 2, 32)
+    even = v[:, :, :, 0]  # (ty, tx, q, h, k)
+    odd = v[:, :, :, 1]
+    packed = even | (odd << 16)
+    packed = packed.transpose(0, 3, 2, 1, 4)  # (ty, h, q, tx, k)
+    u16 = jax.lax.bitcast_convert_type(packed, jnp.uint16)  # (..., 2)
+    return u16.reshape(tiles_y * 4, tiles_x * 64)
