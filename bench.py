@@ -58,16 +58,14 @@ def bench_tpu(imgs, payloads):
     use_pallas = any(d.platform != "cpu" for d in jax.devices())
     if use_pallas:
         chunked = [PK.prepare_chunked(pl) for pl in plans]
-        num_chunks = chunked[0][5]
-        args = [
-            tuple(map(jax.device_put, ch[:5])) for ch in chunked
-        ]
+        num_chunks = chunked[0][3]
+        args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
         ty, tx = plans[0].tiles_y, plans[0].tiles_x
 
         @functools.partial(jax.jit, static_argnames=("num_chunks", "ty", "tx"))
-        def step(payload2d, base_rows, offs, cls, refs, *, num_chunks, ty, tx):
+        def step(payload2d, base_rows, meta, *, num_chunks, ty, tx):
             vals = PK._unpack_blocks_pallas.__wrapped__(
-                payload2d, base_rows, offs, cls, refs,
+                payload2d, base_rows, meta,
                 num_chunks=num_chunks, interpret=False,
             )
             im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)

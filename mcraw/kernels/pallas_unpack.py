@@ -43,9 +43,7 @@ _ROWS = 72  # ceil(256 blocks * 32 words / 128 lanes) = 64, +2 cross, pad to 8
 
 def _unpack_kernel(
     base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row
-    offs_ref,  # (1, B) int32 absolute word offset per block
-    cls_ref,  # (1, B) int32 class row per block
-    refs_ref,  # (1, B) int32 reference per block
+    meta_ref,  # (1, 8, B) int32: row 0 = word offsets, 1 = class, 2 = refs
     payload_ref,  # HBM (P32/128, 128) int32
     out_ref,  # (B, 64) uint16
     scratch_ref,  # VMEM (_ROWS, 128) int32
@@ -59,8 +57,9 @@ def _unpack_kernel(
     )
     dma.start()
 
-    b = offs_ref.shape[1]
-    offs_col = jnp.transpose(offs_ref[:], (1, 0))  # (B, 1)
+    b = meta_ref.shape[2]
+    meta = meta_ref[0]  # (8, B)
+    offs_col = jnp.transpose(meta[0:1, :], (1, 0))  # (B, 1)
     rel = offs_col - base_row * 128  # word offset within scratch
     q = rel >> 7  # scratch row of window start
     s = rel & 127  # word rotation within the row pair
@@ -114,10 +113,10 @@ def _unpack_kernel(
         jax.lax.shift_right_logical(rotate(1), 16 * (lane & 1)) & 0xFFFF
     )[:, :64]
 
-    cls_col = jnp.transpose(cls_ref[:], (1, 0))  # (B, 1)
+    cls_col = jnp.transpose(meta[1:2, :], (1, 0))  # (B, 1)
     vals = _unpack_select_2d(bytes_, half16, cls_col)
 
-    refs_col = jnp.transpose(refs_ref[:], (1, 0))
+    refs_col = jnp.transpose(meta[2:3, :], (1, 0))
     out_ref[:] = ((vals + refs_col) & 0xFFFF).astype(jnp.uint16)
 
 
@@ -190,21 +189,19 @@ def _unpack_select_2d(
 def _unpack_blocks_pallas(
     payload2d: jnp.ndarray,  # (rows, 128) int32
     base_rows: jnp.ndarray,  # (num_chunks,) int32
-    offs: jnp.ndarray,  # (num_chunks, B) int32 word offsets
-    cls: jnp.ndarray,  # (num_chunks, B) int32
-    refs: jnp.ndarray,  # (num_chunks, B) int32
+    meta: jnp.ndarray,  # (num_chunks, 8, B) int32: offsets/class/refs rows
     *,
     num_chunks: int,
     interpret: bool = False,
 ):
-    b = offs.shape[1]
+    b = meta.shape[2]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((1, b), lambda i, base: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i, base: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b), lambda i, base: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # payload stays in HBM
         ],
         out_specs=pl.BlockSpec(
@@ -220,7 +217,7 @@ def _unpack_blocks_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 64), jnp.uint16),
         interpret=interpret,
-    )(base_rows, offs, cls, refs, payload2d)
+    )(base_rows, meta, payload2d)
 
 
 def prepare_chunked(plan: U.ModernPlan):
@@ -240,6 +237,12 @@ def prepare_chunked(plan: U.ModernPlan):
 
     base_rows = (offs_w.reshape(num_chunks, b)[:, 0] // 128).astype(np.int32)
 
+    # Metadata rows packed 8-deep so the VMEM block shape is (8, B)-aligned.
+    meta = np.zeros((num_chunks, 8, b), dtype=np.int32)
+    meta[:, 0] = offs_w.reshape(num_chunks, b)
+    meta[:, 1] = cls.reshape(num_chunks, b)
+    meta[:, 2] = refs.reshape(num_chunks, b)
+
     # Pad payload so every chunk's _ROWS-row DMA window exists.
     pay = plan.payload
     rows_needed = int(base_rows[-1]) + _ROWS
@@ -249,15 +252,7 @@ def prepare_chunked(plan: U.ModernPlan):
     padded[: len(pay)] = pay
     payload2d = padded.view("<i4").reshape(-1, 128)
 
-    return (
-        payload2d,
-        base_rows,
-        offs_w.reshape(num_chunks, b),
-        cls.reshape(num_chunks, b),
-        refs.reshape(num_chunks, b),
-        num_chunks,
-        n,
-    )
+    return payload2d, base_rows, meta, num_chunks, n
 
 
 def decode_modern_pallas(
@@ -265,13 +260,11 @@ def decode_modern_pallas(
 ):
     """Full modern decode with the Pallas unpack kernel + XLA epilogue."""
     plan = U.prepare_modern(payload, width, height)
-    payload2d, base_rows, offs, cls, refs, num_chunks, n = prepare_chunked(plan)
+    payload2d, base_rows, meta, num_chunks, n = prepare_chunked(plan)
     vals = _unpack_blocks_pallas(
         jnp.asarray(payload2d),
         jnp.asarray(base_rows),
-        jnp.asarray(offs),
-        jnp.asarray(cls),
-        jnp.asarray(refs),
+        jnp.asarray(meta),
         num_chunks=num_chunks,
         interpret=interpret,
     )[:n]

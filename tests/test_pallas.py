@@ -1,0 +1,50 @@
+"""Pallas unpack kernel, interpret mode (CPU). Real-TPU correctness is gated
+separately in bench.py via checksums before any timing."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from mcraw import encode as E  # noqa: E402
+from mcraw.kernels import pallas_unpack as PK  # noqa: E402
+
+
+@pytest.mark.parametrize("maxv", [255, 4095, 65535])
+def test_pallas_interpret_matches_image(rng, maxv):
+    img = rng.integers(0, maxv + 1, size=(16, 256), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    out = np.asarray(PK.decode_modern_pallas(payload, 256, 16, interpret=True))
+    assert np.array_equal(out, img)
+
+
+def test_pallas_interpret_mixed_classes(rng):
+    h, w = 16, 640
+    img = np.zeros((h, w), dtype=np.uint16)
+    for i, b in enumerate(range(0, 17, 2)):
+        lo = 0 if b == 0 else 1 << (b - 1)
+        img[:, i * 64 : (i + 1) * 64] = rng.integers(
+            lo, (1 << b) if b else 1, size=(h, 64)
+        )
+    img[:, 576:] = rng.integers(0, 128, size=(h, 64))
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    out = np.asarray(PK.decode_modern_pallas(payload, w, h, interpret=True))
+    assert np.array_equal(out, img)
+
+
+def test_pallas_interpret_multi_chunk(rng):
+    """More blocks than one chunk (exercises base-row DMA offsets)."""
+    h, w = 32, 2048  # N = 8*32*4 = 1024 blocks = several chunks
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    out = np.asarray(PK.decode_modern_pallas(payload, w, h, interpret=True))
+    assert np.array_equal(out, img)
+
+
+def test_pallas_interpret_cropped_width(rng):
+    img = rng.integers(0, 4096, size=(8, 100), dtype=np.uint16)
+    payload = np.frombuffer(
+        E.encode_modern(img, encoded_width=192), dtype=np.uint8
+    )
+    out = np.asarray(PK.decode_modern_pallas(payload, 100, 8, interpret=True))
+    assert np.array_equal(out, img)

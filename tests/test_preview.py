@@ -58,11 +58,12 @@ def test_pure_red_scene():
     assert inner[:, :, 0].mean() > 3 * max(1.0, inner[:, :, 2].mean())
 
 
-@pytest.mark.parametrize("sensor", ["rggb", "bggr", "grbg", "gbrg"])
-def test_cfa_patterns_consistent(sensor):
-    """The same physical scene must develop identically for every CFA."""
-    blob = _clip_with_flat_color(600, 300, 150, sensor=sensor)
-    d = Decoder(blob, backend="jax")
-    rgb = np.asarray(preview_frame(d, 1))[4:-4, 4:-4]
-    means = rgb.reshape(-1, 3).mean(axis=0)
-    assert means[0] > means[1] > means[2]
+def test_cfa_patterns_consistent():
+    """The same physical scene must develop identically under every CFA."""
+    outs = []
+    for sensor in ["rggb", "bggr", "grbg", "gbrg"]:
+        blob = _clip_with_flat_color(600, 300, 150, sensor=sensor)
+        d = Decoder(blob, backend="jax")
+        outs.append(np.asarray(preview_frame(d, 1))[4:-4, 4:-4].astype(int))
+    for other in outs[1:]:
+        assert np.max(np.abs(outs[0] - other)) <= 1
