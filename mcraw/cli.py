@@ -47,6 +47,11 @@ def _cmd_decode(args: argparse.Namespace) -> int:
             chunks,
         )
 
+        if args.batch and d.backend != "jax":
+            print("warning: --batch needs the JAX backend; decoding per-frame",
+                  file=sys.stderr)
+            args.batch = False
+
         if args.batch and end_frame > 0:
             ts = frames[:end_frame]
             imgs, metas = d.decode_batch(ts)

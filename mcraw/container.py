@@ -80,7 +80,10 @@ class ContainerReader:
 
     def __init__(self, source: str | bytes | bytearray | memoryview):
         if isinstance(source, str):
-            self._file: BinaryIO | None = open(source, "rb")
+            try:
+                self._file: BinaryIO | None = open(source, "rb")
+            except OSError as e:
+                raise IOException(f"Failed to open {source}") from e
             try:
                 self._buf: memoryview = memoryview(
                     mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)

@@ -40,14 +40,19 @@ class Decoder:
         self._reader = ContainerReader(source)
         if backend == "auto":
             try:
-                import jax  # noqa: F401
+                import jax
 
+                jax.devices()  # force backend init; may raise RuntimeError
                 backend = "jax"
-            except ImportError:  # pragma: no cover
+            except Exception:  # no JAX or no usable platform
                 backend = "numpy"
         if backend not in ("jax", "numpy"):
             raise ValueError(f"unknown backend {backend!r}")
         self._backend = backend
+
+    @property
+    def backend(self) -> str:
+        return self._backend
 
     # -- container surface ---------------------------------------------------
 
