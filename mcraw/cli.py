@@ -47,6 +47,25 @@ def _cmd_decode(args: argparse.Namespace) -> int:
             chunks,
         )
 
+        if args.pipeline:
+            from .clip import export_clip
+
+            stats = export_clip(
+                d,
+                outdir,
+                timestamps=frames[:end_frame],
+                resume=args.resume,
+                progress=lambda i, p: print(f"Writing {p}"),
+            )
+            if stats.frames_failed:
+                for ts, err in stats.errors:
+                    print(f"Error: frame {ts}: {err}", file=sys.stderr)
+            print(
+                f"Exported {stats.frames_done} frames in "
+                f"{stats.wall_seconds:.2f}s ({stats.fps:.1f} fps)"
+            )
+            return 0
+
         if args.batch and d.backend != "jax":
             print("warning: --batch needs the JAX backend; decoding per-frame",
                   file=sys.stderr)
@@ -144,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="decode all frames in one batched device program")
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose DNG already exists")
+    p.add_argument("--pipeline", action="store_true",
+                   help="overlapped prepare/decode/write export pipeline")
     p.set_defaults(fn=_cmd_decode)
 
     p = sub.add_parser("info", help="print container summary as JSON")

@@ -1,0 +1,116 @@
+"""Whole-clip export: streaming, overlapped, resumable (BASELINE configs 2/4).
+
+The decode pipeline has three stages with different resources:
+  1. host parse + metadata-stream scan (CPU; native C++ scanner),
+  2. H2D transfer + device unpack (TPU),
+  3. DNG serialization + file write (CPU).
+Stage 2 is asynchronous under JAX's dispatch, so a simple software pipeline —
+prepare frame i+k while the device decodes frame i and the writer drains
+frame i-1 — overlaps all three without threads for the device part; host-side
+prep and writes run in small thread pools.
+
+Per-frame error isolation (SURVEY.md §5): one corrupt frame is reported and
+skipped, not fatal to the batch. Resume: frames whose DNG already exists are
+skipped (the EOF index makes random access O(1), Decoder.cpp:237-264).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .emit.dng import dng_bytes
+from .errors import MotionCamException
+from .pipeline import Decoder
+
+
+@dataclass
+class ExportStats:
+    frames_done: int = 0
+    frames_skipped: int = 0
+    frames_failed: int = 0
+    errors: list = field(default_factory=list)
+    wall_seconds: float = 0.0
+
+    @property
+    def fps(self) -> float:
+        return self.frames_done / self.wall_seconds if self.wall_seconds else 0.0
+
+
+def export_clip(
+    decoder: Decoder,
+    output_dir: str,
+    timestamps: list[int] | None = None,
+    resume: bool = False,
+    prefetch: int = 4,
+    writers: int = 4,
+    progress=None,
+) -> ExportStats:
+    """Export frames to frame_NNNNNN.dng with a prepare/decode/write pipeline."""
+    os.makedirs(output_dir, exist_ok=True)
+    if timestamps is None:
+        timestamps = decoder.frames
+    container_meta = decoder.container_metadata
+
+    stats = ExportStats()
+    t0 = time.perf_counter()
+
+    todo: list[tuple[int, int, str]] = []
+    for i, ts in enumerate(timestamps):
+        path = os.path.join(output_dir, f"frame_{i:06d}.dng")
+        if resume and os.path.exists(path):
+            stats.frames_skipped += 1
+            continue
+        todo.append((i, ts, path))
+
+    def prepare(item):
+        i, ts, path = item
+        try:
+            if decoder.backend == "jax":
+                img, meta = decoder.load_frame_device(ts)
+            else:
+                img, meta = decoder.load_frame(ts)
+            return (i, ts, path, img, meta, None)
+        except MotionCamException as e:
+            return (i, ts, path, None, None, e)
+
+    def write(item):
+        i, ts, path, img, meta, err = item
+        if err is not None:
+            stats.frames_failed += 1
+            stats.errors.append((ts, str(err)))
+            return
+        arr = np.asarray(img)  # D2H sync happens here, off the main thread
+        blob = dng_bytes(arr, meta, container_meta)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        stats.frames_done += 1
+        if progress is not None:
+            progress(i, path)
+
+    with ThreadPoolExecutor(max_workers=max(1, prefetch)) as prep_pool, \
+            ThreadPoolExecutor(max_workers=max(1, writers)) as write_pool:
+        prepared = prep_pool.map(prepare, todo)
+        list(write_pool.map(write, prepared))
+
+    stats.wall_seconds = time.perf_counter() - t0
+    return stats
+
+
+def export_wav(decoder: Decoder, output_dir: str) -> str:
+    from .emit.wav import write_wav
+
+    path = os.path.join(output_dir, "audio.wav")
+    write_wav(
+        path,
+        decoder.audio_sample_rate_hz(),
+        decoder.num_audio_channels(),
+        decoder.load_audio(),
+    )
+    return path

@@ -1,0 +1,59 @@
+"""Streaming whole-clip export: pipeline overlap, resume, error isolation."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mcraw import encode as E
+from mcraw.clip import export_clip, export_wav
+from mcraw.metadata import example_container_metadata, example_frame_metadata
+from mcraw.pipeline import Decoder
+from tests.test_pipeline import make_clip
+
+
+def test_export_clip_full(tmp_path, rng):
+    blob, frames = make_clip(rng, num_frames=5)
+    d = Decoder(blob, backend="numpy")
+    stats = export_clip(d, str(tmp_path))
+    assert stats.frames_done == 5 and stats.frames_failed == 0
+    wav = export_wav(d, str(tmp_path))
+    assert os.path.exists(wav)
+    from mcraw.emit.dng import dng_bytes
+
+    for i, img in enumerate(frames):
+        got = (tmp_path / f"frame_{i:06d}.dng").read_bytes()
+        _, meta = d._reader.frame_payload(d.frames[i])
+        assert got == dng_bytes(img, meta, d.container_metadata)
+
+
+def test_export_resume_skips_existing(tmp_path, rng):
+    blob, _ = make_clip(rng, num_frames=4)
+    d = Decoder(blob, backend="numpy")
+    export_clip(d, str(tmp_path), timestamps=d.frames[:2])
+    # rename so indices line up: resume sees frames 0,1 present
+    stats = export_clip(d, str(tmp_path), resume=True)
+    assert stats.frames_skipped == 2
+    assert stats.frames_done == 2
+
+
+def test_export_isolates_corrupt_frame(tmp_path, rng):
+    """One corrupt frame must not kill the batch (SURVEY.md §5)."""
+    writer = E.ContainerWriter(example_container_metadata())
+    good = rng.integers(0, 1024, size=(8, 64), dtype=np.uint16)
+    writer.add_frame(1, E.encode_modern(good), example_frame_metadata(64, 8))
+    writer.add_frame(2, b"\x00" * 8, example_frame_metadata(64, 8))  # corrupt
+    writer.add_frame(3, E.encode_modern(good), example_frame_metadata(64, 8))
+    d = Decoder(writer.finish(), backend="numpy")
+    stats = export_clip(d, str(tmp_path))
+    assert stats.frames_done == 2
+    assert stats.frames_failed == 1
+    assert stats.errors and stats.errors[0][0] == 2
+
+
+def test_export_jax_backend(tmp_path, rng):
+    pytest.importorskip("jax")
+    blob, frames = make_clip(rng, num_frames=3)
+    d = Decoder(blob, backend="jax")
+    stats = export_clip(d, str(tmp_path))
+    assert stats.frames_done == 3
