@@ -82,6 +82,8 @@ def decode_metadata_stream(data: np.ndarray, offset: int) -> tuple[np.ndarray, i
     if offset + 4 > n:
         raise DecodeError("metadata stream header out of bounds")
     num_blocks = int(np.frombuffer(data[offset : offset + 4].tobytes(), "<u4")[0])
+    if num_blocks > 64 * max(0, n - offset - 4) // 2:
+        raise DecodeError("metadata stream declares impossible block count")
     groups = (num_blocks + 63) // 64
     out = np.zeros(groups * 64, dtype=np.uint16)
     end = lib.mcraw_metadata_scan(

@@ -76,6 +76,12 @@ def decode_metadata_stream(data: np.ndarray, offset: int) -> tuple[np.ndarray, i
     )
     offset += 4
 
+    # Structural bound: every 64-value group needs at least its 2-byte
+    # header, so a declared count beyond 64*(remaining/2) is malformed.
+    # (Prevents attacker-controlled allocation before the walk even starts.)
+    if num_blocks > 64 * max(0, n - offset) // 2:
+        raise DecodeError("metadata stream declares impossible block count")
+
     num_groups = (num_blocks + 63) // 64
     lengths = T.MODERN_BLOCK_LENGTH
     bits_arr = np.zeros(num_groups, dtype=np.int32)
