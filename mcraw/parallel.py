@@ -102,3 +102,36 @@ def decode_frames_batched(plans: list, modern: bool, mesh: Mesh | None = None):
 def default_mesh(axis: str = "frames") -> Mesh:
     devices = np.array(jax.devices())
     return Mesh(devices, (axis,))
+
+
+def decode_clips(decoders: list, mesh: Mesh | None = None, frames_per_clip=None):
+    """Concurrent multi-clip decode (BASELINE config 4): interleave frames
+    from several same-geometry clips into one frame-sharded batch.
+
+    Returns (imgs (C, F, H, W) device array, metas [C][F]). Clips must share
+    frame geometry and codec; frames are round-robin interleaved so each
+    chip gets a mix of clips (uniform load even if clips differ in content).
+    """
+    all_plans, all_metas, moderns = [], [], []
+    for d in decoders:
+        ts = d.frames if frames_per_clip is None else d.frames[:frames_per_clip]
+        plans, metas = [], []
+        for t in ts:
+            plan, meta, modern = d._plan(t)
+            plans.append(plan)
+            metas.append(meta)
+            moderns.append(modern)
+        all_plans.append(plans)
+        all_metas.append(metas)
+    if len({len(p) for p in all_plans}) != 1:
+        raise ValueError("clips must contribute equal frame counts")
+    if len(set(moderns)) != 1:
+        raise ValueError("mixed codecs across clips")
+
+    c, f = len(all_plans), len(all_plans[0])
+    # round-robin interleave: batch index = frame*C + clip
+    flat = [all_plans[ci][fi] for fi in range(f) for ci in range(c)]
+    imgs = decode_frames_batched(flat, moderns[0], mesh=mesh)
+    h, w = imgs.shape[1], imgs.shape[2]
+    imgs = imgs.reshape(f, c, h, w).transpose(1, 0, 2, 3)
+    return imgs, all_metas

@@ -105,3 +105,22 @@ def test_decode_batch_uneven_mesh_raises(rng):
     d = Decoder(blob, backend="jax")
     with pytest.raises(ValueError, match="not divisible"):
         d.decode_batch(mesh=default_mesh())
+
+
+def test_decode_clips_multi(rng):
+    """Concurrent multi-clip decode, frame-sharded over the mesh."""
+    from mcraw.parallel import decode_clips, default_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    clips, frames = [], []
+    for _ in range(4):
+        blob, f = make_clip(rng, num_frames=4)
+        clips.append(Decoder(blob, backend="jax"))
+        frames.append(f)
+    imgs, metas = decode_clips(clips, mesh=default_mesh())
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (4, 4, 16, 128)
+    for c in range(4):
+        for f in range(4):
+            assert np.array_equal(imgs[c, f], frames[c][f])
