@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Full benchmark suite: every decode path on every config, JSON artifacts.
+
+Measures (device-side, outputs kept live via checksums):
+  - modern codec: Pallas kernel vs pure-XLA path, 4K and 1080p
+  - legacy codec: XLA path
+  - host stages: metadata scan (native vs python), legacy scan
+  - C++ reference decoder on the same payloads (the baseline floor)
+
+Writes benchmarks/results.json. `bench.py` at the repo root remains the
+one-line headline bench; this is the engineering view.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def timeit_host(fn, n=5):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(n):
+        fn()
+    return (time.perf_counter() - t0) / n
+
+
+def make_frame(h, w, seed=11, maxv=4095):
+    rng = np.random.default_rng(seed)
+    base = (
+        np.sin(np.arange(w) / 97)[None, :]
+        * np.cos(np.arange(h) / 61)[:, None]
+        * (maxv * 0.3)
+        + maxv * 0.5
+    )
+    return (base + rng.normal(0, maxv / 136, size=(h, w))).clip(0, maxv).astype(
+        np.uint16
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from mcraw import encode as E
+    from mcraw.kernels import native, unpack as U, pallas_unpack as PK
+
+    results = {"device": str(jax.devices()[0]), "configs": {}}
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    def timeit_dev(fn, n=30):
+        jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(n)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / n
+
+    for name, (h, w) in {"4k": (3072, 4096), "1080p": (1080, 1920)}.items():
+        img = make_frame(h, w)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
+        cfg: dict = {
+            "shape": [h, w],
+            "payload_mb": round(len(payload) / 1e6, 2),
+            "bits_per_px": round(8 * len(payload) / (h * w), 2),
+        }
+
+        plan = U.prepare_modern(payload, w, h)
+        cfg["host_prep_ms"] = round(
+            timeit_host(lambda: U.prepare_modern(payload, w, h)) * 1e3, 2
+        )
+
+        # XLA path
+        a = tuple(map(jax.device_put, (plan.payload, plan.offsets, plan.cls, plan.refs)))
+
+        @functools.partial(jax.jit, static_argnames=("ty", "tx"))
+        def xla_sum(payload, offsets, cls, refs, *, ty, tx):
+            im = U.decode_modern_device.__wrapped__(
+                payload, offsets, cls, refs, tiles_y=ty, tiles_x=tx,
+                width=w, height=h,
+            )
+            return im.astype(jnp.uint32).sum()
+
+        run = lambda: xla_sum(*a, ty=plan.tiles_y, tx=plan.tiles_x)
+        assert int(jax.block_until_ready(run())) == want
+        dt = timeit_dev(run)
+        cfg["xla_ms"] = round(dt * 1e3, 3)
+        cfg["xla_fps"] = round(1 / dt, 1)
+
+        # Pallas path (TPU only)
+        if on_tpu:
+            payload2d, base_rows, meta, num_chunks, _ = PK.prepare_chunked(plan)
+            pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
+
+            @functools.partial(jax.jit, static_argnames=("nc", "ty", "tx"))
+            def pk_sum(payload2d, base_rows, meta, *, nc, ty, tx):
+                vals = PK._unpack_blocks_pallas.__wrapped__(
+                    payload2d, base_rows, meta, num_chunks=nc, interpret=False
+                )
+                im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
+                return im[:h, :w].astype(jnp.uint32).sum()
+
+            runp = lambda: pk_sum(*pa, nc=num_chunks, ty=plan.tiles_y, tx=plan.tiles_x)
+            assert int(jax.block_until_ready(runp())) == want
+            dt = timeit_dev(runp, n=50)
+            cfg["pallas_ms"] = round(dt * 1e3, 3)
+            cfg["pallas_fps"] = round(1 / dt, 1)
+            cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
+
+        # C++ reference floor
+        try:
+            from tools import ref_shim
+
+            if ref_shim.get_lib():
+                dt = timeit_host(lambda: ref_shim.ref_decode(payload, w, h), n=3)
+                cfg["ref_cpu_ms"] = round(dt * 1e3, 1)
+                cfg["ref_cpu_fps"] = round(1 / dt, 1)
+        except Exception:
+            pass
+
+        results["configs"][f"modern_{name}"] = cfg
+        print(json.dumps({f"modern_{name}": cfg}), flush=True)
+
+    # Legacy codec (XLA path + native scan)
+    h, w = 1080, 1920
+    img = make_frame(h, w, maxv=1023)
+    payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+    want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
+    plan = U.prepare_legacy(payload, w, h)
+    cfg = {
+        "shape": [h, w],
+        "native_scan": native.have_native(),
+        "host_prep_ms": round(
+            timeit_host(lambda: U.prepare_legacy(payload, w, h)) * 1e3, 2
+        ),
+    }
+    a = tuple(map(jax.device_put, (plan.payload, plan.offsets, plan.cls, plan.refs)))
+
+    @jax.jit
+    def leg_sum(payload, offsets, cls, refs):
+        im = U.decode_legacy_device.__wrapped__(
+            payload, offsets, cls, refs,
+            padded_width=plan.padded_width, width=w, height=h,
+        )
+        return im.astype(jnp.uint32).sum()
+
+    run = lambda: leg_sum(*a)
+    assert int(jax.block_until_ready(run())) == want
+    dt = timeit_dev(run)
+    cfg["xla_ms"] = round(dt * 1e3, 3)
+    cfg["xla_fps"] = round(1 / dt, 1)
+    try:
+        from tools import ref_shim
+
+        if ref_shim.get_lib():
+            dt = timeit_host(lambda: ref_shim.ref_decode_legacy(payload, w, h), n=3)
+            cfg["ref_cpu_ms"] = round(dt * 1e3, 1)
+    except Exception:
+        pass
+    results["configs"]["legacy_1080p"] = cfg
+    print(json.dumps({"legacy_1080p": cfg}), flush=True)
+
+    out = Path(__file__).with_name("results.json")
+    out.write_text(json.dumps(results, indent=2))
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
