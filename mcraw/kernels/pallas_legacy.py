@@ -1,0 +1,256 @@
+"""Fused Pallas TPU kernel for the legacy-codec block unpack.
+
+Same chunked-DMA + one-hot-MXU-row-fetch skeleton as the modern kernel
+(pallas_unpack.py), but the unpack itself is *table-driven*: every legacy
+output value is at most two byte fields at static per-class positions
+(kernels/tables.py), so instead of per-class unpack code the kernel
+
+  1. class-selects per-block field tables (pos/rshift/mask/lshift),
+  2. turns them into absolute byte addresses (legacy offsets are NOT
+     aligned — blocks start anywhere after their 2-byte inline headers),
+  3. does one per-lane dynamic gather for both fields at once
+     (field 0 in lanes 0..15, field 1 in lanes 16..31),
+  4. combines with shifts/masks — no class branching at all.
+
+The host-side serial header walk (native C++ mcraw_legacy_scan) feeds the
+per-block (offset, bits, reference) arrays, exactly as for the XLA path.
+
+The interleave epilogue needs no transpose: the even/odd block pair packs
+into one int32 and bitcasts to two uint16 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import tables as T
+from . import unpack as U
+
+BLOCKS_PER_CHUNK = 512
+_MAX_BYTES_PER_BLOCK = 32  # payload only; the 2-byte header is behind offset
+
+
+def _span_rows(blocks_per_chunk: int) -> int:
+    # worst case: every block 2+32 bytes -> span <= B*34 bytes of 512B rows
+    rows = (blocks_per_chunk * 34) // 512 + 2
+    return rows + (-rows) % 8
+
+
+def _field_tables():
+    """(n_classes, 128) int32 lane tables: field0 in lanes 0..15, field1 in
+    lanes 16..31, zeros elsewhere."""
+    n = len(T.LEGACY_CLASSES)
+    pos = np.zeros((n, 128), dtype=np.int32)
+    rsh = np.zeros((n, 128), dtype=np.int32)
+    msk = np.zeros((n, 128), dtype=np.int32)
+    lsh = np.zeros((n, 128), dtype=np.int32)
+    for ci in range(n):
+        for f in range(2):
+            pos[ci, 16 * f : 16 * f + 16] = T.LEGACY_POS[ci, :, f]
+            rsh[ci, 16 * f : 16 * f + 16] = T.LEGACY_RSH[ci, :, f]
+            msk[ci, 16 * f : 16 * f + 16] = T.LEGACY_MSK[ci, :, f]
+            lsh[ci, 16 * f : 16 * f + 16] = T.LEGACY_LSH[ci, :, f]
+    return pos, rsh, msk, lsh
+
+
+_POS, _RSH, _MSK, _LSH = _field_tables()
+# Stacked (4*n_classes, 128): row t*n + ci is table t for class ci. Passed as
+# a kernel input — Pallas cannot capture closure constants.
+_TABLES = np.concatenate([_POS, _RSH, _MSK, _LSH], axis=0)
+
+
+def _legacy_kernel(
+    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B rows)
+    meta_ref,  # (1, 8, B) int32: row 0 = byte offsets, 1 = class, 2 = refs
+    tables_ref,  # (48, 128) int32 field tables
+    payload_ref,  # HBM (P/512, 128) int32 words
+    out_ref,  # (B, 16) uint16
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,  # DMA semaphores (2,)
+    rows: int = None,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    base_row = base_ref[i]
+    b = meta_ref.shape[2]
+    meta = meta_ref[0]
+    offs_col = jnp.transpose(meta[0:1, :], (1, 0))  # (B, 1) byte offsets
+    cls_col = jnp.transpose(meta[1:2, :], (1, 0))
+    refs_col = jnp.transpose(meta[2:3, :], (1, 0))
+    rel = offs_col - base_row * 512  # byte offset within scratch span
+
+    # Per-block field tables via class select (12 classes, constant rows).
+    ncls = len(T.LEGACY_CLASSES)
+
+    def table_select(t):
+        out = None
+        for ci in range(ncls):
+            row = tables_ref[t * ncls + ci : t * ncls + ci + 1, :]  # (1, 128)
+            contrib = jnp.where(cls_col == ci, row, 0)
+            out = contrib if out is None else out | contrib
+        return out  # (B, 128)
+
+    pos = table_select(0)
+    rsh = table_select(1)
+    msk = table_select(2)
+    lsh = table_select(3)
+
+    # One-hot row fetch (same exact-bf16 byte-plane trick as the modern
+    # kernel): rows q and q+1 of the span, 512 bytes each.
+    q = rel >> 9
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+    oh0 = (row_ids == q).astype(jnp.bfloat16)
+    oh1 = (row_ids == q + 1).astype(jnp.bfloat16)
+
+    span_dma(i, slot).wait()
+    span = scratch_ref[slot]
+    planes = jnp.concatenate(
+        [
+            (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(jnp.bfloat16)
+            for k in range(4)
+        ],
+        axis=1,
+    )  # (rows, 512)
+
+    def pick(oh):
+        p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(jnp.int32)
+        return (
+            p[:, 0:128]
+            | (p[:, 128:256] << 8)
+            | (p[:, 256:384] << 16)
+            | (p[:, 384:512] << 24)
+        )
+
+    row0 = pick(oh0)  # (B, 128) words of row q
+    row1 = pick(oh1)
+
+    # Absolute byte address of every field -> word-in-row-pair + byte shift.
+    addr = rel + pos  # (B, 128); lanes >= 32 are don't-care
+    widx = (addr >> 2) - (q << 7)  # word index within the two fetched rows
+    in0 = widx < 128
+    w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
+    w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
+    words = jnp.where(in0, w0, w1)
+    byts = jax.lax.shift_right_logical(words, 8 * (addr & 3)) & 0xFF
+
+    fields = ((byts >> rsh) & msk) << lsh  # (B, 128)
+    vals = fields[:, 0:16] | fields[:, 16:32]
+    out_ref[:] = ((vals + refs_col) & 0xFFFF).astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
+def _unpack_legacy_pallas(
+    payload2d: jnp.ndarray,  # (rows, 128) int32
+    base_rows: jnp.ndarray,  # (num_chunks,) int32 (512-byte row units)
+    meta: jnp.ndarray,  # (num_chunks, 8, B) int32
+    *,
+    num_chunks: int,
+    interpret: bool = False,
+):
+    b = meta.shape[2]
+    rows = _span_rows(b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # field tables, whole
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 16), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_legacy_kernel, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 16), jnp.uint16),
+        interpret=interpret,
+    )(base_rows, meta, jnp.asarray(_TABLES), payload2d)
+
+
+def prepare_chunked_legacy(plan: U.LegacyPlan):
+    n = len(plan.offsets)
+    b = BLOCKS_PER_CHUNK
+    num_chunks = max(1, -(-n // b))
+    pad_n = num_chunks * b
+
+    offs = np.zeros(pad_n, dtype=np.int32)
+    offs[:n] = plan.offsets
+    offs[n:] = offs[n - 1] if n else 0
+    cls = np.zeros(pad_n, dtype=np.int32)
+    cls[:n] = plan.cls
+    refs = np.zeros(pad_n, dtype=np.int32)
+    refs[:n] = plan.refs
+
+    base_rows = (offs.reshape(num_chunks, b)[:, 0] // 512).astype(np.int32)
+
+    meta = np.zeros((num_chunks, 8, b), dtype=np.int32)
+    meta[:, 0] = offs.reshape(num_chunks, b)
+    meta[:, 1] = cls.reshape(num_chunks, b)
+    meta[:, 2] = refs.reshape(num_chunks, b)
+
+    pay = plan.payload
+    rows_needed = int(base_rows[-1]) + _span_rows(b)
+    total = max(rows_needed * 512, len(pay))
+    total += (-total) % 512
+    padded = np.zeros(total, dtype=np.uint8)
+    padded[: len(pay)] = pay
+    payload2d = padded.view("<i4").reshape(-1, 128)
+
+    return payload2d, base_rows, meta, num_chunks, n
+
+
+@functools.partial(jax.jit, static_argnames=("height", "padded_width"))
+def _interleave_packed(vals: jnp.ndarray, height: int, padded_width: int):
+    """Even/odd block interleave via int32 pack + bitcast (transpose-free)."""
+    pairs = padded_width // 32
+    v = vals.astype(jnp.int32).reshape(height, pairs, 2, 16)
+    packed = v[:, :, 0, :] | (v[:, :, 1, :] << 16)  # (H, pairs, 16)
+    u16 = jax.lax.bitcast_convert_type(packed, jnp.uint16)  # (H, pairs, 16, 2)
+    return u16.reshape(height, padded_width)
+
+
+def decode_legacy_pallas(
+    payload: np.ndarray, width: int, height: int, interpret: bool = False
+):
+    plan = U.prepare_legacy(payload, width, height)
+    payload2d, base_rows, meta, num_chunks, n = prepare_chunked_legacy(plan)
+    vals = _unpack_legacy_pallas(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        interpret=interpret,
+    )[:n]
+    img = _interleave_packed(vals, plan.height, plan.padded_width)
+    return img[:, : plan.width]

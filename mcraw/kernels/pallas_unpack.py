@@ -36,9 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 from . import tables as T
 from . import unpack as U
 
-BLOCKS_PER_CHUNK = 256  # one chunk = one DMA + one MXU/VPU pass
+BLOCKS_PER_CHUNK = 512  # one chunk = one DMA + one MXU/VPU pass
 _MAX_WORDS_PER_BLOCK = 32  # 128 bytes
-_ROWS = 72  # ceil(256 blocks * 32 words / 128 lanes) = 64, +2 cross, pad to 8
+
+
+def _span_rows(blocks_per_chunk: int) -> int:
+    """Worst-case 512B scratch rows a chunk's payload span can cover."""
+    rows = (blocks_per_chunk * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    return rows + (-rows) % 8
 
 
 def _unpack_kernel(
@@ -46,16 +51,31 @@ def _unpack_kernel(
     meta_ref,  # (1, 8, B) int32: row 0 = word offsets, 1 = class, 2 = refs
     payload_ref,  # HBM (P32/128, 128) int32
     out_ref,  # (B, 64) uint16
-    scratch_ref,  # VMEM (_ROWS, 128) int32
-    sem,  # DMA semaphore
+    scratch_ref,  # VMEM (2, _ROWS, 128) int32 — double-buffered spans
+    sems,  # DMA semaphores (2,)
+    rows: int = None,
 ):
     i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
     base_row = base_ref[i]
 
-    dma = pltpu.make_async_copy(
-        payload_ref.at[pl.ds(base_row, _ROWS), :], scratch_ref, sem
-    )
-    dma.start()
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    # Warm-up: fetch chunk 0 on the first step; thereafter chunk i's span was
+    # prefetched by step i-1, so only start i+1's fetch before computing.
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     b = meta_ref.shape[2]
     meta = meta_ref[0]  # (8, B)
@@ -68,13 +88,13 @@ def _unpack_kernel(
     # bytes (<=255) and one-hot rows are exact in bfloat16, each output is a
     # single product, and accumulation is fp32 — so the MXU pass is exact
     # even at default precision.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, _ROWS), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
     oh0 = (row_ids == q).astype(jnp.bfloat16)  # (B, R)
     oh1 = (row_ids == q + 1).astype(jnp.bfloat16)
 
-    dma.wait()
+    span_dma(i, slot).wait()
 
-    span = scratch_ref[:]
+    span = scratch_ref[slot]
     planes = jnp.concatenate(
         [
             (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(jnp.bfloat16)
@@ -195,6 +215,7 @@ def _unpack_blocks_pallas(
     interpret: bool = False,
 ):
     b = meta.shape[2]
+    rows = _span_rows(b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
@@ -208,12 +229,12 @@ def _unpack_blocks_pallas(
             (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((_ROWS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _unpack_kernel,
+        functools.partial(_unpack_kernel, rows=rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 64), jnp.uint16),
         interpret=interpret,
@@ -243,9 +264,9 @@ def prepare_chunked(plan: U.ModernPlan):
     meta[:, 1] = cls.reshape(num_chunks, b)
     meta[:, 2] = refs.reshape(num_chunks, b)
 
-    # Pad payload so every chunk's _ROWS-row DMA window exists.
+    # Pad payload so every chunk's span-rows DMA window exists.
     pay = plan.payload
-    rows_needed = int(base_rows[-1]) + _ROWS
+    rows_needed = int(base_rows[-1]) + _span_rows(b)
     total = max(rows_needed * 512, len(pay))
     total += (-total) % 512
     padded = np.zeros(total, dtype=np.uint8)

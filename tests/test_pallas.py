@@ -48,3 +48,22 @@ def test_pallas_interpret_cropped_width(rng):
     )
     out = np.asarray(PK.decode_modern_pallas(payload, 100, 8, interpret=True))
     assert np.array_equal(out, img)
+
+
+class TestLegacyPallas:
+    def test_bitwidths(self, rng):
+        from mcraw.kernels import pallas_legacy as PL
+
+        for maxv in (255, 4095, 65535):
+            img = rng.integers(0, maxv + 1, size=(8, 96), dtype=np.uint16)
+            payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+            out = np.asarray(PL.decode_legacy_pallas(payload, 96, 8, interpret=True))
+            assert np.array_equal(out, img), maxv
+
+    def test_padded_width_and_multichunk(self, rng):
+        from mcraw.kernels import pallas_legacy as PL
+
+        img = rng.integers(0, 4096, size=(24, 1000), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        out = np.asarray(PL.decode_legacy_pallas(payload, 1000, 24, interpret=True))
+        assert np.array_equal(out, img)
