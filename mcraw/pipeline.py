@@ -35,8 +35,10 @@ AudioChunk = tuple[int, np.ndarray]  # (timestampNs or -1, interleaved int16)
 
 
 class Decoder:
-    def __init__(self, source: str | bytes, backend: str = "auto"):
-        """backend: 'auto' (TPU/JAX if importable, else NumPy), 'jax', 'numpy'."""
+    def __init__(self, source: str | bytes, backend: str = "auto", kernel: str = "auto"):
+        """backend: 'auto' (TPU/JAX if importable, else NumPy), 'jax', 'numpy'.
+        kernel: 'auto' (Pallas on accelerators, XLA elsewhere), 'pallas', 'xla'.
+        """
         self._reader = ContainerReader(source)
         if backend == "auto":
             try:
@@ -48,7 +50,19 @@ class Decoder:
                 backend = "numpy"
         if backend not in ("jax", "numpy"):
             raise ValueError(f"unknown backend {backend!r}")
+        if kernel not in ("auto", "pallas", "xla"):
+            raise ValueError(f"unknown kernel {kernel!r}")
         self._backend = backend
+        self._kernel = kernel
+
+    def _use_pallas(self) -> bool:
+        if self._kernel == "xla":
+            return False
+        if self._kernel == "pallas":
+            return True
+        import jax
+
+        return jax.devices()[0].platform not in ("cpu",)
 
     @property
     def backend(self) -> str:
@@ -128,6 +142,35 @@ class Decoder:
         from .kernels import unpack as U
 
         plan, meta, modern = self._plan(timestamp)
+        if self._use_pallas():
+            from .kernels import pallas_unpack as PK
+            from .kernels import pallas_legacy as PL
+
+            if modern:
+                payload2d, base_rows, pmeta, num_chunks, n = PK.prepare_chunked(plan)
+                vals = PK._unpack_blocks_pallas(
+                    jnp.asarray(payload2d),
+                    jnp.asarray(base_rows),
+                    jnp.asarray(pmeta),
+                    num_chunks=num_chunks,
+                )[:n]
+                img = PK._deinterleave_packed(vals, plan.tiles_y, plan.tiles_x)[
+                    : plan.height, : plan.width
+                ]
+            else:
+                payload2d, base_rows, pmeta, num_chunks, n = PL.prepare_chunked_legacy(
+                    plan
+                )
+                vals = PL._unpack_legacy_pallas(
+                    jnp.asarray(payload2d),
+                    jnp.asarray(base_rows),
+                    jnp.asarray(pmeta),
+                    num_chunks=num_chunks,
+                )[:n]
+                img = PL._interleave_packed(vals, plan.height, plan.padded_width)[
+                    :, : plan.width
+                ]
+            return img, meta
         if modern:
             img = U.decode_modern_device(
                 jnp.asarray(plan.payload),

@@ -124,3 +124,16 @@ def test_decode_clips_multi(rng):
     for c in range(4):
         for f in range(4):
             assert np.array_equal(imgs[c, f], frames[c][f])
+
+
+def test_load_frame_device_pallas_kernel(rng):
+    """kernel='pallas' path (interpret-compatible on CPU via interpret flag is
+    not plumbed here; on CPU the real pallas_call still lowers through the
+    Mosaic CPU path for these ops)."""
+    blob, frames = make_clip(rng, num_frames=1)
+    d = Decoder(blob, backend="jax", kernel="pallas")
+    try:
+        img, _ = d.load_frame_device(d.frames[0])
+    except Exception:
+        pytest.skip("pallas kernel not supported on this test platform")
+    assert np.array_equal(np.asarray(img), frames[0])
