@@ -118,6 +118,24 @@ def _cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_preview(args: argparse.Namespace) -> int:
+    """Develop frames to viewable sRGB images (binary PPM, no deps)."""
+    from .preview import preview_frame
+
+    d = Decoder(args.input, backend="jax")
+    frames = d.frames
+    n = len(frames) if args.num_frames is None else min(args.num_frames, len(frames))
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i in range(n):
+        rgb = np.asarray(preview_frame(d, frames[i]))
+        path = os.path.join(args.output_dir, f"preview_{i:06d}.ppm")
+        with open(path, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0]))
+            f.write(rgb.tobytes())
+        print(f"Writing {path}")
+    return 0
+
+
 def _cmd_encode(args: argparse.Namespace) -> int:
     """Author a synthetic .mcraw (testing / demo)."""
     from . import encode as E
@@ -147,7 +165,9 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
     # Reference-compatible invocation: `mcraw <file> [-n N]`
-    if argv and not argv[0].startswith("-") and argv[0] not in ("decode", "info", "encode"):
+    if argv and not argv[0].startswith("-") and argv[0] not in (
+        "decode", "info", "encode", "preview"
+    ):
         argv = ["decode"] + argv
 
     ap = argparse.ArgumentParser(prog="mcraw")
@@ -170,6 +190,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("info", help="print container summary as JSON")
     p.add_argument("input")
     p.set_defaults(fn=_cmd_info)
+
+    p = sub.add_parser("preview", help="develop frames to sRGB PPM images")
+    p.add_argument("input")
+    p.add_argument("-n", dest="num_frames", type=int, default=1)
+    p.add_argument("--output-dir", default=".")
+    p.set_defaults(fn=_cmd_preview)
 
     p = sub.add_parser("encode", help="author a synthetic .mcraw clip")
     p.add_argument("output")
