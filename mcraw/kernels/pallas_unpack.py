@@ -264,14 +264,19 @@ def prepare_chunked(plan: U.ModernPlan):
     meta[:, 1] = cls.reshape(num_chunks, b)
     meta[:, 2] = refs.reshape(num_chunks, b)
 
-    # Pad payload so every chunk's span-rows DMA window exists.
+    # Pad payload so every chunk's span-rows DMA window exists. Skip the
+    # 15MB copy when the plan's buffer is already large enough (prepare_modern
+    # over-pads for this when targeting the Pallas kernel).
     pay = plan.payload
     rows_needed = int(base_rows[-1]) + _span_rows(b)
     total = max(rows_needed * 512, len(pay))
     total += (-total) % 512
-    padded = np.zeros(total, dtype=np.uint8)
-    padded[: len(pay)] = pay
-    payload2d = padded.view("<i4").reshape(-1, 128)
+    if len(pay) >= total:
+        padded = pay[: len(pay) - (len(pay) % 512)]  # zero-copy view
+    else:
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[: len(pay)] = pay
+    payload2d = np.ascontiguousarray(padded).view("<i4").reshape(-1, 128)
 
     return payload2d, base_rows, meta, num_chunks, n
 

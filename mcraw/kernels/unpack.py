@@ -54,8 +54,14 @@ class ModernPlan:
     height: int
 
 
-def prepare_modern(payload: np.ndarray, width: int, height: int) -> ModernPlan:
-    """Parse the modern payload's header + metadata streams (host side)."""
+def prepare_modern(
+    payload: np.ndarray, width: int, height: int, pad_for_pallas: bool = True
+) -> ModernPlan:
+    """Parse the modern payload's header + metadata streams (host side).
+
+    pad_for_pallas over-pads the payload buffer so the Pallas kernel's
+    chunked DMA windows exist without a second copy in prepare_chunked.
+    """
     payload = np.asarray(payload, dtype=np.uint8)
     n = len(payload)
     enc_w, enc_h, bits_off, refs_off = R.read_metadata_header(payload)
@@ -84,6 +90,16 @@ def prepare_modern(payload: np.ndarray, width: int, height: int) -> ModernPlan:
         raise DecodeError("main data truncated")
 
     pad = (-n) % 8 + T.MODERN_MAX_LENGTH
+    if pad_for_pallas and num_blocks:
+        # Over-pad so the Pallas kernel's chunked DMA windows exist and
+        # prepare_chunked can reuse this buffer without a second 15MB copy.
+        # Worst case: last chunk's base row + its maximal span
+        # (pallas_unpack._span_rows(512) = 136 rows of 512 bytes; padding
+        # shortfalls fall back to a copy there, so this is purely a perf hint).
+        last_base_row = (int(offsets[-1]) // 4) // 128
+        need = (last_base_row + 144) * 512
+        pad = max(pad, need - n)
+        pad += (-(n + pad)) % 512
     padded = np.zeros(n + pad, dtype=np.uint8)
     padded[:n] = payload
     return ModernPlan(
