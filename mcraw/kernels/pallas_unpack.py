@@ -40,6 +40,37 @@ BLOCKS_PER_CHUNK = 512  # one chunk = one DMA + one MXU/VPU pass
 _MAX_WORDS_PER_BLOCK = 32  # 128 bytes
 
 
+def _packed_field_tables() -> np.ndarray:
+    """(2, n_classes, 128) int32: per class, packed field descriptors.
+
+    Every modern output value is an OR of <= 3 byte fields (tables.py).
+    Lane layout: array 0 lanes 0..63 = field 0 of outputs 0..63, lanes
+    64..127 = field 1; array 1 lanes 0..63 = field 2 (rest zero).
+    Packing: pos(7b) | rshift<<7(3b) | mask_bits<<10(5b) | lshift<<15(4b),
+    where mask = (1 << mask_bits) - 1. One packed int per (class, lane)
+    keeps the in-kernel class select to 2x10 lane-row selects.
+    """
+    ncls = len(T.MODERN_CLASSES)
+    out = np.zeros((2, ncls, 128), dtype=np.int32)
+    mask_bits = np.zeros_like(T.MODERN_MSK)
+    nz = T.MODERN_MSK > 0
+    mask_bits[nz] = np.log2(T.MODERN_MSK[nz] + 1).astype(np.int32)
+    assert np.all((1 << mask_bits) - 1 == T.MODERN_MSK)
+    packed = (
+        T.MODERN_POS
+        | (T.MODERN_RSH << 7)
+        | (mask_bits << 10)
+        | (T.MODERN_LSH << 15)
+    )  # (ncls, 64, 3)
+    out[0, :, 0:64] = packed[:, :, 0]
+    out[0, :, 64:128] = packed[:, :, 1]
+    out[1, :, 0:64] = packed[:, :, 2]
+    return out
+
+
+_MODERN_TABLES = _packed_field_tables()
+
+
 def _span_rows(blocks_per_chunk: int) -> int:
     """Worst-case 512B scratch rows a chunk's payload span can cover."""
     rows = (blocks_per_chunk * _MAX_WORDS_PER_BLOCK) // 128 + 2
@@ -205,6 +236,142 @@ def _unpack_select_2d(
     return out
 
 
+def _unpack_kernel_v2(
+    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row
+    meta_ref,  # (1, 8, B) int32: row 0 = word offsets, 1 = class, 2 = refs
+    tables_ref,  # (2*ncls, 128) int32 packed field descriptors
+    payload_ref,  # HBM (P32/128, 128) int32
+    out_ref,  # (B, 64) uint16
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,  # DMA semaphores (2,)
+    rows: int = None,
+):
+    """Table-gather variant: no per-class unpack code at all. Field byte
+    positions/shifts/masks come from packed per-class tables; one lane
+    select per class row, then per-lane dynamic gathers fetch the bytes."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    base_row = base_ref[i]
+    b = meta_ref.shape[2]
+    meta = meta_ref[0]
+    offs_col = jnp.transpose(meta[0:1, :], (1, 0))  # (B, 1) word offsets
+    cls_col = jnp.transpose(meta[1:2, :], (1, 0))
+    refs_col = jnp.transpose(meta[2:3, :], (1, 0))
+    rel = offs_col - base_row * 128
+    q = rel >> 7
+
+    ncls = len(T.MODERN_CLASSES)
+
+    def table_select(t):
+        out = None
+        for ci in range(ncls):
+            row = tables_ref[t * ncls + ci : t * ncls + ci + 1, :]
+            contrib = jnp.where(cls_col == ci, row, 0)
+            out = contrib if out is None else out | contrib
+        return out  # (B, 128)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+    oh0 = (row_ids == q).astype(jnp.bfloat16)
+    oh1 = (row_ids == q + 1).astype(jnp.bfloat16)
+
+    span_dma(i, slot).wait()
+    span = scratch_ref[slot]
+    planes = jnp.concatenate(
+        [
+            (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(jnp.bfloat16)
+            for k in range(4)
+        ],
+        axis=1,
+    )
+
+    def pick(oh):
+        p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(jnp.int32)
+        return (
+            p[:, 0:128]
+            | (p[:, 128:256] << 8)
+            | (p[:, 256:384] << 16)
+            | (p[:, 384:512] << 24)
+        )
+
+    row0 = pick(oh0)
+    row1 = pick(oh1)
+
+    def fields(t):
+        """Fetch + extract the packed fields described by table row t."""
+        desc = table_select(t)  # (B, 128)
+        pos = desc & 127
+        rsh = (desc >> 7) & 7
+        mask = (1 << ((desc >> 10) & 31)) - 1
+        lsh = (desc >> 15) & 15
+        widx = rel + (pos >> 2) - (q << 7)  # word within the fetched row pair
+        in0 = widx < 128
+        w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
+        w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
+        word = jnp.where(in0, w0, w1)
+        byt = jax.lax.shift_right_logical(word, 8 * (pos & 3)) & 0xFF
+        return ((byt >> rsh) & mask) << lsh
+
+    fa = fields(0)  # fields 0 (lanes 0..63) and 1 (lanes 64..127)
+    fb = fields(1)  # field 2 (lanes 0..63)
+    vals = fa[:, 0:64] | fa[:, 64:128] | fb[:, 0:64]
+    out_ref[:] = ((vals + refs_col) & 0xFFFF).astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
+def _unpack_blocks_pallas_v2(
+    payload2d: jnp.ndarray,
+    base_rows: jnp.ndarray,
+    meta: jnp.ndarray,
+    *,
+    num_chunks: int,
+    interpret: bool = False,
+):
+    b = meta.shape[2]
+    rows = _span_rows(b)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed field tables
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tables = jnp.asarray(_MODERN_TABLES.reshape(-1, 128))
+    return pl.pallas_call(
+        functools.partial(_unpack_kernel_v2, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 64), jnp.uint16),
+        interpret=interpret,
+    )(base_rows, meta, tables, payload2d)
+
+
 @functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
 def _unpack_blocks_pallas(
     payload2d: jnp.ndarray,  # (rows, 128) int32
@@ -287,7 +454,7 @@ def decode_modern_pallas(
     """Full modern decode with the Pallas unpack kernel + XLA epilogue."""
     plan = U.prepare_modern(payload, width, height)
     payload2d, base_rows, meta, num_chunks, n = prepare_chunked(plan)
-    vals = _unpack_blocks_pallas(
+    vals = _unpack_blocks_pallas_v2(
         jnp.asarray(payload2d),
         jnp.asarray(base_rows),
         jnp.asarray(meta),

@@ -148,7 +148,7 @@ class Decoder:
 
             if modern:
                 payload2d, base_rows, pmeta, num_chunks, n = PK.prepare_chunked(plan)
-                vals = PK._unpack_blocks_pallas(
+                vals = PK._unpack_blocks_pallas_v2(
                     jnp.asarray(payload2d),
                     jnp.asarray(base_rows),
                     jnp.asarray(pmeta),
