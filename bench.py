@@ -71,7 +71,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
 
         @functools.partial(jax.jit, static_argnames=("num_chunks", "ty", "tx"))
         def step(payload2d, base_rows, meta, *, num_chunks, ty, tx):
-            vals = PK._unpack_blocks_pallas.__wrapped__(
+            vals = PK._unpack_blocks_pallas_v2.__wrapped__(
                 payload2d, base_rows, meta,
                 num_chunks=num_chunks, interpret=False,
             )
@@ -104,17 +104,28 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         want = int(imgs[i].astype(np.int64).sum() & 0xFFFFFFFF)
         assert got == want, f"decode checksum mismatch on frame {i}"
 
-    # Warm + measure. The measurement is min-over-bursts: the remote-tunnel
-    # runtime shows large run-to-run variance (program reload / clock state),
-    # so the minimum sustained burst is the defensible per-chip capability.
-    outs = [run(i) for i in range(2 * FRAMES)]
-    jax.block_until_ready(outs)
+    # Warm + measure. Every burst chains its outputs into one scalar and
+    # forces it with a host transfer: `block_until_ready` alone has produced
+    # physically impossible timings on remote-tunnel runtimes, while the
+    # chained-D2H form is unfakeable (and stays checksum-verified).
+    expected = [
+        int(img.astype(np.int64).sum() & 0xFFFFFFFF) for img in imgs
+    ]
+    acc0 = run(0)
+    for i in range(1, 2 * FRAMES):
+        acc0 = acc0 + run(i)
+    int(acc0)
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        outs = [run(i) for i in range(ITERS)]
-        jax.block_until_ready(outs)
+        acc = None
+        for i in range(ITERS):
+            o = run(i)
+            acc = o if acc is None else acc + o
+        total = int(acc)  # D2H forces the chain
         best = min(best, (time.perf_counter() - t0) / ITERS)
+        want = sum(expected[i % FRAMES] for i in range(ITERS)) % (1 << 32)
+        assert total == want, "burst checksum mismatch"
     return 1.0 / best
 
 

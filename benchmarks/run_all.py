@@ -107,7 +107,7 @@ def main():
 
             @functools.partial(jax.jit, static_argnames=("nc", "ty", "tx"))
             def pk_sum(payload2d, base_rows, meta, *, nc, ty, tx):
-                vals = PK._unpack_blocks_pallas.__wrapped__(
+                vals = PK._unpack_blocks_pallas_v2.__wrapped__(
                     payload2d, base_rows, meta, num_chunks=nc, interpret=False
                 )
                 im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
