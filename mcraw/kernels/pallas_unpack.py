@@ -465,6 +465,59 @@ def decode_modern_pallas(
     return img[: plan.height, : plan.width]
 
 
+def stack_chunked(plans: list) -> tuple:
+    """Concatenate same-geometry frames into one kernel launch.
+
+    The kernel's grid is just chunks-at-absolute-offsets, so a batch of F
+    frames is a single launch with F x num_chunks chunks whose base rows and
+    word offsets are shifted by each frame's payload position. Returns
+    (payload2d, base_rows, meta, num_chunks_total, blocks_per_frame).
+    """
+    chunked = [prepare_chunked(p) for p in plans]
+    nc = chunked[0][3]
+    n = chunked[0][4]
+    if any(c[3] != nc or c[4] != n for c in chunked):
+        raise ValueError("frames in a batch must share geometry")
+
+    row_starts = []
+    total_rows = 0
+    for p2d, *_ in chunked:
+        row_starts.append(total_rows)
+        total_rows += p2d.shape[0]
+    payload2d = np.concatenate([c[0] for c in chunked], axis=0)
+
+    base_rows = np.concatenate(
+        [c[1] + rs for c, rs in zip(chunked, row_starts)]
+    ).astype(np.int32)
+    metas = []
+    for c, rs in zip(chunked, row_starts):
+        m = c[2].copy()
+        m[:, 0] += rs * 128  # word offsets shift with the payload rows
+        metas.append(m)
+    meta = np.concatenate(metas, axis=0)
+    return payload2d, base_rows, meta, nc * len(plans), n
+
+
+def decode_modern_pallas_batch(plans: list, interpret: bool = False):
+    """(F, H, W) uint16 from same-geometry ModernPlans in ONE kernel launch."""
+    payload2d, base_rows, meta, num_chunks, n = stack_chunked(plans)
+    p = plans[0]
+    b = meta.shape[2]
+    vals = _unpack_blocks_pallas_v2(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        interpret=interpret,
+    )
+    per_frame = num_chunks // len(plans) * b
+    vals = vals.reshape(len(plans), per_frame, 64)[:, :n]
+    img = jax.vmap(
+        lambda v: _deinterleave_packed.__wrapped__(v, p.tiles_y, p.tiles_x)
+    )(vals)
+    return img[:, : p.height, : p.width]
+
+
 @functools.partial(jax.jit, static_argnames=("tiles_y", "tiles_x"))
 def _deinterleave_packed(vals: jnp.ndarray, tiles_y: int, tiles_x: int):
     """Bayer de-interleave via int32 packing (refs already added).

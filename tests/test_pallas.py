@@ -67,3 +67,19 @@ class TestLegacyPallas:
         payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
         out = np.asarray(PL.decode_legacy_pallas(payload, 1000, 24, interpret=True))
         assert np.array_equal(out, img)
+
+
+def test_pallas_batched_decode(rng):
+    """Multi-frame single-launch decode (stacked chunks)."""
+    from mcraw.kernels import unpack as U
+    from mcraw.kernels import pallas_unpack as PK
+
+    imgs, plans = [], []
+    for _ in range(3):
+        img = rng.integers(0, 4096, size=(16, 256), dtype=np.uint16)
+        imgs.append(img)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        plans.append(U.prepare_modern(payload, 256, 16))
+    out = np.asarray(PK.decode_modern_pallas_batch(plans, interpret=True))
+    for i in range(3):
+        assert np.array_equal(out[i], imgs[i])
