@@ -25,7 +25,7 @@ import numpy as np
 
 H, W = 3072, 4096
 FRAMES = 4
-ITERS = 30
+ITERS = 90
 
 
 def make_frames():
@@ -64,14 +64,14 @@ def bench_tpu(imgs, payloads, use_pallas=None):
     if use_pallas is None:
         use_pallas = any(d.platform != "cpu" for d in jax.devices())
     if use_pallas:
-        chunked = [PK.prepare_chunked(pl) for pl in plans]
+        chunked = [PK.prepare_chunked_v4(pl) for pl in plans]
         num_chunks = chunked[0][3]
         args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
         ty, tx = plans[0].tiles_y, plans[0].tiles_x
 
         @functools.partial(jax.jit, static_argnames=("num_chunks", "ty", "tx"))
         def step(payload2d, base_rows, meta, *, num_chunks, ty, tx):
-            vals = PK._unpack_blocks_pallas_v2.__wrapped__(
+            vals = PK._unpack_blocks_pallas_v4.__wrapped__(
                 payload2d, base_rows, meta,
                 num_chunks=num_chunks, interpret=False,
             )

@@ -102,12 +102,12 @@ def main():
 
         # Pallas path (TPU only)
         if on_tpu:
-            payload2d, base_rows, meta, num_chunks, _ = PK.prepare_chunked(plan)
+            payload2d, base_rows, meta, num_chunks, _ = PK.prepare_chunked_v4(plan)
             pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
             @functools.partial(jax.jit, static_argnames=("nc", "ty", "tx"))
             def pk_sum(payload2d, base_rows, meta, *, nc, ty, tx):
-                vals = PK._unpack_blocks_pallas_v2.__wrapped__(
+                vals = PK._unpack_blocks_pallas_v4.__wrapped__(
                     payload2d, base_rows, meta, num_chunks=nc, interpret=False
                 )
                 im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)

@@ -236,6 +236,195 @@ def _unpack_select_2d(
     return out
 
 
+SUBGROUPS = 4  # statically unrolled sub-groups per grid step
+
+
+def _unpack_kernel_v4(
+    base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS,) int32 subgroup rows
+    meta_ref,  # (1, 8, B) int32
+    tables_ref,  # (2*ncls, 128) int32
+    payload_ref,  # HBM (P32/128, 128) int32
+    out_ref,  # (B, 64) uint16
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,
+    rows: int = None,  # rows DMA'd per chunk
+    sub_rows: int = None,  # rows visible to one sub-group's matmul
+):
+    """v4: per-grid-step overhead amortized over SUBGROUPS sub-groups.
+
+    The span DMA covers the whole chunk; each sub-group's one-hot row fetch
+    only spans its local `sub_rows` window (dynamic row slice of scratch), so
+    MXU work stays linear in blocks instead of quadratic in chunk size."""
+    i = pl.program_id(0)
+
+    dma = pltpu.make_async_copy(
+        payload_ref.at[pl.ds(base_ref[i * SUBGROUPS], rows), :],
+        scratch_ref,
+        sems,
+    )
+    dma.start()
+
+    b = meta_ref.shape[2]
+    sg = b // SUBGROUPS
+    chunk_row0 = base_ref[i * SUBGROUPS]
+    meta = meta_ref[0]
+    ncls = len(T.MODERN_CLASSES)
+
+    dma.wait()
+    span = scratch_ref[:]
+
+    sub_vals = []
+    for j in range(SUBGROUPS):
+        sub_row0 = base_ref[i * SUBGROUPS + j]
+        local = jax.lax.dynamic_slice(
+            span, (sub_row0 - chunk_row0, 0), (sub_rows, 128)
+        )
+        offs_col = jnp.transpose(meta[0:1, j * sg : (j + 1) * sg], (1, 0))
+        cls_col = jnp.transpose(meta[1:2, j * sg : (j + 1) * sg], (1, 0))
+        refs_col = jnp.transpose(meta[2:3, j * sg : (j + 1) * sg], (1, 0))
+        rel = offs_col - sub_row0 * 128
+        q = rel >> 7
+
+        cls_ids = jax.lax.broadcasted_iota(jnp.int32, (sg, ncls), 1)
+        oh_cls = (cls_ids == cls_col).astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        t0f = jnp.dot(
+            oh_cls, tables_ref[0:ncls, :].astype(jnp.float32),
+            precision=hi, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        t1f = jnp.dot(
+            oh_cls, tables_ref[ncls : 2 * ncls, :].astype(jnp.float32),
+            precision=hi, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
+        planes = jnp.concatenate(
+            [
+                (jax.lax.shift_right_logical(local, 8 * k) & 0xFF).astype(
+                    jnp.bfloat16
+                )
+                for k in range(4)
+            ],
+            axis=1,
+        )  # (sub_rows, 512)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sg, sub_rows), 1)
+
+        def pick(oh):
+            p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(
+                jnp.int32
+            )
+            return (
+                p[:, 0:128]
+                | (p[:, 128:256] << 8)
+                | (p[:, 256:384] << 16)
+                | (p[:, 384:512] << 24)
+            )
+
+        row0 = pick((row_ids == q).astype(jnp.bfloat16))
+        row1 = pick((row_ids == q + 1).astype(jnp.bfloat16))
+
+        def fields(desc):
+            pos = desc & 127
+            rsh = (desc >> 7) & 7
+            mask = (1 << ((desc >> 10) & 31)) - 1
+            lsh = (desc >> 15) & 15
+            widx = rel + (pos >> 2) - (q << 7)
+            in0 = widx < 128
+            w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
+            w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
+            word = jnp.where(in0, w0, w1)
+            byt = jax.lax.shift_right_logical(word, 8 * (pos & 3)) & 0xFF
+            return ((byt >> rsh) & mask) << lsh
+
+        fa = fields(t0f)
+        fb = fields(t1f)
+        vals = fa[:, 0:64] | fa[:, 64:128] | fb[:, 0:64]
+        sub_vals.append(((vals + refs_col) & 0xFFFF).astype(jnp.uint16))
+
+    out_ref[:] = jnp.concatenate(sub_vals, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
+def _unpack_blocks_pallas_v4(
+    payload2d: jnp.ndarray,
+    base_rows: jnp.ndarray,  # (num_chunks * SUBGROUPS,) subgroup base rows
+    meta: jnp.ndarray,  # (num_chunks, 8, B)
+    *,
+    num_chunks: int,
+    interpret: bool = False,
+):
+    b = meta.shape[2]
+    sg = b // SUBGROUPS
+    sub_rows = _span_rows(sg)
+    rows = (b * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows += (-rows) % 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    tables = jnp.asarray(_MODERN_TABLES.reshape(-1, 128))
+    return pl.pallas_call(
+        functools.partial(_unpack_kernel_v4, rows=rows, sub_rows=sub_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 64), jnp.uint16),
+        interpret=interpret,
+    )(base_rows, meta, tables, payload2d)
+
+
+def prepare_chunked_v4(plan: U.ModernPlan, blocks_per_chunk: int = 2048):
+    """Chunk layout for the v4 kernel: per-SUBGROUP base rows."""
+    n = len(plan.offsets)
+    b = blocks_per_chunk
+    num_chunks = max(1, -(-n // b))
+    pad_n = num_chunks * b
+
+    offs_w = np.zeros(pad_n, dtype=np.int32)
+    offs_w[:n] = plan.offsets // 4
+    offs_w[n:] = offs_w[n - 1] if n else 0
+    cls = np.zeros(pad_n, dtype=np.int32)
+    cls[:n] = plan.cls
+    refs = np.zeros(pad_n, dtype=np.int32)
+    refs[:n] = plan.refs
+
+    sg = b // SUBGROUPS
+    base_rows = (
+        offs_w.reshape(num_chunks * SUBGROUPS, sg)[:, 0] // 128
+    ).astype(np.int32)
+
+    meta = np.zeros((num_chunks, 8, b), dtype=np.int32)
+    meta[:, 0] = offs_w.reshape(num_chunks, b)
+    meta[:, 1] = cls.reshape(num_chunks, b)
+    meta[:, 2] = refs.reshape(num_chunks, b)
+
+    rows_per_chunk = (b * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows_per_chunk += (-rows_per_chunk) % 8
+    pay = plan.payload
+    rows_needed = int(base_rows[-SUBGROUPS]) + rows_per_chunk
+    total = max(rows_needed * 512, len(pay))
+    total += (-total) % 512
+    if len(pay) >= total:
+        padded = pay[: len(pay) - (len(pay) % 512)]
+    else:
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[: len(pay)] = pay
+    payload2d = np.ascontiguousarray(padded).view("<i4").reshape(-1, 128)
+    return payload2d, base_rows, meta, num_chunks, n
+
+
 def _unpack_kernel_v2(
     base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row
     meta_ref,  # (1, 8, B) int32: row 0 = word offsets, 1 = class, 2 = refs
@@ -453,8 +642,8 @@ def decode_modern_pallas(
 ):
     """Full modern decode with the Pallas unpack kernel + XLA epilogue."""
     plan = U.prepare_modern(payload, width, height)
-    payload2d, base_rows, meta, num_chunks, n = prepare_chunked(plan)
-    vals = _unpack_blocks_pallas_v2(
+    payload2d, base_rows, meta, num_chunks, n = prepare_chunked_v4(plan)
+    vals = _unpack_blocks_pallas_v4(
         jnp.asarray(payload2d),
         jnp.asarray(base_rows),
         jnp.asarray(meta),
@@ -473,7 +662,7 @@ def stack_chunked(plans: list) -> tuple:
     word offsets are shifted by each frame's payload position. Returns
     (payload2d, base_rows, meta, num_chunks_total, blocks_per_frame).
     """
-    chunked = [prepare_chunked(p) for p in plans]
+    chunked = [prepare_chunked_v4(p) for p in plans]
     nc = chunked[0][3]
     n = chunked[0][4]
     if any(c[3] != nc or c[4] != n for c in chunked):
@@ -503,7 +692,7 @@ def decode_modern_pallas_batch(plans: list, interpret: bool = False):
     payload2d, base_rows, meta, num_chunks, n = stack_chunked(plans)
     p = plans[0]
     b = meta.shape[2]
-    vals = _unpack_blocks_pallas_v2(
+    vals = _unpack_blocks_pallas_v4(
         jnp.asarray(payload2d),
         jnp.asarray(base_rows),
         jnp.asarray(meta),

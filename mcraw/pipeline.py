@@ -147,8 +147,8 @@ class Decoder:
             from .kernels import pallas_legacy as PL
 
             if modern:
-                payload2d, base_rows, pmeta, num_chunks, n = PK.prepare_chunked(plan)
-                vals = PK._unpack_blocks_pallas_v2(
+                payload2d, base_rows, pmeta, num_chunks, n = PK.prepare_chunked_v4(plan)
+                vals = PK._unpack_blocks_pallas_v4(
                     jnp.asarray(payload2d),
                     jnp.asarray(base_rows),
                     jnp.asarray(pmeta),

@@ -83,3 +83,13 @@ def test_pallas_batched_decode(rng):
     out = np.asarray(PK.decode_modern_pallas_batch(plans, interpret=True))
     for i in range(3):
         assert np.array_equal(out[i], imgs[i])
+
+
+def test_pallas_true_multichunk_v4(rng):
+    """Frame large enough to span several v4 chunks (regression: a shadowed
+    wrapper once decoded chunk 0 correctly and corrupted the rest)."""
+    h, w = 128, 4096  # 8192 blocks = 4 chunks at 2048 blocks/chunk
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    out = np.asarray(PK.decode_modern_pallas(payload, w, h, interpret=True))
+    assert np.array_equal(out, img)
