@@ -77,100 +77,6 @@ def _span_rows(blocks_per_chunk: int) -> int:
     return rows + (-rows) % 8
 
 
-def _unpack_kernel(
-    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row
-    meta_ref,  # (1, 8, B) int32: row 0 = word offsets, 1 = class, 2 = refs
-    payload_ref,  # HBM (P32/128, 128) int32
-    out_ref,  # (B, 64) uint16
-    scratch_ref,  # VMEM (2, _ROWS, 128) int32 — double-buffered spans
-    sems,  # DMA semaphores (2,)
-    rows: int = None,
-):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
-    base_row = base_ref[i]
-
-    def span_dma(chunk, dst_slot):
-        return pltpu.make_async_copy(
-            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
-            scratch_ref.at[dst_slot],
-            sems.at[dst_slot],
-        )
-
-    # Warm-up: fetch chunk 0 on the first step; thereafter chunk i's span was
-    # prefetched by step i-1, so only start i+1's fetch before computing.
-    @pl.when(i == 0)
-    def _():
-        span_dma(0, 0).start()
-
-    @pl.when(i + 1 < n)
-    def _():
-        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-    b = meta_ref.shape[2]
-    meta = meta_ref[0]  # (8, B)
-    offs_col = jnp.transpose(meta[0:1, :], (1, 0))  # (B, 1)
-    rel = offs_col - base_row * 128  # word offset within scratch
-    q = rel >> 7  # scratch row of window start
-    s = rel & 127  # word rotation within the row pair
-
-    # One-hot row selectors. The matmul operand is split into byte planes:
-    # bytes (<=255) and one-hot rows are exact in bfloat16, each output is a
-    # single product, and accumulation is fp32 — so the MXU pass is exact
-    # even at default precision.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
-    oh0 = (row_ids == q).astype(jnp.bfloat16)  # (B, R)
-    oh1 = (row_ids == q + 1).astype(jnp.bfloat16)
-
-    span_dma(i, slot).wait()
-
-    span = scratch_ref[slot]
-    planes = jnp.concatenate(
-        [
-            (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(jnp.bfloat16)
-            for k in range(4)
-        ],
-        axis=1,
-    )  # (R, 512)
-
-    def pick(oh):
-        p = jnp.dot(oh, planes, preferred_element_type=jnp.float32)
-        p = p.astype(jnp.int32)  # (B, 512)
-        return (
-            p[:, 0:128]
-            | (p[:, 128:256] << 8)
-            | (p[:, 256:384] << 16)
-            | (p[:, 384:512] << 24)
-        )
-
-    row0 = pick(oh0)  # (B, 128) words q
-    row1 = pick(oh1)  # (B, 128) words q+1
-
-    # Fused rotate + word->byte spread: byte lane j reads word s + j//4.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
-
-    def rotate(step):
-        idx = s + (lane >> step)  # (B, 128)
-        in0 = idx < 128
-        w0 = jnp.take_along_axis(row0, jnp.where(in0, idx, 0), axis=1)
-        w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, idx - 128), axis=1)
-        return jnp.where(in0, w0, w1)
-
-    bytes_ = jax.lax.shift_right_logical(rotate(2), 8 * (lane & 3)) & 0xFF
-    # Class 16 is a halfword copy; a second rotation at halfword granularity
-    # avoids the even/odd lane de-interleave Mosaic can't express.
-    half16 = (
-        jax.lax.shift_right_logical(rotate(1), 16 * (lane & 1)) & 0xFFFF
-    )[:, :64]
-
-    cls_col = jnp.transpose(meta[1:2, :], (1, 0))  # (B, 1)
-    vals = _unpack_select_2d(bytes_, half16, cls_col)
-
-    refs_col = jnp.transpose(meta[2:3, :], (1, 0))
-    out_ref[:] = ((vals + refs_col) & 0xFFFF).astype(jnp.uint16)
-
-
 # Kernel-safe structured unpack: Mosaic cannot lower >2D reshapes, so these
 # variants use only 2D lane slices + concatenates. Semantics are pinned to
 # structured.py (and thus to the tables / C++ reference) by tests.
@@ -561,40 +467,6 @@ def _unpack_blocks_pallas_v2(
     )(base_rows, meta, tables, payload2d)
 
 
-@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
-def _unpack_blocks_pallas(
-    payload2d: jnp.ndarray,  # (rows, 128) int32
-    base_rows: jnp.ndarray,  # (num_chunks,) int32
-    meta: jnp.ndarray,  # (num_chunks, 8, B) int32: offsets/class/refs rows
-    *,
-    num_chunks: int,
-    interpret: bool = False,
-):
-    b = meta.shape[2]
-    rows = _span_rows(b)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # payload stays in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_unpack_kernel, rows=rows),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 64), jnp.uint16),
-        interpret=interpret,
-    )(base_rows, meta, payload2d)
 
 
 def prepare_chunked(plan: U.ModernPlan):
