@@ -151,9 +151,11 @@ def main():
     imgs, payloads = make_frames()
     try:
         fps = bench_tpu(imgs, payloads)
-    except Exception:
+    except Exception as e:
         # Pallas path unavailable (e.g. Mosaic lowering change): fall back to
-        # the pure-XLA decode so the bench always reports.
+        # the pure-XLA decode so the bench always reports — but say so.
+        print(f"warning: pallas path failed ({e!r}); falling back to XLA",
+              file=sys.stderr)
         fps = bench_tpu(imgs, payloads, use_pallas=False)
     ref_fps = bench_reference_cpu(payloads)
     vs = fps / ref_fps if ref_fps else fps / 720.0

@@ -177,14 +177,11 @@ def _unpack_kernel_v4(
     ncls = len(T.MODERN_CLASSES)
 
     dma.wait()
-    span = scratch_ref[:]
 
     sub_vals = []
     for j in range(SUBGROUPS):
         sub_row0 = base_ref[i * SUBGROUPS + j]
-        local = jax.lax.dynamic_slice(
-            span, (sub_row0 - chunk_row0, 0), (sub_rows, 128)
-        )
+        local = scratch_ref[pl.ds(sub_row0 - chunk_row0, sub_rows), :]
         offs_col = jnp.transpose(meta[0:1, j * sg : (j + 1) * sg], (1, 0))
         cls_col = jnp.transpose(meta[1:2, j * sg : (j + 1) * sg], (1, 0))
         refs_col = jnp.transpose(meta[2:3, j * sg : (j + 1) * sg], (1, 0))
