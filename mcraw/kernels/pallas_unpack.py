@@ -162,13 +162,23 @@ def _unpack_kernel_v4(
     only spans its local `sub_rows` window (dynamic row slice of scratch), so
     MXU work stays linear in blocks instead of quadratic in chunk size."""
     i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
 
-    dma = pltpu.make_async_copy(
-        payload_ref.at[pl.ds(base_ref[i * SUBGROUPS], rows), :],
-        scratch_ref,
-        sems,
-    )
-    dma.start()
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk * SUBGROUPS], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     b = meta_ref.shape[2]
     sg = b // SUBGROUPS
@@ -176,12 +186,12 @@ def _unpack_kernel_v4(
     meta = meta_ref[0]
     ncls = len(T.MODERN_CLASSES)
 
-    dma.wait()
+    span_dma(i, slot).wait()
 
     sub_vals = []
     for j in range(SUBGROUPS):
         sub_row0 = base_ref[i * SUBGROUPS + j]
-        local = scratch_ref[pl.ds(sub_row0 - chunk_row0, sub_rows), :]
+        local = scratch_ref[slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :]
         offs_col = jnp.transpose(meta[0:1, j * sg : (j + 1) * sg], (1, 0))
         cls_col = jnp.transpose(meta[1:2, j * sg : (j + 1) * sg], (1, 0))
         refs_col = jnp.transpose(meta[2:3, j * sg : (j + 1) * sg], (1, 0))
@@ -275,8 +285,8 @@ def _unpack_blocks_pallas_v4(
             (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     tables = jnp.asarray(_MODERN_TABLES.reshape(-1, 128))
