@@ -73,13 +73,31 @@ def batched_decoder(plan, modern: bool):
     return _batched_legacy(plan.padded_width, plan.width, plan.height)
 
 
-def decode_frames_batched(plans: list, modern: bool, mesh: Mesh | None = None):
+def decode_frames_batched(
+    plans: list, modern: bool, mesh: Mesh | None = None, kernel: str = "auto"
+):
     """Decode a batch of same-geometry frames in one device program.
 
     With a mesh, inputs are placed with frame-batch sharding over the first
     mesh axis and jit partitions the whole decode accordingly (SPMD, no
-    collectives needed — frames are independent).
+    collectives needed — frames are independent). On a single accelerator,
+    the modern codec uses the fused Pallas kernel (frames concatenated into
+    one launch); the XLA path covers CPU and sharded meshes.
     """
+    use_pallas = (
+        kernel == "pallas"
+        or (
+            kernel == "auto"
+            and mesh is None
+            and modern
+            and jax.devices()[0].platform not in ("cpu",)
+        )
+    )
+    if use_pallas:
+        from .kernels import pallas_unpack as PK
+
+        return PK.decode_modern_pallas_batch(plans)
+
     payloads, offsets, cls, refs = stack_plans(plans, modern)
     fn = batched_decoder(plans[0], modern)
 

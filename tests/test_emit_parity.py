@@ -120,3 +120,10 @@ def test_awkward_rational_values(tmp_path, rng, ref_example):
     fm["asShotNeutral"] = [0.123456, 1.0, 0.987654]
     writer.add_frame(1, E.encode_modern(img), fm)
     _assert_tree_equal(*_run_both(tmp_path, writer.finish(), ref_example))
+
+
+def test_three_channel_audio_header_only_wav(tmp_path, rng, ref_example):
+    """Channel counts other than 1/2 produce a header-only WAV
+    (example.cpp:37-50 writes no samples) — byte parity must hold."""
+    blob = _container(rng, frames=1, channels=3)
+    _assert_tree_equal(*_run_both(tmp_path, blob, ref_example))
