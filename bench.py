@@ -66,19 +66,24 @@ def bench_tpu(imgs, payloads, use_pallas=None):
     if use_pallas:
         chunked = [PK.prepare_chunked_v4(pl) for pl in plans]
         num_chunks = chunked[0][3]
+        nblk = chunked[0][4]
         args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
         ty, tx = plans[0].tiles_y, plans[0].tiles_x
 
-        @functools.partial(jax.jit, static_argnames=("num_chunks", "ty", "tx"))
-        def step(payload2d, base_rows, meta, *, num_chunks, ty, tx):
+        @functools.partial(
+            jax.jit, static_argnames=("num_chunks", "ty", "tx", "nb")
+        )
+        def step(payload2d, base_rows, meta, *, num_chunks, ty, tx, nb):
             vals = PK._unpack_blocks_pallas_v4.__wrapped__(
                 payload2d, base_rows, meta,
                 num_chunks=num_chunks, interpret=False,
-            )
+            )[:nb]
             im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
             return im[:H, :W].astype(jnp.uint32).sum()
 
-        run = lambda i: step(*args[i % FRAMES], num_chunks=num_chunks, ty=ty, tx=tx)
+        run = lambda i: step(
+            *args[i % FRAMES], num_chunks=num_chunks, ty=ty, tx=tx, nb=nblk
+        )
     else:
         args = [
             tuple(

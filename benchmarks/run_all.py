@@ -102,18 +102,20 @@ def main():
 
         # Pallas path (TPU only)
         if on_tpu:
-            payload2d, base_rows, meta, num_chunks, _ = PK.prepare_chunked_v4(plan)
+            payload2d, base_rows, meta, num_chunks, nblk = PK.prepare_chunked_v4(plan)
             pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
-            @functools.partial(jax.jit, static_argnames=("nc", "ty", "tx"))
-            def pk_sum(payload2d, base_rows, meta, *, nc, ty, tx):
+            @functools.partial(jax.jit, static_argnames=("nc", "ty", "tx", "nb"))
+            def pk_sum(payload2d, base_rows, meta, *, nc, ty, tx, nb):
                 vals = PK._unpack_blocks_pallas_v4.__wrapped__(
                     payload2d, base_rows, meta, num_chunks=nc, interpret=False
-                )
+                )[:nb]
                 im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
                 return im[:h, :w].astype(jnp.uint32).sum()
 
-            runp = lambda: pk_sum(*pa, nc=num_chunks, ty=plan.tiles_y, tx=plan.tiles_x)
+            runp = lambda: pk_sum(
+                *pa, nc=num_chunks, ty=plan.tiles_y, tx=plan.tiles_x, nb=nblk
+            )
             assert int(jax.block_until_ready(runp())) == want
             dt = timeit_dev(runp, n=50)
             cfg["pallas_ms"] = round(dt * 1e3, 3)
