@@ -164,6 +164,28 @@ def main():
     dt = timeit_dev(run)
     cfg["xla_ms"] = round(dt * 1e3, 3)
     cfg["xla_fps"] = round(1 / dt, 1)
+
+    if on_tpu:
+        from mcraw.kernels import pallas_legacy as PL
+
+        payload2d, base_rows, meta, num_chunks, nblk = PL.prepare_chunked_legacy(
+            plan
+        )
+        pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
+
+        @functools.partial(jax.jit, static_argnames=("nc", "nb"))
+        def leg_pk(payload2d, base_rows, meta, *, nc, nb):
+            v = PL._unpack_legacy_pallas.__wrapped__(
+                payload2d, base_rows, meta, num_chunks=nc, interpret=False
+            )[:nb]
+            im = PL._interleave_packed.__wrapped__(v, h, plan.padded_width)
+            return im[:, :w].astype(jnp.uint32).sum()
+
+        runp = lambda: leg_pk(*pa, nc=num_chunks, nb=nblk)
+        assert int(jax.block_until_ready(runp())) == want
+        dt = timeit_dev(runp, n=50)
+        cfg["pallas_ms"] = round(dt * 1e3, 3)
+        cfg["pallas_fps"] = round(1 / dt, 1)
     try:
         from tools import ref_shim
 

@@ -23,4 +23,10 @@ def __getattr__(name):
         from .pipeline import Decoder
 
         return Decoder
+    if name in ("decode_modern", "decode_legacy"):
+        # NumPy reference codecs — the direct analogues of raw::Decode /
+        # raw::DecodeLegacy (RawData.hpp:25-37).
+        from .kernels import numpy_ref
+
+        return getattr(numpy_ref, name)
     raise AttributeError(name)
