@@ -17,6 +17,7 @@ skipped (the EOF index makes random access O(1), Decoder.cpp:237-264).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -57,6 +58,7 @@ def export_clip(
     container_meta = decoder.container_metadata
 
     stats = ExportStats()
+    stats_lock = threading.Lock()  # write() runs on up to `writers` threads
     t0 = time.perf_counter()
 
     todo: list[tuple[int, int, str]] = []
@@ -81,8 +83,9 @@ def export_clip(
     def write(item):
         i, ts, path, img, meta, err = item
         if err is not None:
-            stats.frames_failed += 1
-            stats.errors.append((ts, str(err)))
+            with stats_lock:
+                stats.frames_failed += 1
+                stats.errors.append((ts, str(err)))
             return
         arr = np.asarray(img)  # D2H sync happens here, off the main thread
         blob = dng_bytes(arr, meta, container_meta)
@@ -90,7 +93,8 @@ def export_clip(
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
-        stats.frames_done += 1
+        with stats_lock:
+            stats.frames_done += 1
         if progress is not None:
             progress(i, path)
 

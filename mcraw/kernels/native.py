@@ -27,15 +27,24 @@ _lib_tried = False
 
 
 def _find_ext() -> Path | None:
-    root = Path(__file__).resolve().parents[2] / "native"
-    for name in ("libmcraw_host.so",):
-        p = root / name
-        if p.exists():
-            return p
     env = os.environ.get("MCRAW_NATIVE_LIB")
     if env and Path(env).exists():
         return Path(env)
-    return None
+    root = Path(__file__).resolve().parents[2] / "native"
+    try:
+        # Stamp-checked: rebuilds when mcraw_host.cpp changed, no-op
+        # otherwise. Keeps a stale .so from being silently preferred.
+        import sys
+
+        sys.path.insert(0, str(root.parent))
+        try:
+            from native.build import build
+        finally:
+            sys.path.pop(0)
+        return build()
+    except Exception:
+        p = root / "libmcraw_host.so"
+        return p if p.exists() else None
 
 
 def get_lib():

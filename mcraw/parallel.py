@@ -84,12 +84,11 @@ def decode_frames_batched(
     the modern codec uses the fused Pallas kernel (frames concatenated into
     one launch); the XLA path covers CPU and sharded meshes.
     """
-    use_pallas = (
+    use_pallas = modern and (
         kernel == "pallas"
         or (
             kernel == "auto"
             and mesh is None
-            and modern
             and jax.devices()[0].platform not in ("cpu",)
         )
     )

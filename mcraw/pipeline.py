@@ -213,7 +213,12 @@ class Decoder:
             moderns.append(modern)
         if len(set(moderns)) > 1:
             raise IOException("mixed codecs in one batch")
-        return decode_frames_batched(plans, moderns[0], mesh=mesh), metas
+        return (
+            decode_frames_batched(
+                plans, moderns[0], mesh=mesh, kernel=self._kernel
+            ),
+            metas,
+        )
 
     # -- audio -----------------------------------------------------------------
 

@@ -22,8 +22,10 @@ def build(force: bool = False) -> Path:
     key = hashlib.sha256(SRC.read_bytes()).hexdigest()
     if not force and OUT.exists() and STAMP.exists() and STAMP.read_text() == key:
         return OUT
+    # Portable baseline (not -march=native): the .so may be built on one
+    # host and loaded on another; SIGILL at call time is worse than a few %.
     cmd = [
-        "g++", "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
+        "g++", "-std=c++17", "-O3", "-fPIC", "-shared",
         "-Wall", "-Werror",
         "-o", str(OUT), str(SRC),
     ]
