@@ -64,25 +64,24 @@ def bench_tpu(imgs, payloads, use_pallas=None):
     if use_pallas is None:
         use_pallas = any(d.platform != "cpu" for d in jax.devices())
     if use_pallas:
-        chunked = [PK.prepare_chunked_v4(pl) for pl in plans]
-        num_chunks = chunked[0][3]
-        nblk = chunked[0][4]
+        # v5: fused de-interleave — the kernel writes image rows directly.
+        chunked = [PK.prepare_chunked_v5(pl) for pl in plans]
+        num_chunks, txp, tr_sub = chunked[0][3:]
         args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
-        ty, tx = plans[0].tiles_y, plans[0].tiles_x
 
         @functools.partial(
-            jax.jit, static_argnames=("num_chunks", "ty", "tx", "nb")
+            jax.jit, static_argnames=("num_chunks", "txp", "tr_sub")
         )
-        def step(payload2d, base_rows, meta, *, num_chunks, ty, tx, nb):
-            vals = PK._unpack_blocks_pallas_v4.__wrapped__(
+        def step(payload2d, base_rows, meta, *, num_chunks, txp, tr_sub):
+            img3 = PK._unpack_image_pallas_v5.__wrapped__(
                 payload2d, base_rows, meta,
-                num_chunks=num_chunks, interpret=False,
-            )[:nb]
-            im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
-            return im[:H, :W].astype(jnp.uint32).sum()
+                num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+            )
+            im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
+            return im.astype(jnp.uint32).sum()
 
         run = lambda i: step(
-            *args[i % FRAMES], num_chunks=num_chunks, ty=ty, tx=tx, nb=nblk
+            *args[i % FRAMES], num_chunks=num_chunks, txp=txp, tr_sub=tr_sub
         )
     else:
         args = [

@@ -24,6 +24,19 @@ from .pipeline import Decoder
 
 
 def _cmd_decode(args: argparse.Namespace) -> int:
+    if getattr(args, "verbose", False):
+        import logging
+
+        logging.basicConfig(
+            level=logging.INFO, stream=sys.stderr, format="%(message)s"
+        )
+    from .observe import device_trace
+
+    with device_trace(getattr(args, "trace_dir", None)):
+        return _decode_body(args)
+
+
+def _decode_body(args: argparse.Namespace) -> int:
     try:
         d = Decoder(args.input, backend=args.backend)
         frames = d.frames
@@ -64,6 +77,9 @@ def _cmd_decode(args: argparse.Namespace) -> int:
                 f"Exported {stats.frames_done} frames in "
                 f"{stats.wall_seconds:.2f}s ({stats.fps:.1f} fps)"
             )
+            if getattr(args, "verbose", False):
+                print(f"stage timing: {stats.stage_timing}", file=sys.stderr)
+                print(f"throughput: {stats.throughput}", file=sys.stderr)
             return 0
 
         if args.batch and d.backend != "jax":
@@ -72,13 +88,17 @@ def _cmd_decode(args: argparse.Namespace) -> int:
             args.batch = False
 
         if args.batch and end_frame > 0:
-            ts = frames[:end_frame]
-            imgs, metas = d.decode_batch(ts)
-            imgs = np.asarray(imgs)
-            for i in range(end_frame):
-                path = os.path.join(outdir, f"frame_{i:06d}.dng")
-                print(f"Writing {path}")
-                write_dng(path, imgs[i], metas[i], container_metadata)
+            # Chunked launches bound HBM/host memory on long clips.
+            i = 0
+            for imgs, metas in d.decode_batch_iter(
+                frames[:end_frame], chunk_frames=args.batch_frames
+            ):
+                imgs = np.asarray(imgs)
+                for k in range(imgs.shape[0]):
+                    path = os.path.join(outdir, f"frame_{i:06d}.dng")
+                    print(f"Writing {path}")
+                    write_dng(path, imgs[k], metas[k], container_metadata)
+                    i += 1
         else:
             for i in range(end_frame):
                 path = os.path.join(outdir, f"frame_{i:06d}.dng")
@@ -180,11 +200,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output-dir", default=".")
     p.add_argument("--backend", default="auto", choices=("auto", "jax", "numpy"))
     p.add_argument("--batch", action="store_true",
-                   help="decode all frames in one batched device program")
+                   help="decode frames in batched device programs")
+    p.add_argument("--batch-frames", type=int, default=16,
+                   help="frames per batched launch (bounds memory)")
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose DNG already exists")
     p.add_argument("--pipeline", action="store_true",
                    help="overlapped prepare/decode/write export pipeline")
+    p.add_argument("--verbose", action="store_true",
+                   help="structured logs + per-stage timings (stderr)")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace to this dir")
     p.set_defaults(fn=_cmd_decode)
 
     p = sub.add_parser("info", help="print container summary as JSON")

@@ -26,6 +26,7 @@ import numpy as np
 
 from .emit.dng import dng_bytes
 from .errors import MotionCamException
+from .observe import StageTimer, Throughput, log_event
 from .pipeline import Decoder
 
 
@@ -36,6 +37,8 @@ class ExportStats:
     frames_failed: int = 0
     errors: list = field(default_factory=list)
     wall_seconds: float = 0.0
+    stage_timing: dict = field(default_factory=dict)
+    throughput: dict = field(default_factory=dict)
 
     @property
     def fps(self) -> float:
@@ -59,7 +62,17 @@ def export_clip(
 
     stats = ExportStats()
     stats_lock = threading.Lock()  # write() runs on up to `writers` threads
+    timer = StageTimer()
+    thr = Throughput()
+    if decoder.timer is None:
+        decoder.timer = timer  # parse/unpack stages attribute here
     t0 = time.perf_counter()
+    log_event(
+        "export_clip_start",
+        output_dir=output_dir,
+        frames=len(timestamps),
+        backend=decoder.backend,
+    )
 
     todo: list[tuple[int, int, str]] = []
     for i, ts in enumerate(timestamps):
@@ -87,14 +100,16 @@ def export_clip(
                 stats.frames_failed += 1
                 stats.errors.append((ts, str(err)))
             return
-        arr = np.asarray(img)  # D2H sync happens here, off the main thread
-        blob = dng_bytes(arr, meta, container_meta)
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)
+        with timer.stage("emit"):
+            arr = np.asarray(img)  # D2H sync happens here, off the main thread
+            blob = dng_bytes(arr, meta, container_meta)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
         with stats_lock:
             stats.frames_done += 1
+            thr.add(frames=1, in_bytes=arr.nbytes, out_bytes=len(blob))
         if progress is not None:
             progress(i, path)
 
@@ -104,6 +119,19 @@ def export_clip(
         list(write_pool.map(write, prepared))
 
     stats.wall_seconds = time.perf_counter() - t0
+    stats.stage_timing = timer.summary()
+    stats.throughput = thr.summary()
+    if decoder.timer is timer:
+        decoder.timer = None
+    timer.log()
+    log_event(
+        "export_clip_done",
+        frames_done=stats.frames_done,
+        frames_failed=stats.frames_failed,
+        frames_skipped=stats.frames_skipped,
+        wall_seconds=round(stats.wall_seconds, 3),
+        **stats.throughput,
+    )
     return stats
 
 

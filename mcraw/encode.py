@@ -97,26 +97,42 @@ def _encode_value_stream(values: np.ndarray) -> tuple[bytes, np.ndarray, np.ndar
     return bytes(out), bits, refs
 
 
-def encode_modern(image: np.ndarray, encoded_width: int | None = None) -> bytes:
+def encode_modern(
+    image: np.ndarray,
+    encoded_width: int | None = None,
+    encoded_height: int | None = None,
+) -> bytes:
     """Encode an (H, W) uint16 plane as a compressionType-7 payload.
 
-    H must be a multiple of 4 (tile height); W is padded to encoded_width
-    (a multiple of 64, default: W rounded up) with edge-replicated columns.
+    W is padded to encoded_width (a multiple of 64, default: W rounded up)
+    with edge-replicated columns. encoded_height (default H) may exceed H
+    and need not be a multiple of 4: the decoder processes whole 4-row
+    tiles — ceil(encodedHeight/4) of them — and crops to `height` on output
+    (RawData.cpp:571-609; the reference itself *overruns* its caller's
+    height-sized buffer in that case, which is why differential tests for
+    these shapes go through ref_shim's over-allocated wrapper rather than
+    the reference example binary). Pad rows are edge-replicated.
     """
     image = np.asarray(image, dtype=np.uint16)
     h, w = image.shape
-    if h % 4 != 0:
-        raise MotionCamException("height must be a multiple of 4")
     if encoded_width is None:
         encoded_width = 64 * ((w + 63) // 64)
     if encoded_width % 64 != 0 or encoded_width < w:
         raise MotionCamException("bad encoded width")
+    if encoded_height is None:
+        encoded_height = h
+    if encoded_height < h:
+        raise MotionCamException("bad encoded height")
+    tile_rows = 4 * ((encoded_height + 3) // 4)
 
     if encoded_width != w:
         pad = np.repeat(image[:, -1:], encoded_width - w, axis=1)
         image = np.concatenate([image, pad], axis=1)
+    if tile_rows != h:
+        pad = np.repeat(image[-1:, :], tile_rows - h, axis=0)
+        image = np.concatenate([image, pad], axis=0)
 
-    tiles_y, tiles_x = h // 4, encoded_width // 64
+    tiles_y, tiles_x = tile_rows // 4, encoded_width // 64
     # Inverse of modern_deinterleave: (ty,h2,q,tx,k,c) <- image
     v = image.reshape(tiles_y, 2, 2, tiles_x, 32, 2)
     v = v.transpose(0, 3, 2, 5, 1, 4)  # (ty, tx, q, c, h2, k)
@@ -136,7 +152,9 @@ def encode_modern(image: np.ndarray, encoded_width: int | None = None) -> bytes:
 
     bits_off = 16 + len(main)
     refs_off = bits_off + 4 + len(bits_stream)
-    header = struct.pack("<IIII", encoded_width, h, bits_off, refs_off)
+    header = struct.pack(
+        "<IIII", encoded_width, encoded_height, bits_off, refs_off
+    )
     # The stream count is padded to a multiple of 64: DecodeMetadata
     # (RawData.cpp:476 vs :485-494) resizes to numBlocks but always decodes
     # whole 64-value groups, overflowing its vector otherwise — so valid

@@ -338,6 +338,388 @@ def prepare_chunked_v4(plan: U.ModernPlan, blocks_per_chunk: int = 2048):
     return payload2d, base_rows, meta, num_chunks, n
 
 
+# -----------------------------------------------------------------------------
+# v5: fused Bayer de-interleave — the kernel writes image rows directly.
+#
+# Key idea: the Bayer phase interleave (RawData.cpp:581-593) pairs block
+# 2p (even output columns) with block 2p+1 (odd columns); value j = h*32+k of
+# pair (tile, q) lands at image[4*ty + 2h + q, 64*tx + 2k + c]. So:
+#   - each kernel row processes one block PAIR with 128 lanes laid out as
+#     lane l = h*64 + 2k + c  ->  value h*32+k of block parity c. Lanes
+#     [0:64] are then 64 finished image pixels of row 4ty+q, lanes [64:128]
+#     of row 4ty+q+2 — the interleave costs nothing, it's the lane layout
+#     of the descriptor tables;
+#   - the host emits pair rows in (tile_row, q, tx) order, so each output
+#     image row is a CONTIGUOUS band of tiles_x kernel rows: the epilogue is
+#     a static sublane slice + store, no transpose, no XLA pass;
+#   - output is (rows, txp, 64) whose reshape to (rows, encodedWidth) is a
+#     free minor-dim collapse.
+# MXU row-fetch work also halves vs v4: one 2-row one-hot fetch now serves
+# 256 payload bytes (a pair) instead of 128 (a block).
+# -----------------------------------------------------------------------------
+
+TARGET_SG_V5 = 512  # aim ~512 blocks per subgroup (VMEM/latency sweet spot)
+
+
+def _packed_field_tables_v5() -> np.ndarray:
+    """(2*ncls, 384) int32 packed descriptors in v5 lane layout.
+
+    Array rows [0:ncls] describe even-parity lanes (c=0), rows [ncls:2*ncls]
+    odd-parity lanes; lane f*128 + l holds field f of value j(l) = 32*(l>>6)
+    + ((l&63)>>1) when (l&1) == parity, else 0 (mask 0 -> contributes 0).
+    """
+    ncls = len(T.MODERN_CLASSES)
+    mask_bits = np.zeros_like(T.MODERN_MSK)
+    nz = T.MODERN_MSK > 0
+    mask_bits[nz] = np.log2(T.MODERN_MSK[nz] + 1).astype(np.int32)
+    packed = (
+        T.MODERN_POS
+        | (T.MODERN_RSH << 7)
+        | (mask_bits << 10)
+        | (T.MODERN_LSH << 15)
+    )  # (ncls, 64, 3)
+    out = np.zeros((2, ncls, 3 * 128), dtype=np.int32)
+    for l in range(128):
+        h, m = l >> 6, l & 63
+        j, c = 32 * h + (m >> 1), m & 1
+        for f in range(3):
+            out[c, :, f * 128 + l] = packed[:, j, f]
+    return out.reshape(2 * ncls, 3 * 128)
+
+
+_MODERN_TABLES_V5 = _packed_field_tables_v5()
+
+
+def _unpack_kernel_v5(
+    base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS,) int32 subgroup rows
+    meta_ref,  # (1, 8, BP) int32 pair metadata (kernel-row order)
+    tables_ref,  # (2*ncls, 384) int32 v5 descriptors
+    payload_ref,  # HBM (P32/128, 128) int32
+    out_ref,  # (rows_chunk, txp, 64) uint16 — image rows
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,
+    rows: int = None,
+    sub_rows: int = None,
+    txp: int = None,
+    tr_sub: int = None,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk * SUBGROUPS], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    bp = meta_ref.shape[2]
+    sgp = bp // SUBGROUPS
+    chunk_row0 = base_ref[i * SUBGROUPS]
+    meta = meta_ref[0]
+    ncls = len(T.MODERN_CLASSES)
+    rows_per_sub = tr_sub * 4
+    hi = jax.lax.Precision.HIGHEST
+
+    span_dma(i, slot).wait()
+
+    c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
+
+    for j in range(SUBGROUPS):
+        sub_row0 = base_ref[i * SUBGROUPS + j]
+        local = scratch_ref[slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :]
+        sl = slice(j * sgp, (j + 1) * sgp)
+        offs_e = jnp.transpose(meta[0:1, sl], (1, 0))
+        offs_o = jnp.transpose(meta[1:2, sl], (1, 0))
+        cls_e = jnp.transpose(meta[2:3, sl], (1, 0))
+        cls_o = jnp.transpose(meta[3:4, sl], (1, 0))
+        refs_e = jnp.transpose(meta[4:5, sl], (1, 0))
+        refs_o = jnp.transpose(meta[5:6, sl], (1, 0))
+        rel_e = offs_e - sub_row0 * 128
+        rel_o = offs_o - sub_row0 * 128
+        q = rel_e >> 7
+
+        # Per-lane field descriptors: one-hot class rows pick each parity's
+        # table row; exact (descriptors < 2^19, fp32 HIGHEST matmul).
+        ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
+        desc = (
+            jnp.dot(
+                (ids == cls_e).astype(jnp.float32),
+                tables_ref[0:ncls, :].astype(jnp.float32),
+                precision=hi, preferred_element_type=jnp.float32,
+            )
+            + jnp.dot(
+                (ids == cls_o).astype(jnp.float32),
+                tables_ref[ncls : 2 * ncls, :].astype(jnp.float32),
+                precision=hi, preferred_element_type=jnp.float32,
+            )
+        ).astype(jnp.int32)  # (sgp, 384)
+
+        planes = jnp.concatenate(
+            [
+                (jax.lax.shift_right_logical(local, 8 * k) & 0xFF).astype(
+                    jnp.bfloat16
+                )
+                for k in range(4)
+            ],
+            axis=1,
+        )  # (sub_rows, 512)
+
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows), 1)
+
+        def pick(oh):
+            p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(
+                jnp.int32
+            )
+            return (
+                p[:, 0:128]
+                | (p[:, 128:256] << 8)
+                | (p[:, 256:384] << 16)
+                | (p[:, 384:512] << 24)
+            )
+
+        # A pair spans <= 64 words, so rows q, q+1 always cover both windows.
+        row0 = pick((row_ids == q).astype(jnp.bfloat16))
+        row1 = pick((row_ids == q + 1).astype(jnp.bfloat16))
+
+        rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (sgp, 128)
+
+        vals = None
+        for f in range(3):
+            d = desc[:, f * 128 : (f + 1) * 128]
+            pos = d & 127
+            rsh = (d >> 7) & 7
+            mask = (1 << ((d >> 10) & 31)) - 1
+            lsh = (d >> 15) & 15
+            widx = rel_lane + (pos >> 2) - (q << 7)
+            in0 = widx < 128
+            w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
+            w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
+            word = jnp.where(in0, w0, w1)
+            byt = jax.lax.shift_right_logical(word, 8 * (pos & 3)) & 0xFF
+            fv = ((byt >> rsh) & mask) << lsh
+            vals = fv if vals is None else vals | fv
+
+        refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
+        vals = (vals + refs_lane) & 0xFFFF  # (sgp, 128) finished pixels
+
+        for r in range(rows_per_sub):
+            t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
+            band = (t_local * 2 + qr) * txp
+            out_ref[j * rows_per_sub + r] = vals[
+                band : band + txp, h * 64 : (h + 1) * 64
+            ].astype(jnp.uint16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_chunks", "txp", "tr_sub", "interpret"),
+)
+def _unpack_image_pallas_v5(
+    payload2d: jnp.ndarray,
+    base_rows: jnp.ndarray,  # (num_chunks * SUBGROUPS,)
+    meta: jnp.ndarray,  # (num_chunks, 8, BP)
+    *,
+    num_chunks: int,
+    txp: int,
+    tr_sub: int,
+    interpret: bool = False,
+):
+    """(num_chunks * SUBGROUPS * tr_sub * 4, txp, 64) uint16 image rows."""
+    bp = meta.shape[2]
+    sgp = bp // SUBGROUPS
+    # A subgroup's real blocks span at most sgp*2 block windows of 32 words.
+    sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    sub_rows += (-sub_rows) % 8
+    rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows += (-rows) % 8
+    rows_chunk = SUBGROUPS * tr_sub * 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, bp), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (rows_chunk, txp, 64),
+            lambda i, base: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tables = jnp.asarray(_MODERN_TABLES_V5)
+    return pl.pallas_call(
+        functools.partial(
+            _unpack_kernel_v5,
+            rows=rows,
+            sub_rows=sub_rows,
+            txp=txp,
+            tr_sub=tr_sub,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_chunks * rows_chunk, txp, 64), jnp.uint16
+        ),
+        interpret=interpret,
+    )(base_rows, meta, tables, payload2d)
+
+
+def prepare_chunked_v5(plan: U.ModernPlan):
+    """Pair-row chunk layout for the v5 kernel.
+
+    Returns (payload2d, base_rows, meta, num_chunks, txp, tr_sub).
+    Kernel-row order within a subgroup is (tile_row, q, tx) so image rows
+    are contiguous bands; tx is padded to a multiple of 8 with zero-class
+    dummy pairs (their columns are cropped after the reshape).
+    """
+    ty, tx = plan.tiles_y, plan.tiles_x
+    txp = tx + (-tx) % 8
+    trb = 4 * tx  # real blocks per tile-row
+    # Capped: each tile-row adds 4 statically-unrolled slab stores, and a
+    # chunk should not vastly out-span a small frame.
+    tr_sub = max(
+        1, min(int(round(TARGET_SG_V5 / trb)), -(-ty // SUBGROUPS), 8)
+    )
+    tr_chunk = SUBGROUPS * tr_sub
+    num_chunks = max(1, -(-ty // tr_chunk))
+    ty_pad = num_chunks * tr_chunk
+
+    n = len(plan.offsets)  # == ty * trb
+    offs_w = np.zeros(ty_pad * trb, dtype=np.int32)
+    offs_w[:n] = plan.offsets // 4
+    offs_w[n:] = offs_w[n - 1] if n else 0
+    cls = np.zeros(ty_pad * trb, dtype=np.int32)
+    cls[:n] = plan.cls
+    refs = np.zeros(ty_pad * trb, dtype=np.int32)
+    refs[:n] = plan.refs
+
+    # Pair gather indices in kernel-row order (t, q, txi), dummies replicate
+    # the band's first pair (in-span windows) but get class 0 / ref 0.
+    t_idx = np.arange(ty_pad)[:, None, None]
+    q_idx = np.arange(2)[None, :, None]
+    x_idx = np.arange(txp)[None, None, :]
+    real = x_idx < tx
+    pair = (t_idx * tx + np.where(real, x_idx, 0)) * 2 + q_idx  # (ty_pad,2,txp)
+    pair = pair.reshape(-1)
+    realf = np.broadcast_to(real, (ty_pad, 2, txp)).reshape(-1)
+
+    def g(a, blk):  # gather block array at pair*2 (+blk)
+        v = a[pair * 2 + blk]
+        return v
+
+    offs_e, offs_o = g(offs_w, 0), g(offs_w, 1)
+    cls_e = np.where(realf, g(cls, 0), 0)
+    cls_o = np.where(realf, g(cls, 1), 0)
+    refs_e = np.where(realf, g(refs, 0), 0)
+    refs_o = np.where(realf, g(refs, 1), 0)
+
+    bp = tr_chunk * 2 * txp  # kernel rows per chunk
+    meta = np.zeros((num_chunks, 8, bp), dtype=np.int32)
+    for row, arr in enumerate((offs_e, offs_o, cls_e, cls_o, refs_e, refs_o)):
+        meta[:, row] = arr.reshape(num_chunks, bp)
+
+    n_sub = num_chunks * SUBGROUPS
+    base_rows = (
+        offs_w.reshape(n_sub, tr_sub * trb)[:, 0] // 128
+    ).astype(np.int32)
+
+    rows_per_chunk = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows_per_chunk += (-rows_per_chunk) % 8
+    pay = plan.payload
+    rows_needed = int(base_rows[-SUBGROUPS]) + rows_per_chunk
+    total = max(rows_needed * 512, len(pay))
+    total += (-total) % 512
+    if len(pay) >= total:
+        padded = pay[: len(pay) - (len(pay) % 512)]
+    else:
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[: len(pay)] = pay
+    payload2d = np.ascontiguousarray(padded).view("<i4").reshape(-1, 128)
+    return payload2d, base_rows, meta, num_chunks, txp, tr_sub
+
+
+def decode_modern_pallas_v5(
+    payload: np.ndarray, width: int, height: int, interpret: bool = False
+):
+    """Full modern decode, fused de-interleave (no XLA epilogue)."""
+    plan = U.prepare_modern(payload, width, height)
+    payload2d, base_rows, meta, num_chunks, txp, tr_sub = prepare_chunked_v5(
+        plan
+    )
+    img3 = _unpack_image_pallas_v5(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        txp=txp,
+        tr_sub=tr_sub,
+        interpret=interpret,
+    )
+    img = img3.reshape(img3.shape[0], txp * 64)
+    return img[: plan.height, : plan.width]
+
+
+def stack_chunked_v5(plans: list) -> tuple:
+    """Concatenate same-geometry frames into one v5 launch."""
+    chunked = [prepare_chunked_v5(p) for p in plans]
+    _, _, _, nc, txp, tr_sub = chunked[0]
+    if any(c[3:] != (nc, txp, tr_sub) for c in chunked):
+        raise ValueError("frames in a batch must share geometry")
+
+    row_starts = []
+    total_rows = 0
+    for p2d, *_ in chunked:
+        row_starts.append(total_rows)
+        total_rows += p2d.shape[0]
+    payload2d = np.concatenate([c[0] for c in chunked], axis=0)
+    base_rows = np.concatenate(
+        [c[1] + rs for c, rs in zip(chunked, row_starts)]
+    ).astype(np.int32)
+    metas = []
+    for c, rs in zip(chunked, row_starts):
+        m = c[2].copy()
+        m[:, 0:2] += rs * 128  # word offsets shift with the payload rows
+        metas.append(m)
+    meta = np.concatenate(metas, axis=0)
+    return payload2d, base_rows, meta, nc * len(plans), txp, tr_sub
+
+
+def decode_modern_pallas_batch_v5(plans: list, interpret: bool = False):
+    """(F, H, W) uint16 from same-geometry ModernPlans in ONE kernel launch."""
+    payload2d, base_rows, meta, num_chunks, txp, tr_sub = stack_chunked_v5(
+        plans
+    )
+    p = plans[0]
+    img3 = _unpack_image_pallas_v5(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        txp=txp,
+        tr_sub=tr_sub,
+        interpret=interpret,
+    )
+    rows_frame = img3.shape[0] // len(plans)
+    img = img3.reshape(len(plans), rows_frame, txp * 64)
+    return img[:, : p.height, : p.width]
+
+
 def _unpack_kernel_v2(
     base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row
     meta_ref,  # (1, 8, B) int32: row 0 = word offsets, 1 = class, 2 = refs

@@ -95,7 +95,7 @@ def decode_frames_batched(
     if use_pallas:
         from .kernels import pallas_unpack as PK
 
-        return PK.decode_modern_pallas_batch(plans)
+        return PK.decode_modern_pallas_batch_v5(plans)
 
     payloads, offsets, cls, refs = stack_plans(plans, modern)
     fn = batched_decoder(plans[0], modern)

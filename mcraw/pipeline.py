@@ -19,6 +19,7 @@ TPU surface:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Iterator
 
 import numpy as np
@@ -54,6 +55,14 @@ class Decoder:
             raise ValueError(f"unknown kernel {kernel!r}")
         self._backend = backend
         self._kernel = kernel
+        # Optional observe.StageTimer; when set, parse/unpack stages are
+        # attributed to it (export_clip wires one up automatically).
+        self.timer = None
+
+    def _stage(self, name: str):
+        if self.timer is None:
+            return contextlib.nullcontext()
+        return self.timer.stage(name)
 
     def _use_pallas(self) -> bool:
         if self._kernel == "xla":
@@ -108,13 +117,18 @@ class Decoder:
     def _plan(self, timestamp: int):
         from .kernels import unpack as U
 
-        payload, meta = self._reader.frame_payload(timestamp)
-        fm = FrameMetadata(meta)
-        ct = fm.compression_type
-        if ct == COMPRESSION_TYPE:
-            return U.prepare_modern(payload, fm.width, fm.height), meta, True
-        if ct == COMPRESSION_TYPE_LEGACY:
-            return U.prepare_legacy(payload, fm.width, fm.height), meta, False
+        with self._stage("parse"):
+            payload, meta = self._reader.frame_payload(timestamp)
+            fm = FrameMetadata(meta)
+            ct = fm.compression_type
+            if ct == COMPRESSION_TYPE:
+                return U.prepare_modern(payload, fm.width, fm.height), meta, True
+            if ct == COMPRESSION_TYPE_LEGACY:
+                return (
+                    U.prepare_legacy(payload, fm.width, fm.height),
+                    meta,
+                    False,
+                )
         raise IOException("Invalid compression type")
 
     def load_frame(self, timestamp: int) -> tuple[np.ndarray, dict]:
@@ -137,24 +151,33 @@ class Decoder:
 
     def load_frame_device(self, timestamp: int):
         """Decode one frame on the accelerator; result stays in device HBM."""
+        plan, meta, modern = self._plan(timestamp)
+        with self._stage("unpack"):
+            return self._dispatch_device(plan, modern), meta
+
+    def _dispatch_device(self, plan, modern: bool):
         import jax.numpy as jnp
 
         from .kernels import unpack as U
 
-        plan, meta, modern = self._plan(timestamp)
         if self._use_pallas():
             from .kernels import pallas_unpack as PK
             from .kernels import pallas_legacy as PL
 
             if modern:
-                payload2d, base_rows, pmeta, num_chunks, n = PK.prepare_chunked_v4(plan)
-                vals = PK._unpack_blocks_pallas_v4(
+                # v5: fused de-interleave — the kernel emits image rows.
+                payload2d, base_rows, pmeta, num_chunks, txp, tr_sub = (
+                    PK.prepare_chunked_v5(plan)
+                )
+                img3 = PK._unpack_image_pallas_v5(
                     jnp.asarray(payload2d),
                     jnp.asarray(base_rows),
                     jnp.asarray(pmeta),
                     num_chunks=num_chunks,
-                )[:n]
-                img = PK._deinterleave_packed(vals, plan.tiles_y, plan.tiles_x)[
+                    txp=txp,
+                    tr_sub=tr_sub,
+                )
+                img = img3.reshape(img3.shape[0], txp * 64)[
                     : plan.height, : plan.width
                 ]
             else:
@@ -170,7 +193,7 @@ class Decoder:
                 img = PL._interleave_packed(vals, plan.height, plan.padded_width)[
                     :, : plan.width
                 ]
-            return img, meta
+            return img
         if modern:
             img = U.decode_modern_device(
                 jnp.asarray(plan.payload),
@@ -192,7 +215,7 @@ class Decoder:
                 width=plan.width,
                 height=plan.height,
             )
-        return img, meta
+        return img
 
     def decode_batch(self, timestamps: list[int] | None = None, mesh=None):
         """Decode many frames in one jitted program.
@@ -200,6 +223,11 @@ class Decoder:
         All frames must share geometry and codec (one clip). With a mesh, the
         batch is frame-data-parallel sharded over the mesh's first axis.
         Returns ((F, H, W) uint16 device array, [frame JSON, ...]).
+
+        Memory note: payloads and outputs for the whole batch live in HBM at
+        once (a 300-frame 4K clip is ~7.5 GB of output alone) — for long
+        clips use :meth:`decode_batch_iter`, which bounds memory to one
+        chunk per launch.
         """
         from .parallel import decode_frames_batched
 
@@ -219,6 +247,35 @@ class Decoder:
             ),
             metas,
         )
+
+    def decode_batch_iter(
+        self,
+        timestamps: list[int] | None = None,
+        chunk_frames: int = 16,
+        mesh=None,
+    ) -> Iterator[tuple]:
+        """Constant-memory batched decode: yields ((C, H, W) device array,
+        [frame JSON, ...]) per chunk of `chunk_frames` frames.
+
+        Host payload buffers and device outputs exist for one chunk at a
+        time, so arbitrarily long clips decode in bounded memory. With a
+        mesh, chunk_frames is rounded up to a multiple of the mesh size so
+        every launch shards evenly.
+        """
+        if timestamps is None:
+            timestamps = self.frames
+        if chunk_frames <= 0:
+            raise ValueError("chunk_frames must be positive")
+        if mesh is not None:
+            n = mesh.devices.size
+            chunk_frames += (-chunk_frames) % n
+        for lo in range(0, len(timestamps), chunk_frames):
+            chunk = timestamps[lo : lo + chunk_frames]
+            if mesh is not None and len(chunk) % mesh.devices.size != 0:
+                # Tail smaller than the mesh: decode unsharded.
+                yield self.decode_batch(chunk, mesh=None)
+            else:
+                yield self.decode_batch(chunk, mesh=mesh)
 
     # -- audio -----------------------------------------------------------------
 

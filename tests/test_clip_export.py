@@ -57,3 +57,22 @@ def test_export_jax_backend(tmp_path, rng):
     d = Decoder(blob, backend="jax")
     stats = export_clip(d, str(tmp_path))
     assert stats.frames_done == 3
+
+
+def test_export_emits_observability(tmp_path, rng, caplog):
+    """export_clip must actually drive observe.py: stage timings for
+    parse/unpack/emit and structured start/done events."""
+    import logging
+
+    blob, _ = make_clip(rng, num_frames=3)
+    d = Decoder(blob, backend="jax")
+    with caplog.at_level(logging.INFO, logger="mcraw"):
+        stats = export_clip(d, str(tmp_path))
+    assert {"parse", "unpack", "emit"} <= set(stats.stage_timing)
+    assert stats.stage_timing["emit"]["count"] == 3
+    assert stats.throughput["frames"] == 3
+    events = [r.message for r in caplog.records]
+    assert any('"export_clip_start"' in m for m in events)
+    assert any('"stage_timing"' in m for m in events)
+    assert any('"export_clip_done"' in m for m in events)
+    assert d.timer is None  # detached after export

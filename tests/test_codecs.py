@@ -82,6 +82,29 @@ def test_modern_width_crop(rng):
     assert np.array_equal(R.decode_modern(payload, 100, 8), img)
 
 
+def test_modern_height_not_multiple_of_4(rng):
+    """encodedHeight % 4 != 0: the decoder processes whole 4-row tiles and
+    crops (the reference writes the full tiles past `height`,
+    RawData.cpp:571-609)."""
+    img = rng.integers(0, 4096, size=(10, 64), dtype=np.uint16)
+    payload = _payload_modern(img)
+    assert int(np.frombuffer(payload[4:8].tobytes(), "<u4")[0]) == 10
+    assert np.array_equal(R.decode_modern(payload, 64, 10), img)
+
+
+def test_modern_encoded_height_exceeds_height(rng):
+    """encodedHeight > height: extra tile rows decoded then cropped."""
+    img = rng.integers(0, 4096, size=(8, 64), dtype=np.uint16)
+    payload = _payload_modern(img, encoded_height=16)
+    assert np.array_equal(R.decode_modern(payload, 64, 8), img)
+
+
+def test_modern_encoded_both_dims_exceed(rng):
+    img = rng.integers(0, 4096, size=(6, 90), dtype=np.uint16)
+    payload = _payload_modern(img, encoded_width=192, encoded_height=11)
+    assert np.array_equal(R.decode_modern(payload, 90, 6), img)
+
+
 def test_modern_rejects_bad_geometry(rng):
     img = rng.integers(0, 4096, size=(8, 64), dtype=np.uint16)
     payload = _payload_modern(img)
@@ -158,6 +181,28 @@ class TestDifferentialVsReference:
             mine = R.decode_legacy(payload, w, h)
             assert np.array_equal(ref_out, mine)
             assert np.array_equal(mine, img)
+
+    def test_modern_irregular_heights(self, rng, ref_lib):
+        """height % 4 != 0 and encodedHeight/Width > height/width: the
+        reference writes whole 4-row tiles regardless of `height`
+        (RawData.cpp:571-609) — ref_shim over-allocates for that, so the
+        differential runs where the raw reference API would overrun a
+        height-sized buffer."""
+        cases = [
+            dict(h=10, w=64),
+            dict(h=7, w=100),
+            dict(h=8, w=64, encoded_height=16),
+            dict(h=6, w=90, encoded_width=192, encoded_height=11),
+        ]
+        for c in cases:
+            h, w = c.pop("h"), c.pop("w")
+            img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+            payload = _payload_modern(img, **c)
+            n, ref_out = ref_lib.ref_decode(payload, w, h)
+            assert n > 0
+            mine = R.decode_modern(payload, w, h)
+            assert np.array_equal(ref_out[:h], mine), c
+            assert np.array_equal(mine, img), c
 
     def test_modern_mixed_content(self, rng, ref_lib):
         """Gradients + flat + noise regions exercise mixed bit widths."""

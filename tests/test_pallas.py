@@ -85,6 +85,44 @@ def test_pallas_batched_decode(rng):
         assert np.array_equal(out[i], imgs[i])
 
 
+@pytest.mark.parametrize("shape", [(16, 256), (8, 100), (32, 2048), (10, 64)])
+def test_pallas_v5_fused_deinterleave(rng, shape):
+    """v5 writes image rows directly (pair rows + host-permuted order)."""
+    h, w = shape
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    out = np.asarray(PK.decode_modern_pallas_v5(payload, w, h, interpret=True))
+    assert np.array_equal(out, img)
+
+
+def test_pallas_v5_mixed_classes(rng):
+    h, w = 16, 640
+    img = np.zeros((h, w), dtype=np.uint16)
+    for i, b in enumerate(range(0, 17, 2)):
+        lo = 0 if b == 0 else 1 << (b - 1)
+        img[:, i * 64 : (i + 1) * 64] = rng.integers(
+            lo, (1 << b) if b else 1, size=(h, 64)
+        )
+    img[:, 576:] = rng.integers(0, 128, size=(h, 64))
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    out = np.asarray(PK.decode_modern_pallas_v5(payload, w, h, interpret=True))
+    assert np.array_equal(out, img)
+
+
+def test_pallas_v5_batched(rng):
+    from mcraw.kernels import unpack as U
+
+    imgs, plans = [], []
+    for _ in range(3):
+        img = rng.integers(0, 4096, size=(16, 256), dtype=np.uint16)
+        imgs.append(img)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        plans.append(U.prepare_modern(payload, 256, 16))
+    out = np.asarray(PK.decode_modern_pallas_batch_v5(plans, interpret=True))
+    for i in range(3):
+        assert np.array_equal(out[i], imgs[i])
+
+
 def test_pallas_true_multichunk_v4(rng):
     """Frame large enough to span several v4 chunks (regression: a shadowed
     wrapper once decoded chunk 0 correctly and corrupted the rest)."""

@@ -79,6 +79,50 @@ def test_decode_batch_legacy(rng):
         assert np.array_equal(np.asarray(imgs)[i], img)
 
 
+def test_decode_batch_iter_bounded(rng):
+    """Chunked batched decode: one launch per chunk, same pixels."""
+    import mcraw.parallel as P
+
+    blob, frames = make_clip(rng, num_frames=10)
+    d = Decoder(blob, backend="jax")
+    calls = []
+    orig = P.decode_frames_batched
+
+    def counting(plans, *a, **k):
+        calls.append(len(plans))
+        return orig(plans, *a, **k)
+
+    P.decode_frames_batched, saved = counting, orig
+    try:
+        got, metas = [], []
+        for imgs, ms in d.decode_batch_iter(chunk_frames=4):
+            got.append(np.asarray(imgs))
+            metas.extend(ms)
+    finally:
+        P.decode_frames_batched = saved
+    assert calls == [4, 4, 2]  # bounded launches, incl. tail
+    out = np.concatenate(got, axis=0)
+    assert len(metas) == 10
+    for i, img in enumerate(frames):
+        assert np.array_equal(out[i], img)
+
+
+def test_decode_batch_iter_mesh_tail(rng):
+    """With a mesh, chunks round up to the mesh size; the short tail falls
+    back to an unsharded launch instead of raising."""
+    from mcraw.parallel import default_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    blob, frames = make_clip(rng, num_frames=11)
+    d = Decoder(blob, backend="jax")
+    chunks = list(d.decode_batch_iter(chunk_frames=6, mesh=default_mesh()))
+    assert [c[0].shape[0] for c in chunks] == [8, 3]
+    out = np.concatenate([np.asarray(c[0]) for c in chunks], axis=0)
+    for i, img in enumerate(frames):
+        assert np.array_equal(out[i], img)
+
+
 def test_decode_batch_sharded_over_mesh(rng):
     """Frame data-parallelism over the 8-device virtual mesh."""
     from mcraw.parallel import default_mesh
