@@ -61,12 +61,27 @@ def main():
     results = {"device": str(jax.devices()[0]), "configs": {}}
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def timeit_dev(fn, n=30):
-        jax.block_until_ready(fn())
-        t0 = time.perf_counter()
-        outs = [fn() for _ in range(n)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / n
+    def timeit_dev(fn, want_one, n=90):
+        """Chained-scalar timing (CLAUDE.md timing traps): every iteration's
+        checksum feeds one accumulator, forced with int() and verified; long
+        bursts amortize the ~29 ms scalar D2H over the tunnel (trap #1);
+        best of 3 bursts."""
+        assert int(jax.block_until_ready(fn())) == want_one
+        acc = fn()
+        for _ in range(3):
+            acc = acc + fn()
+        int(acc)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(n):
+                o = fn()
+                acc = o if acc is None else acc + o
+            total = int(acc)
+            best = min(best, (time.perf_counter() - t0) / n)
+            assert total == (want_one * n) % (1 << 32), "checksum mismatch"
+        return best
 
     for name, (h, w) in {"4k": (3072, 4096), "1080p": (1080, 1920)}.items():
         img = make_frame(h, w)
@@ -95,29 +110,30 @@ def main():
             return im.astype(jnp.uint32).sum()
 
         run = lambda: xla_sum(*a, ty=plan.tiles_y, tx=plan.tiles_x)
-        assert int(jax.block_until_ready(run())) == want
-        dt = timeit_dev(run)
+        dt = timeit_dev(run, want)
         cfg["xla_ms"] = round(dt * 1e3, 3)
         cfg["xla_fps"] = round(1 / dt, 1)
 
-        # Pallas path (TPU only)
+        # Pallas v5 path (fused de-interleave; TPU only)
         if on_tpu:
-            payload2d, base_rows, meta, num_chunks, nblk = PK.prepare_chunked_v4(plan)
+            payload2d, base_rows, meta, num_chunks, txp, tr_sub = (
+                PK.prepare_chunked_v5(plan)
+            )
             pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
-            @functools.partial(jax.jit, static_argnames=("nc", "ty", "tx", "nb"))
-            def pk_sum(payload2d, base_rows, meta, *, nc, ty, tx, nb):
-                vals = PK._unpack_blocks_pallas_v4.__wrapped__(
-                    payload2d, base_rows, meta, num_chunks=nc, interpret=False
-                )[:nb]
-                im = PK._deinterleave_packed.__wrapped__(vals, ty, tx)
-                return im[:h, :w].astype(jnp.uint32).sum()
-
-            runp = lambda: pk_sum(
-                *pa, nc=num_chunks, ty=plan.tiles_y, tx=plan.tiles_x, nb=nblk
+            @functools.partial(
+                jax.jit, static_argnames=("nc", "txp", "tr_sub")
             )
-            assert int(jax.block_until_ready(runp())) == want
-            dt = timeit_dev(runp, n=50)
+            def pk_sum(payload2d, base_rows, meta, *, nc, txp, tr_sub):
+                img3 = PK._unpack_image_pallas_v5.__wrapped__(
+                    payload2d, base_rows, meta,
+                    num_chunks=nc, txp=txp, tr_sub=tr_sub,
+                )
+                im = img3.reshape(img3.shape[0], txp * 64)[:h, :w]
+                return im.astype(jnp.uint32).sum()
+
+            runp = lambda: pk_sum(*pa, nc=num_chunks, txp=txp, tr_sub=tr_sub)
+            dt = timeit_dev(runp, want, n=50)
             cfg["pallas_ms"] = round(dt * 1e3, 3)
             cfg["pallas_fps"] = round(1 / dt, 1)
             cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
@@ -160,32 +176,31 @@ def main():
         return im.astype(jnp.uint32).sum()
 
     run = lambda: leg_sum(*a)
-    assert int(jax.block_until_ready(run())) == want
-    dt = timeit_dev(run)
+    dt = timeit_dev(run, want)
     cfg["xla_ms"] = round(dt * 1e3, 3)
     cfg["xla_fps"] = round(1 / dt, 1)
 
     if on_tpu:
         from mcraw.kernels import pallas_legacy as PL
 
-        payload2d, base_rows, meta, num_chunks, nblk = PL.prepare_chunked_legacy(
-            plan
+        payload2d, base_rows, meta, num_chunks, segs = (
+            PL.prepare_chunked_legacy_v5(plan)
         )
         pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
-        @functools.partial(jax.jit, static_argnames=("nc", "nb"))
-        def leg_pk(payload2d, base_rows, meta, *, nc, nb):
-            v = PL._unpack_legacy_pallas.__wrapped__(
-                payload2d, base_rows, meta, num_chunks=nc, interpret=False
-            )[:nb]
-            im = PL._interleave_packed.__wrapped__(v, h, plan.padded_width)
-            return im[:, :w].astype(jnp.uint32).sum()
+        @functools.partial(jax.jit, static_argnames=("nc", "segs"))
+        def leg_pk(payload2d, base_rows, meta, *, nc, segs):
+            out = PL._unpack_legacy_pallas_v5.__wrapped__(
+                payload2d, base_rows, meta, num_chunks=nc
+            )
+            im = out[: h * segs].reshape(h, segs * 128)[:, :w]
+            return im.astype(jnp.uint32).sum()
 
-        runp = lambda: leg_pk(*pa, nc=num_chunks, nb=nblk)
-        assert int(jax.block_until_ready(runp())) == want
-        dt = timeit_dev(runp, n=50)
+        runp = lambda: leg_pk(*pa, nc=num_chunks, segs=segs)
+        dt = timeit_dev(runp, want, n=50)
         cfg["pallas_ms"] = round(dt * 1e3, 3)
         cfg["pallas_fps"] = round(1 / dt, 1)
+        cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
     try:
         from tools import ref_shim
 

@@ -222,6 +222,22 @@ class ContainerReader:
         metadata = json.loads(self._read(mafter, msize))
         return payload, metadata
 
+    def frame_payload_window(
+        self, timestamp: int
+    ) -> tuple[np.ndarray, np.ndarray, dict]:
+        """(payload, window, frame JSON): like frame_payload but also returns
+        the zero-copy view from the payload start to EOF.
+
+        The window lets device-prep over-read past the payload (its DMA
+        tiles round up to 512B rows) without a multi-MB pad copy — the bytes
+        after a frame are just the rest of the container, and no valid block
+        ever addresses them. Only frames at the very end of the file fall
+        back to copying.
+        """
+        payload, metadata = self.frame_payload(timestamp)
+        pos = self._frame_offset_map[timestamp] + ITEM_FMT.size
+        return payload, self._data[pos:], metadata
+
     def audio_chunk(self, index: int) -> tuple[int, np.ndarray] | None:
         """One audio chunk: (timestampNs, int16 interleaved samples).
 

@@ -198,6 +198,304 @@ def _unpack_legacy_pallas(
     )(base_rows, meta, jnp.asarray(_TABLES), payload2d)
 
 
+# -----------------------------------------------------------------------------
+# v5: fused even/odd interleave — the kernel writes finished pixel rows.
+#
+# Each kernel row processes 8 consecutive blocks (4 even/odd pairs) with the
+# 128 lanes laid out as lane l = 32*(l>>5) + 2k + c: 128 CONSECUTIVE output
+# pixels of one image row (RawData_Legacy.cpp:483-486 interleave is just the
+# lane order). Output is (rows, 128) row-major pixel segments whose reshape
+# to (H, segs*128) is free; the old _interleave_packed epilogue vanishes.
+# Lane utilization is 4x the one-block-per-row kernel (128/128 vs 32/128).
+# -----------------------------------------------------------------------------
+
+ROWS_PER_CHUNK_LEG = 512  # kernel rows (of 8 blocks) per grid step
+
+
+def _packed_tables_v5() -> np.ndarray:
+    """(2*ncls, 128) int32: packed per-lane field descriptors.
+
+    Row ci (ci+ncls) = field 0 (field 1) of class ci; lane l describes value
+    k(l) = (l&31)>>1. Packing: pos(5b) | rsh<<5(3b) | mask_bits<<8(4b) |
+    lsh<<12(4b) — all <2^16, exact through the fp32 select.
+    """
+    ncls = len(T.LEGACY_CLASSES)
+    mask_bits = np.zeros_like(T.LEGACY_MSK)
+    nz = T.LEGACY_MSK > 0
+    mask_bits[nz] = np.log2(T.LEGACY_MSK[nz] + 1).astype(np.int32)
+    assert np.all((1 << mask_bits) - 1 == T.LEGACY_MSK)
+    packed = (
+        T.LEGACY_POS
+        | (T.LEGACY_RSH << 5)
+        | (mask_bits << 8)
+        | (T.LEGACY_LSH << 12)
+    )  # (ncls, 16, 2)
+    out = np.zeros((2, ncls, 128), dtype=np.int32)
+    for l in range(128):
+        k = (l & 31) >> 1
+        out[0, :, l] = packed[:, k, 0]
+        out[1, :, l] = packed[:, k, 1]
+    return out.reshape(2 * ncls, 128)
+
+
+_TABLES_V5 = _packed_tables_v5()
+
+
+def _legacy_kernel_v5(
+    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B)
+    meta_ref,  # (1, 24, B) int32: rows 0-7 offs, 8-15 cls, 16-23 refs
+    tables_ref,  # (2*ncls, 128) int32
+    payload_ref,  # HBM (P/512, 128) int32
+    out_ref,  # (B, 128) uint16 — finished pixel segments
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,
+    rows: int = None,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    base_row = base_ref[i]
+    b = meta_ref.shape[2]
+    meta = meta_ref[0]
+    ncls = len(T.LEGACY_CLASSES)
+
+    # Per-row 8-block params -> per-lane via a constant single-vreg gather.
+    # Mosaic's gather lowering needs idx.shape == src.shape, so the 8 param
+    # columns are widened to the full 128 lanes (16x each) before gathering.
+    def widen8(row0):
+        cols = [
+            jnp.broadcast_to(
+                jnp.transpose(meta[row0 + p : row0 + p + 1, :], (1, 0)),
+                (b, 16),
+            )
+            for p in range(8)
+        ]
+        return jnp.concatenate(cols, axis=1)
+
+    offs8 = widen8(0)  # (B, 128): lanes 16p..16p+15 = param p
+    cls8 = widen8(8)
+    refs8 = widen8(16)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    pidx = (((lane >> 5) << 1) | (lane & 1)) * 16  # block param 2g+c
+    rel_lane = jnp.take_along_axis(offs8, pidx, axis=1) - base_row * 512
+    cls_lane = jnp.take_along_axis(cls8, pidx, axis=1)
+    refs_lane = jnp.take_along_axis(refs8, pidx, axis=1)
+
+    # Packed descriptors by class select (values < 2^16).
+    def select_desc(t):
+        out = None
+        for ci in range(ncls):
+            row = tables_ref[t * ncls + ci : t * ncls + ci + 1, :]
+            contrib = jnp.where(cls_lane == ci, row, 0)
+            out = contrib if out is None else out | contrib
+        return out  # (B, 128)
+
+    q = (jnp.transpose(meta[0:1, :], (1, 0)) - base_row * 512) >> 9  # (B, 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+
+    span_dma(i, slot).wait()
+    span = scratch_ref[slot]
+    planes = jnp.concatenate(
+        [
+            (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(
+                jnp.bfloat16
+            )
+            for k in range(4)
+        ],
+        axis=1,
+    )  # (rows, 512)
+
+    def pick(oh):
+        p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(
+            jnp.int32
+        )
+        return (
+            p[:, 0:128]
+            | (p[:, 128:256] << 8)
+            | (p[:, 256:384] << 16)
+            | (p[:, 384:512] << 24)
+        )
+
+    # 8 blocks span <= 272 bytes: rows q, q+1 always cover the windows.
+    row0 = pick((row_ids == q).astype(jnp.bfloat16))
+    row1 = pick((row_ids == q + 1).astype(jnp.bfloat16))
+
+    vals = None
+    for f in range(2):
+        d = select_desc(f)
+        pos = d & 31
+        rsh = (d >> 5) & 7
+        mask = (1 << ((d >> 8) & 15)) - 1
+        lsh = (d >> 12) & 15
+        addr = rel_lane + pos
+        widx = (addr >> 2) - (q << 7)
+        in0 = widx < 128
+        w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
+        w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
+        word = jnp.where(in0, w0, w1)
+        byt = jax.lax.shift_right_logical(word, 8 * (addr & 3)) & 0xFF
+        fv = ((byt >> rsh) & mask) << lsh
+        vals = fv if vals is None else vals | fv
+
+    out_ref[:] = ((vals + refs_lane) & 0xFFFF).astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
+def _unpack_legacy_pallas_v5(
+    payload2d: jnp.ndarray,
+    base_rows: jnp.ndarray,
+    meta: jnp.ndarray,  # (num_chunks, 24, B)
+    *,
+    num_chunks: int,
+    interpret: bool = False,
+):
+    b = meta.shape[2]
+    rows = (b * 8 * 34) // 512 + 2
+    rows += (-rows) % 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 24, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 128), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_legacy_kernel_v5, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
+        interpret=interpret,
+    )(base_rows, meta, jnp.asarray(_TABLES_V5), payload2d)
+
+
+def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
+    """Segment layout for the v5 legacy kernel.
+
+    Returns (payload2d, base_rows, meta, num_chunks, segs). Kernel row
+    (y, s) covers image pixels [s*128, s*128+128) of row y via blocks
+    (y*ppr + s*4 + g)*2 + c; segments beyond ppr get zero-class dummies
+    (columns cropped after the reshape).
+    """
+    pw, h = plan.padded_width, plan.height
+    ppr = pw // 32  # pairs per image row
+    segs = -(-pw // 128)
+    rows_total = h * segs
+    b = ROWS_PER_CHUNK_LEG
+    num_chunks = max(1, -(-rows_total // b))
+    rows_pad = num_chunks * b
+
+    n = len(plan.offsets)
+    offs = np.zeros(n, dtype=np.int32)
+    offs[:] = plan.offsets
+
+    # (rows_total, 8) block indices; dummies reuse the row's first block.
+    y = np.arange(rows_total) // segs
+    s = np.arange(rows_total) % segs
+    g = np.arange(4)[None, :]
+    pairs = y[:, None] * ppr + s[:, None] * 4 + g  # (rows_total, 4)
+    real = (s[:, None] * 4 + g) < ppr
+    pairs = np.where(real, pairs, y[:, None] * ppr)
+    blocks = np.stack([2 * pairs, 2 * pairs + 1], axis=2).reshape(-1, 8)
+    realb = np.repeat(real, 2, axis=1).reshape(-1, 8)
+
+    m_off = offs[blocks]
+    m_cls = np.where(realb, plan.cls[blocks], 0)
+    m_ref = np.where(realb, plan.refs[blocks], 0)
+
+    def pad_rows(a):
+        out = np.zeros((rows_pad, 8), dtype=np.int32)
+        out[:rows_total] = a
+        out[rows_total:] = a[-1] if rows_total else 0
+        return out
+
+    m_off, m_cls, m_ref = pad_rows(m_off), pad_rows(m_cls), pad_rows(m_ref)
+    if rows_total:  # padding rows decode to zeros (rows cropped anyway)
+        m_cls[rows_total:] = 0
+        m_ref[rows_total:] = 0
+
+    meta = np.zeros((num_chunks, 24, b), dtype=np.int32)
+    meta[:, 0:8] = m_off.reshape(num_chunks, b, 8).transpose(0, 2, 1)
+    meta[:, 8:16] = m_cls.reshape(num_chunks, b, 8).transpose(0, 2, 1)
+    meta[:, 16:24] = m_ref.reshape(num_chunks, b, 8).transpose(0, 2, 1)
+
+    base_rows = (m_off.reshape(num_chunks, b, 8)[:, 0, 0] // 512).astype(
+        np.int32
+    )
+
+    rows_span = (b * 8 * 34) // 512 + 2
+    rows_span += (-rows_span) % 8
+    pay = plan.payload
+    rows_needed = int(base_rows[-1]) + rows_span
+    total = max(rows_needed * 512, len(pay))
+    total += (-total) % 512
+    if len(pay) >= total:
+        padded = pay[: len(pay) - (len(pay) % 512)]  # zero-copy view
+    else:
+        padded = np.zeros(total, dtype=np.uint8)
+        padded[: len(pay)] = pay
+    payload2d = np.ascontiguousarray(padded).view("<i4").reshape(-1, 128)
+    return payload2d, base_rows, meta, num_chunks, segs
+
+
+def decode_legacy_pallas_v5(
+    payload: np.ndarray, width: int, height: int, interpret: bool = False
+):
+    """Full legacy decode with fused interleave (no epilogue)."""
+    plan = U.prepare_legacy(payload, width, height)
+    payload2d, base_rows, meta, num_chunks, segs = prepare_chunked_legacy_v5(
+        plan
+    )
+    out = _unpack_legacy_pallas_v5(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        interpret=interpret,
+    )
+    img = out[: plan.height * segs].reshape(plan.height, segs * 128)
+    return img[:, : plan.width]
+
+
+def prepare_device_legacy_v5(plan: U.LegacyPlan):
+    """Device-array tuple for callers that jit around the kernel."""
+    payload2d, base_rows, meta, num_chunks, segs = prepare_chunked_legacy_v5(
+        plan
+    )
+    return (
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks,
+        segs,
+    )
+
+
 def prepare_chunked_legacy(plan: U.LegacyPlan):
     n = len(plan.offsets)
     b = BLOCKS_PER_CHUNK

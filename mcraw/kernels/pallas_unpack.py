@@ -358,7 +358,8 @@ def prepare_chunked_v4(plan: U.ModernPlan, blocks_per_chunk: int = 2048):
 # 256 payload bytes (a pair) instead of 128 (a block).
 # -----------------------------------------------------------------------------
 
-TARGET_SG_V5 = 512  # aim ~512 blocks per subgroup (VMEM/latency sweet spot)
+SUBGROUPS_V5 = 16  # swept on v5e: 16 subgroups/chunk beats 4/8/24/32
+TARGET_SG_V5 = 256  # blocks per subgroup (sub16_tr1: 787 fps vs 676 at 512)
 
 
 def _packed_field_tables_v5() -> np.ndarray:
@@ -391,7 +392,7 @@ _MODERN_TABLES_V5 = _packed_field_tables_v5()
 
 
 def _unpack_kernel_v5(
-    base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS,) int32 subgroup rows
+    base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS_V5,) int32 subgroup rows
     meta_ref,  # (1, 8, BP) int32 pair metadata (kernel-row order)
     tables_ref,  # (2*ncls, 384) int32 v5 descriptors
     payload_ref,  # HBM (P32/128, 128) int32
@@ -409,7 +410,7 @@ def _unpack_kernel_v5(
 
     def span_dma(chunk, dst_slot):
         return pltpu.make_async_copy(
-            payload_ref.at[pl.ds(base_ref[chunk * SUBGROUPS], rows), :],
+            payload_ref.at[pl.ds(base_ref[chunk * SUBGROUPS_V5], rows), :],
             scratch_ref.at[dst_slot],
             sems.at[dst_slot],
         )
@@ -423,8 +424,8 @@ def _unpack_kernel_v5(
         span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     bp = meta_ref.shape[2]
-    sgp = bp // SUBGROUPS
-    chunk_row0 = base_ref[i * SUBGROUPS]
+    sgp = bp // SUBGROUPS_V5
+    chunk_row0 = base_ref[i * SUBGROUPS_V5]
     meta = meta_ref[0]
     ncls = len(T.MODERN_CLASSES)
     rows_per_sub = tr_sub * 4
@@ -434,8 +435,8 @@ def _unpack_kernel_v5(
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
 
-    for j in range(SUBGROUPS):
-        sub_row0 = base_ref[i * SUBGROUPS + j]
+    for j in range(SUBGROUPS_V5):
+        sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
         local = scratch_ref[slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :]
         sl = slice(j * sgp, (j + 1) * sgp)
         offs_e = jnp.transpose(meta[0:1, sl], (1, 0))
@@ -526,7 +527,7 @@ def _unpack_kernel_v5(
 )
 def _unpack_image_pallas_v5(
     payload2d: jnp.ndarray,
-    base_rows: jnp.ndarray,  # (num_chunks * SUBGROUPS,)
+    base_rows: jnp.ndarray,  # (num_chunks * SUBGROUPS_V5,)
     meta: jnp.ndarray,  # (num_chunks, 8, BP)
     *,
     num_chunks: int,
@@ -534,15 +535,15 @@ def _unpack_image_pallas_v5(
     tr_sub: int,
     interpret: bool = False,
 ):
-    """(num_chunks * SUBGROUPS * tr_sub * 4, txp, 64) uint16 image rows."""
+    """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
     bp = meta.shape[2]
-    sgp = bp // SUBGROUPS
+    sgp = bp // SUBGROUPS_V5
     # A subgroup's real blocks span at most sgp*2 block windows of 32 words.
     sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
     sub_rows += (-sub_rows) % 8
     rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
     rows += (-rows) % 8
-    rows_chunk = SUBGROUPS * tr_sub * 4
+    rows_chunk = SUBGROUPS_V5 * tr_sub * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
@@ -580,6 +581,80 @@ def _unpack_image_pallas_v5(
     )(base_rows, meta, tables, payload2d)
 
 
+def v5_geometry(tiles_y: int, tiles_x: int) -> tuple[int, int]:
+    """(txp, tr_sub) for a frame geometry.
+
+    txp: tile columns padded to a multiple of 8 (sublane-aligned bands).
+    tr_sub: tile-rows per subgroup — capped because each tile-row adds 4
+    statically-unrolled slab stores, and a chunk should not vastly out-span
+    a small frame.
+    """
+    txp = tiles_x + (-tiles_x) % 8
+    trb = 4 * tiles_x
+    tr_sub = max(
+        1,
+        min(int(round(TARGET_SG_V5 / trb)), -(-tiles_y // SUBGROUPS_V5), 8),
+    )
+    return txp, tr_sub
+
+
+def v5_chunk_span_rows(tiles_y: int, tiles_x: int) -> int:
+    """Worst-case 512B payload rows one chunk's DMA window can span."""
+    txp, tr_sub = v5_geometry(tiles_y, tiles_x)
+    bp = SUBGROUPS_V5 * tr_sub * 2 * txp
+    rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    return rows + (-rows) % 8
+
+
+# Host-prep cache: the kernel-row gather indices depend only on geometry,
+# not content — build once per (tiles_y, tiles_x).
+_V5_IDX_CACHE: dict = {}
+
+
+def _v5_indices(ty: int, tx: int) -> dict:
+    c = _V5_IDX_CACHE.get((ty, tx))
+    if c is not None:
+        return c
+    txp, tr_sub = v5_geometry(ty, tx)
+    trb = 4 * tx
+    tr_chunk = SUBGROUPS_V5 * tr_sub
+    num_chunks = max(1, -(-ty // tr_chunk))
+    ty_pad = num_chunks * tr_chunk
+    nblk = ty_pad * trb
+
+    # Pair gather indices in kernel-row order (t, q, txi). Dummy lanes
+    # (txi >= tx) take their OFFSETS from the band's first pair (in-span DMA
+    # windows) but their cls/refs from a zeroed sentinel pair appended past
+    # the block arrays — no per-frame np.where needed.
+    t_idx = np.arange(ty_pad, dtype=np.int64)[:, None, None]
+    q_idx = np.arange(2, dtype=np.int64)[None, :, None]
+    x_idx = np.arange(txp, dtype=np.int64)[None, None, :]
+    real = x_idx < tx
+    pair_off = (t_idx * tx + np.where(real, x_idx, 0)) * 2 + q_idx
+    sentinel = nblk // 2  # pair index of the appended zero pair
+    pair_meta = np.where(real, pair_off, sentinel)
+    pair_off = pair_off.reshape(-1)
+    pair_meta = pair_meta.reshape(-1)
+    c = {
+        "txp": txp,
+        "tr_sub": tr_sub,
+        "num_chunks": num_chunks,
+        "nblk": nblk,
+        "bp": tr_chunk * 2 * txp,
+        "off_e": (pair_off * 2).astype(np.intp),
+        "off_o": (pair_off * 2 + 1).astype(np.intp),
+        "meta_e": (pair_meta * 2).astype(np.intp),
+        "meta_o": (pair_meta * 2 + 1).astype(np.intp),
+        "base_idx": (
+            np.arange(num_chunks * SUBGROUPS_V5, dtype=np.intp)
+            * (tr_sub * trb)
+        ),
+        "span_rows": v5_chunk_span_rows(ty, tx),
+    }
+    _V5_IDX_CACHE[(ty, tx)] = c
+    return c
+
+
 def prepare_chunked_v5(plan: U.ModernPlan):
     """Pair-row chunk layout for the v5 kernel.
 
@@ -588,65 +663,38 @@ def prepare_chunked_v5(plan: U.ModernPlan):
     are contiguous bands; tx is padded to a multiple of 8 with zero-class
     dummy pairs (their columns are cropped after the reshape).
     """
-    ty, tx = plan.tiles_y, plan.tiles_x
-    txp = tx + (-tx) % 8
-    trb = 4 * tx  # real blocks per tile-row
-    # Capped: each tile-row adds 4 statically-unrolled slab stores, and a
-    # chunk should not vastly out-span a small frame.
-    tr_sub = max(
-        1, min(int(round(TARGET_SG_V5 / trb)), -(-ty // SUBGROUPS), 8)
-    )
-    tr_chunk = SUBGROUPS * tr_sub
-    num_chunks = max(1, -(-ty // tr_chunk))
-    ty_pad = num_chunks * tr_chunk
+    c = _v5_indices(plan.tiles_y, plan.tiles_x)
+    txp, tr_sub = c["txp"], c["tr_sub"]
+    num_chunks, nblk, bp = c["num_chunks"], c["nblk"], c["bp"]
 
-    n = len(plan.offsets)  # == ty * trb
-    offs_w = np.zeros(ty_pad * trb, dtype=np.int32)
-    offs_w[:n] = plan.offsets // 4
+    n = len(plan.offsets)  # == ty * 4 * tx
+    # Block arrays + 2 sentinel entries (zero class/ref for dummy lanes).
+    offs_w = np.empty(nblk + 2, dtype=np.int32)
+    np.floor_divide(plan.offsets, 4, out=offs_w[:n], casting="unsafe")
     offs_w[n:] = offs_w[n - 1] if n else 0
-    cls = np.zeros(ty_pad * trb, dtype=np.int32)
+    cls = np.zeros(nblk + 2, dtype=np.int32)
     cls[:n] = plan.cls
-    refs = np.zeros(ty_pad * trb, dtype=np.int32)
+    refs = np.zeros(nblk + 2, dtype=np.int32)
     refs[:n] = plan.refs
 
-    # Pair gather indices in kernel-row order (t, q, txi), dummies replicate
-    # the band's first pair (in-span windows) but get class 0 / ref 0.
-    t_idx = np.arange(ty_pad)[:, None, None]
-    q_idx = np.arange(2)[None, :, None]
-    x_idx = np.arange(txp)[None, None, :]
-    real = x_idx < tx
-    pair = (t_idx * tx + np.where(real, x_idx, 0)) * 2 + q_idx  # (ty_pad,2,txp)
-    pair = pair.reshape(-1)
-    realf = np.broadcast_to(real, (ty_pad, 2, txp)).reshape(-1)
+    meta = np.empty((num_chunks, 8, bp), dtype=np.int32)
+    flat = (num_chunks, bp)
+    meta[:, 0] = offs_w.take(c["off_e"]).reshape(flat)
+    meta[:, 1] = offs_w.take(c["off_o"]).reshape(flat)
+    meta[:, 2] = cls.take(c["meta_e"]).reshape(flat)
+    meta[:, 3] = cls.take(c["meta_o"]).reshape(flat)
+    meta[:, 4] = refs.take(c["meta_e"]).reshape(flat)
+    meta[:, 5] = refs.take(c["meta_o"]).reshape(flat)
+    meta[:, 6:8] = 0
 
-    def g(a, blk):  # gather block array at pair*2 (+blk)
-        v = a[pair * 2 + blk]
-        return v
+    base_rows = (offs_w.take(c["base_idx"]) // 128).astype(np.int32)
 
-    offs_e, offs_o = g(offs_w, 0), g(offs_w, 1)
-    cls_e = np.where(realf, g(cls, 0), 0)
-    cls_o = np.where(realf, g(cls, 1), 0)
-    refs_e = np.where(realf, g(refs, 0), 0)
-    refs_o = np.where(realf, g(refs, 1), 0)
-
-    bp = tr_chunk * 2 * txp  # kernel rows per chunk
-    meta = np.zeros((num_chunks, 8, bp), dtype=np.int32)
-    for row, arr in enumerate((offs_e, offs_o, cls_e, cls_o, refs_e, refs_o)):
-        meta[:, row] = arr.reshape(num_chunks, bp)
-
-    n_sub = num_chunks * SUBGROUPS
-    base_rows = (
-        offs_w.reshape(n_sub, tr_sub * trb)[:, 0] // 128
-    ).astype(np.int32)
-
-    rows_per_chunk = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
-    rows_per_chunk += (-rows_per_chunk) % 8
     pay = plan.payload
-    rows_needed = int(base_rows[-SUBGROUPS]) + rows_per_chunk
+    rows_needed = int(base_rows[-SUBGROUPS_V5]) + c["span_rows"]
     total = max(rows_needed * 512, len(pay))
     total += (-total) % 512
     if len(pay) >= total:
-        padded = pay[: len(pay) - (len(pay) % 512)]
+        padded = pay[: len(pay) - (len(pay) % 512)]  # zero-copy view
     else:
         padded = np.zeros(total, dtype=np.uint8)
         padded[: len(pay)] = pay

@@ -55,12 +55,21 @@ class ModernPlan:
 
 
 def prepare_modern(
-    payload: np.ndarray, width: int, height: int, pad_for_pallas: bool = True
+    payload: np.ndarray,
+    width: int,
+    height: int,
+    pad_for_pallas: bool = True,
+    window: np.ndarray | None = None,
 ) -> ModernPlan:
     """Parse the modern payload's header + metadata streams (host side).
 
     pad_for_pallas over-pads the payload buffer so the Pallas kernel's
     chunked DMA windows exist without a second copy in prepare_chunked.
+    `window`, when given, is a read-only buffer that STARTS AT the payload
+    and extends past it (e.g. the rest of the container mmap): if long
+    enough it becomes the padded buffer zero-copy, eliding the ~15MB/frame
+    pad memcpy entirely. Bytes past the payload are never addressed by any
+    valid block, so their content is irrelevant.
     """
     payload = np.asarray(payload, dtype=np.uint8)
     n = len(payload)
@@ -91,17 +100,25 @@ def prepare_modern(
 
     pad = (-n) % 8 + T.MODERN_MAX_LENGTH
     if pad_for_pallas and num_blocks:
-        # Over-pad so the Pallas kernel's chunked DMA windows exist and
-        # prepare_chunked can reuse this buffer without a second 15MB copy.
-        # Worst case: last chunk's base row + its maximal span
-        # (pallas_unpack._span_rows(512) = 136 rows of 512 bytes; padding
-        # shortfalls fall back to a copy there, so this is purely a perf hint).
+        # Over-pad so the v5 kernel's chunked DMA windows exist and
+        # prepare_chunked_v5 can reuse this buffer without a second ~25MB
+        # zeros+copy (a padding shortfall falls back to that copy there, so
+        # this is purely a perf contract — benchmarked at ~5 ms/4K-frame).
+        try:
+            from . import pallas_unpack as PK
+
+            rows_per_chunk = PK.v5_chunk_span_rows(tiles_y, tiles_x)
+        except ImportError:  # pragma: no cover - pallas unavailable
+            rows_per_chunk = 144
         last_base_row = (int(offsets[-1]) // 4) // 128
-        need = (last_base_row + 144) * 512
+        need = (last_base_row + rows_per_chunk + 8) * 512
         pad = max(pad, need - n)
         pad += (-(n + pad)) % 512
-    padded = np.zeros(n + pad, dtype=np.uint8)
-    padded[:n] = payload
+    if window is not None and len(window) >= n + pad:
+        padded = np.asarray(window[: n + pad], dtype=np.uint8)
+    else:
+        padded = np.zeros(n + pad, dtype=np.uint8)
+        padded[:n] = payload
     return ModernPlan(
         payload=padded,
         offsets=offsets.astype(np.int32),
@@ -125,7 +142,12 @@ class LegacyPlan:
     height: int
 
 
-def prepare_legacy(payload: np.ndarray, width: int, height: int) -> LegacyPlan:
+def prepare_legacy(
+    payload: np.ndarray,
+    width: int,
+    height: int,
+    window: np.ndarray | None = None,
+) -> LegacyPlan:
     payload = np.asarray(payload, dtype=np.uint8)
     padded_width = R.legacy_padded_width(width)
     num_blocks = height * (padded_width // 32) * 2
@@ -134,8 +156,25 @@ def prepare_legacy(payload: np.ndarray, width: int, height: int) -> LegacyPlan:
 
     bits, refs, offs = legacy_scan(payload, num_blocks)
 
-    padded = np.zeros(len(payload) + T.LEGACY_MAX_LENGTH, dtype=np.uint8)
-    padded[: len(payload)] = payload
+    n = len(payload)
+    pad = T.LEGACY_MAX_LENGTH
+    if num_blocks:
+        # Over-pad for the v5 kernel's chunk DMA (same contract as modern).
+        try:
+            from . import pallas_legacy as PL
+
+            span = (PL.ROWS_PER_CHUNK_LEG * 8 * 34) // 512 + 2
+            span += (-span) % 8
+        except ImportError:  # pragma: no cover
+            span = 288
+        last_row = int(offs[-1]) // 512
+        pad = max(pad, (last_row + span + 8) * 512 - n)
+        pad += (-(n + pad)) % 512
+    if window is not None and len(window) >= n + pad:
+        padded = np.asarray(window[: n + pad], dtype=np.uint8)
+    else:
+        padded = np.zeros(n + pad, dtype=np.uint8)
+        padded[:n] = payload
     return LegacyPlan(
         payload=padded,
         offsets=offs.astype(np.int32),

@@ -73,28 +73,114 @@ def batched_decoder(plan, modern: bool):
     return _batched_legacy(plan.padded_width, plan.width, plan.height)
 
 
+def stack_plans_pallas_v5(plans: list):
+    """Per-frame v5 chunk layouts stacked on a leading frame axis.
+
+    Unlike pallas_unpack.stack_chunked_v5 (which globalizes offsets for one
+    launch), every frame's base rows / word offsets stay FRAME-LOCAL here so
+    the stack can be sharded over a mesh axis: each shard rebases its local
+    frames onto its local payload slab (see decode_frames_pallas_mesh).
+    Returns (payloads (F,R,128), base (F,S), meta (F,nc,8,bp), nc, txp,
+    tr_sub, R).
+    """
+    from .kernels import pallas_unpack as PK
+
+    chunked = [PK.prepare_chunked_v5(p) for p in plans]
+    nc, txp, tr_sub = chunked[0][3:]
+    if any(c[3:] != (nc, txp, tr_sub) for c in chunked):
+        raise ValueError("frames in a batch must share geometry")
+    rows = max(c[0].shape[0] for c in chunked)
+    payloads = np.zeros((len(plans), rows, 128), dtype=np.int32)
+    for i, c in enumerate(chunked):
+        payloads[i, : c[0].shape[0]] = c[0]
+    base = np.stack([c[1] for c in chunked])
+    meta = np.stack([c[2] for c in chunked])
+    return payloads, base, meta, nc, txp, tr_sub, rows
+
+
+def decode_frames_pallas_mesh(
+    plans: list, mesh: Mesh | None, interpret: bool = False
+):
+    """Frame-data-parallel Pallas decode: shard_map over the mesh's frame
+    axis with the fused v5 kernel inside each shard.
+
+    Each device receives a contiguous (F/n, rows, 128) payload slab plus
+    frame-local base rows / metadata; the shard body rebases them onto the
+    local slab and runs ONE kernel launch for its frames. No collectives —
+    frames are independent (SURVEY.md §2.5).
+    """
+    from .kernels import pallas_unpack as PK
+
+    p = plans[0]
+    payloads, base, meta, nc, txp, tr_sub, rows = stack_plans_pallas_v5(plans)
+    f = len(plans)
+    rows_frame = nc * PK.SUBGROUPS_V5 * tr_sub * 4
+    h, w = p.height, p.width
+
+    def body(pay, base_l, meta_l):
+        fl = pay.shape[0]
+        pay2 = pay.reshape(fl * rows, 128)
+        shift = jnp.arange(fl, dtype=jnp.int32) * rows
+        base2 = (base_l + shift[:, None]).reshape(-1)
+        meta2 = meta_l.at[:, :, 0:2, :].add(
+            (shift * 128)[:, None, None, None]
+        )
+        meta2 = meta2.reshape(fl * nc, 8, meta_l.shape[3])
+        img3 = PK._unpack_image_pallas_v5.__wrapped__(
+            pay2, base2, meta2,
+            num_chunks=fl * nc, txp=txp, tr_sub=tr_sub, interpret=interpret,
+        )
+        img = img3.reshape(fl, rows_frame, txp * 64)
+        return img[:, :h, :w]
+
+    if mesh is None:
+        return jax.jit(body)(
+            jnp.asarray(payloads), jnp.asarray(base), jnp.asarray(meta)
+        )
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if f % n != 0:
+        raise ValueError(f"batch of {f} not divisible by {n} devices")
+    sharding = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, sharding) for a in (payloads, base, meta)]
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            # pallas_call's out_shape carries no varying-mesh-axes info.
+            check_vma=False,
+        )
+    )
+    return fn(*args)
+
+
 def decode_frames_batched(
     plans: list, modern: bool, mesh: Mesh | None = None, kernel: str = "auto"
 ):
     """Decode a batch of same-geometry frames in one device program.
 
-    With a mesh, inputs are placed with frame-batch sharding over the first
-    mesh axis and jit partitions the whole decode accordingly (SPMD, no
-    collectives needed — frames are independent). On a single accelerator,
-    the modern codec uses the fused Pallas kernel (frames concatenated into
-    one launch); the XLA path covers CPU and sharded meshes.
+    With a mesh, inputs are frame-batch sharded over the first mesh axis
+    (SPMD, no collectives — frames are independent). The modern codec uses
+    the fused Pallas v5 kernel both unsharded and per-shard under the mesh
+    (shard_map); the XLA path covers CPU and the legacy codec.
     """
+    platform = jax.devices()[0].platform
     use_pallas = modern and (
         kernel == "pallas"
-        or (
-            kernel == "auto"
-            and mesh is None
-            and jax.devices()[0].platform not in ("cpu",)
-        )
+        or (kernel == "auto" and platform not in ("cpu",))
     )
     if use_pallas:
         from .kernels import pallas_unpack as PK
 
+        if mesh is not None:
+            # Mosaic only compiles on TPU; CPU meshes (tests, dryrun) run
+            # the same shard_map path in interpret mode.
+            return decode_frames_pallas_mesh(
+                plans, mesh, interpret=platform == "cpu"
+            )
         return PK.decode_modern_pallas_batch_v5(plans)
 
     payloads, offsets, cls, refs = stack_plans(plans, modern)

@@ -118,14 +118,26 @@ class Decoder:
         from .kernels import unpack as U
 
         with self._stage("parse"):
-            payload, meta = self._reader.frame_payload(timestamp)
+            # The EOF window lets prep use the mmap itself as the padded
+            # payload buffer (zero-copy; see prepare_modern).
+            payload, window, meta = self._reader.frame_payload_window(
+                timestamp
+            )
             fm = FrameMetadata(meta)
             ct = fm.compression_type
             if ct == COMPRESSION_TYPE:
-                return U.prepare_modern(payload, fm.width, fm.height), meta, True
+                return (
+                    U.prepare_modern(
+                        payload, fm.width, fm.height, window=window
+                    ),
+                    meta,
+                    True,
+                )
             if ct == COMPRESSION_TYPE_LEGACY:
                 return (
-                    U.prepare_legacy(payload, fm.width, fm.height),
+                    U.prepare_legacy(
+                        payload, fm.width, fm.height, window=window
+                    ),
                     meta,
                     False,
                 )
@@ -181,18 +193,19 @@ class Decoder:
                     : plan.height, : plan.width
                 ]
             else:
-                payload2d, base_rows, pmeta, num_chunks, n = PL.prepare_chunked_legacy(
-                    plan
+                # v5: fused interleave — rows of finished pixel segments.
+                payload2d, base_rows, pmeta, num_chunks, segs = (
+                    PL.prepare_chunked_legacy_v5(plan)
                 )
-                vals = PL._unpack_legacy_pallas(
+                out = PL._unpack_legacy_pallas_v5(
                     jnp.asarray(payload2d),
                     jnp.asarray(base_rows),
                     jnp.asarray(pmeta),
                     num_chunks=num_chunks,
-                )[:n]
-                img = PL._interleave_packed(vals, plan.height, plan.padded_width)[
-                    :, : plan.width
-                ]
+                )
+                img = out[: plan.height * segs].reshape(
+                    plan.height, segs * 128
+                )[:, : plan.width]
             return img
         if modern:
             img = U.decode_modern_device(

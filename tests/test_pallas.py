@@ -68,6 +68,32 @@ class TestLegacyPallas:
         out = np.asarray(PL.decode_legacy_pallas(payload, 1000, 24, interpret=True))
         assert np.array_equal(out, img)
 
+    @pytest.mark.parametrize(
+        "shape", [(8, 96), (24, 1000), (5, 50), (16, 1920)]
+    )
+    def test_v5_fused_interleave(self, rng, shape):
+        """v5: 8 blocks/row -> 128 finished pixels, no epilogue."""
+        from mcraw.kernels import pallas_legacy as PL
+
+        h, w = shape
+        img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        out = np.asarray(
+            PL.decode_legacy_pallas_v5(payload, w, h, interpret=True)
+        )
+        assert np.array_equal(out, img)
+
+    def test_v5_bitwidths(self, rng):
+        from mcraw.kernels import pallas_legacy as PL
+
+        for maxv in (1, 255, 1023, 65535):
+            img = rng.integers(0, maxv + 1, size=(8, 96), dtype=np.uint16)
+            payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+            out = np.asarray(
+                PL.decode_legacy_pallas_v5(payload, 96, 8, interpret=True)
+            )
+            assert np.array_equal(out, img), maxv
+
 
 def test_pallas_batched_decode(rng):
     """Multi-frame single-launch decode (stacked chunks)."""

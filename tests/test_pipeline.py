@@ -140,6 +140,27 @@ def test_decode_batch_sharded_over_mesh(rng):
         assert np.array_equal(imgs[i], img)
 
 
+def test_pallas_kernel_under_mesh(rng):
+    """shard_map + fused Pallas kernel per shard (interpret on CPU): the
+    sharded batch path must not silently drop to the slow XLA kernel."""
+    from mcraw.parallel import decode_frames_pallas_mesh, default_mesh
+    from mcraw.kernels import unpack as U
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    imgs, plans = [], []
+    for _ in range(8):
+        img = rng.integers(0, 4096, size=(16, 256), dtype=np.uint16)
+        imgs.append(img)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        plans.append(U.prepare_modern(payload, 256, 16))
+    out = decode_frames_pallas_mesh(plans, default_mesh(), interpret=True)
+    assert len(out.sharding.device_set) == 8
+    out = np.asarray(out)
+    for i, img in enumerate(imgs):
+        assert np.array_equal(out[i], img)
+
+
 def test_decode_batch_uneven_mesh_raises(rng):
     from mcraw.parallel import default_mesh
 
