@@ -53,8 +53,14 @@ def export_clip(
     prefetch: int = 4,
     writers: int = 4,
     progress=None,
+    first_index: int = 0,
 ) -> ExportStats:
-    """Export frames to frame_NNNNNN.dng with a prepare/decode/write pipeline."""
+    """Export frames to frame_NNNNNN.dng with a prepare/decode/write pipeline.
+
+    first_index offsets the output numbering — multi-host clip sharding
+    gives each process a contiguous timestamp range plus its global start
+    index so shards assemble into one sequence (mcraw/distributed.py).
+    """
     os.makedirs(output_dir, exist_ok=True)
     if timestamps is None:
         timestamps = decoder.frames
@@ -75,7 +81,7 @@ def export_clip(
     )
 
     todo: list[tuple[int, int, str]] = []
-    for i, ts in enumerate(timestamps):
+    for i, ts in enumerate(timestamps, start=first_index):
         path = os.path.join(output_dir, f"frame_{i:06d}.dng")
         if resume and os.path.exists(path):
             stats.frames_skipped += 1
