@@ -482,6 +482,48 @@ def decode_legacy_pallas_v5(
     return img[:, : plan.width]
 
 
+def stack_chunked_legacy_v5(plans: list) -> tuple:
+    """Concatenate same-geometry frames into one v5 legacy launch."""
+    chunked = [prepare_chunked_legacy_v5(p) for p in plans]
+    nc, segs = chunked[0][3], chunked[0][4]
+    if any(c[3:] != (nc, segs) for c in chunked):
+        raise ValueError("frames in a batch must share geometry")
+    row_starts, total = [], 0
+    for p2d, *_ in chunked:
+        row_starts.append(total)
+        total += p2d.shape[0]
+    payload2d = np.concatenate([c[0] for c in chunked], axis=0)
+    base_rows = np.concatenate(
+        [c[1] + rs for c, rs in zip(chunked, row_starts)]
+    ).astype(np.int32)
+    metas = []
+    for c, rs in zip(chunked, row_starts):
+        m = c[2].copy()
+        m[:, 0:8] += rs * 512  # byte offsets shift with the payload rows
+        metas.append(m)
+    meta = np.concatenate(metas, axis=0)
+    return payload2d, base_rows, meta, nc * len(plans), segs
+
+
+def decode_legacy_pallas_batch_v5(plans: list, interpret: bool = False):
+    """(F, H, W) uint16 from same-geometry LegacyPlans in ONE launch."""
+    payload2d, base_rows, meta, num_chunks, segs = stack_chunked_legacy_v5(
+        plans
+    )
+    p = plans[0]
+    out = _unpack_legacy_pallas_v5(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        interpret=interpret,
+    )
+    rows_frame = out.shape[0] // len(plans)
+    out = out.reshape(len(plans), rows_frame, 128)[:, : p.height * segs]
+    img = out.reshape(len(plans), p.height, segs * 128)
+    return img[:, :, : p.width]
+
+
 def prepare_device_legacy_v5(plan: U.LegacyPlan):
     """Device-array tuple for callers that jit around the kernel."""
     payload2d, base_rows, meta, num_chunks, segs = prepare_chunked_legacy_v5(

@@ -612,7 +612,9 @@ _V5_IDX_CACHE: dict = {}
 
 
 def _v5_indices(ty: int, tx: int) -> dict:
-    c = _V5_IDX_CACHE.get((ty, tx))
+    # Keyed on the tunables too: benchmark sweeps monkeypatch them.
+    key = (ty, tx, SUBGROUPS_V5, TARGET_SG_V5)
+    c = _V5_IDX_CACHE.get(key)
     if c is not None:
         return c
     txp, tr_sub = v5_geometry(ty, tx)
@@ -651,7 +653,7 @@ def _v5_indices(ty: int, tx: int) -> dict:
         ),
         "span_rows": v5_chunk_span_rows(ty, tx),
     }
-    _V5_IDX_CACHE[(ty, tx)] = c
+    _V5_IDX_CACHE[key] = c
     return c
 
 

@@ -157,31 +157,154 @@ def decode_frames_pallas_mesh(
     return fn(*args)
 
 
+def decode_frame_sharded(
+    plan, mesh: Mesh, interpret: bool = False
+):
+    """Split ONE frame's decode across the mesh (SURVEY.md §5 long-context
+    analogue: context-parallel-like splitting of one long block sequence).
+
+    The v5 kernel's chunks map to disjoint image-row bands, so sharding the
+    chunk axis shards the output rows: device d runs the fused kernel over
+    its nc/n chunks against the replicated payload (its span DMAs only touch
+    its own chunks' byte ranges) and emits rows [d*R/n, (d+1)*R/n). The
+    result is an (encH_padded, txp*64) image row-sharded over the mesh — no
+    collectives; a consumer reading the full image gathers over ICI.
+    Returns the row-sharded device array cropped to (height, width).
+    """
+    from .kernels import pallas_unpack as PK
+
+    payload2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if nc % n != 0:
+        raise ValueError(f"{nc} chunks not divisible by {n} devices")
+    rows_chunk = PK.SUBGROUPS_V5 * tr_sub * 4
+
+    def body(pay, base_l, meta_l):
+        img3 = PK._unpack_image_pallas_v5.__wrapped__(
+            pay,
+            base_l,
+            meta_l,
+            num_chunks=nc // n,
+            txp=txp,
+            tr_sub=tr_sub,
+            interpret=interpret,
+        )
+        return img3.reshape(img3.shape[0], txp * 64)
+
+    sharded = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(payload2d, replicated),
+        jax.device_put(base_rows.reshape(nc, PK.SUBGROUPS_V5), sharded),
+        jax.device_put(meta, sharded),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            lambda pay, b, m: body(pay, b.reshape(-1), m),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    img = fn(*args)
+    return img[: plan.height, : plan.width]
+
+
+def decode_frames_legacy_mesh(
+    plans: list, mesh: Mesh | None, interpret: bool = False
+):
+    """Legacy twin of decode_frames_pallas_mesh: fused legacy v5 kernel per
+    shard, frame-local byte offsets rebased onto each shard's payload slab.
+    """
+    from .kernels import pallas_legacy as PL
+
+    p = plans[0]
+    chunked = [PL.prepare_chunked_legacy_v5(pl) for pl in plans]
+    nc, segs = chunked[0][3], chunked[0][4]
+    if any(c[3:] != (nc, segs) for c in chunked):
+        raise ValueError("frames in a batch must share geometry")
+    rows = max(c[0].shape[0] for c in chunked)
+    f = len(plans)
+    payloads = np.zeros((f, rows, 128), dtype=np.int32)
+    for i, c in enumerate(chunked):
+        payloads[i, : c[0].shape[0]] = c[0]
+    base = np.stack([c[1] for c in chunked])
+    meta = np.stack([c[2] for c in chunked])
+    b = meta.shape[3]
+    h, w = p.height, p.width
+
+    def body(pay, base_l, meta_l):
+        fl = pay.shape[0]
+        pay2 = pay.reshape(fl * rows, 128)
+        shift = jnp.arange(fl, dtype=jnp.int32) * rows
+        base2 = (base_l + shift[:, None]).reshape(-1)
+        meta2 = meta_l.at[:, :, 0:8, :].add(
+            (shift * 512)[:, None, None, None]
+        )
+        meta2 = meta2.reshape(fl * nc, 24, b)
+        out = PL._unpack_legacy_pallas_v5.__wrapped__(
+            pay2, base2, meta2, num_chunks=fl * nc, interpret=interpret
+        )
+        rows_frame = out.shape[0] // fl
+        out = out.reshape(fl, rows_frame, 128)[:, : h * segs]
+        return out.reshape(fl, h, segs * 128)[:, :, :w]
+
+    if mesh is None:
+        return jax.jit(body)(
+            jnp.asarray(payloads), jnp.asarray(base), jnp.asarray(meta)
+        )
+    axis = mesh.axis_names[0]
+    if f % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch of {f} not divisible by {mesh.devices.size} devices"
+        )
+    sharding = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, sharding) for a in (payloads, base, meta)]
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return fn(*args)
+
+
 def decode_frames_batched(
     plans: list, modern: bool, mesh: Mesh | None = None, kernel: str = "auto"
 ):
     """Decode a batch of same-geometry frames in one device program.
 
     With a mesh, inputs are frame-batch sharded over the first mesh axis
-    (SPMD, no collectives — frames are independent). The modern codec uses
-    the fused Pallas v5 kernel both unsharded and per-shard under the mesh
-    (shard_map); the XLA path covers CPU and the legacy codec.
+    (SPMD, no collectives — frames are independent). Both codecs use their
+    fused Pallas v5 kernels, unsharded and per-shard under the mesh
+    (shard_map); the XLA path covers CPU and explicit kernel='xla'.
     """
     platform = jax.devices()[0].platform
-    use_pallas = modern and (
-        kernel == "pallas"
-        or (kernel == "auto" and platform not in ("cpu",))
+    use_pallas = kernel == "pallas" or (
+        kernel == "auto" and platform not in ("cpu",)
     )
     if use_pallas:
-        from .kernels import pallas_unpack as PK
+        interpret = platform == "cpu"  # Mosaic compiles on TPU only
+        if modern:
+            from .kernels import pallas_unpack as PK
+
+            if mesh is not None:
+                return decode_frames_pallas_mesh(
+                    plans, mesh, interpret=interpret
+                )
+            return PK.decode_modern_pallas_batch_v5(
+                plans, interpret=interpret
+            )
+        from .kernels import pallas_legacy as PL
 
         if mesh is not None:
-            # Mosaic only compiles on TPU; CPU meshes (tests, dryrun) run
-            # the same shard_map path in interpret mode.
-            return decode_frames_pallas_mesh(
-                plans, mesh, interpret=platform == "cpu"
-            )
-        return PK.decode_modern_pallas_batch_v5(plans)
+            return decode_frames_legacy_mesh(plans, mesh, interpret=interpret)
+        return PL.decode_legacy_pallas_batch_v5(plans, interpret=interpret)
 
     payloads, offsets, cls, refs = stack_plans(plans, modern)
     fn = batched_decoder(plans[0], modern)

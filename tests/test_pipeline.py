@@ -161,6 +161,61 @@ def test_pallas_kernel_under_mesh(rng):
         assert np.array_equal(out[i], img)
 
 
+def test_legacy_pallas_under_mesh(rng):
+    """Legacy codec's fused kernel per shard under the mesh (interpret)."""
+    from mcraw.parallel import decode_frames_legacy_mesh, default_mesh
+    from mcraw.kernels import unpack as U
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    imgs, plans = [], []
+    for _ in range(8):
+        img = rng.integers(0, 4096, size=(16, 96), dtype=np.uint16)
+        imgs.append(img)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        plans.append(U.prepare_legacy(payload, 96, 16))
+    out = decode_frames_legacy_mesh(plans, default_mesh(), interpret=True)
+    assert len(out.sharding.device_set) == 8
+    out = np.asarray(out)
+    for i, img in enumerate(imgs):
+        assert np.array_equal(out[i], img)
+
+
+def test_legacy_pallas_batch(rng):
+    from mcraw.kernels import pallas_legacy as PL
+    from mcraw.kernels import unpack as U
+
+    imgs, plans = [], []
+    for _ in range(3):
+        img = rng.integers(0, 4096, size=(8, 200), dtype=np.uint16)
+        imgs.append(img)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        plans.append(U.prepare_legacy(payload, 200, 8))
+    out = np.asarray(PL.decode_legacy_pallas_batch_v5(plans, interpret=True))
+    for i, img in enumerate(imgs):
+        assert np.array_equal(out[i], img)
+
+
+def test_single_frame_sharded_across_devices(rng):
+    """SURVEY.md §5 long-context analogue: ONE frame's chunk/block range
+    split across mesh devices, output row-sharded (interpret on CPU)."""
+    from jax.sharding import Mesh
+    from mcraw.parallel import decode_frame_sharded
+    from mcraw.kernels import unpack as U, pallas_unpack as PK
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    h, w = 256, 2752  # tr_sub=1 -> 4 chunks of 16 tile-rows each
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    plan = U.prepare_modern(payload, w, h)
+    assert PK.prepare_chunked_v5(plan)[3] == 4  # chunks == devices
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    out = decode_frame_sharded(plan, mesh, interpret=True)
+    assert len(out.sharding.device_set) == 4
+    assert np.array_equal(np.asarray(out), img)
+
+
 def test_decode_batch_uneven_mesh_raises(rng):
     from mcraw.parallel import default_mesh
 
