@@ -152,7 +152,25 @@ def bench_reference_cpu(payloads):
 
 
 def main():
+    import contextlib
+    import os
+
     imgs, payloads = make_frames()
+
+    # MCRAW_TRACE_DIR=/path captures a jax.profiler device trace of the
+    # measured bursts (observe.device_trace; inspect with TensorBoard).
+    trace_dir = os.environ.get("MCRAW_TRACE_DIR")
+    trace = contextlib.nullcontext()
+    if trace_dir:
+        sys.path.insert(0, ".")
+        from mcraw.observe import device_trace
+
+        trace = device_trace(trace_dir)
+    with trace:
+        _run(imgs, payloads)
+
+
+def _run(imgs, payloads):
     try:
         fps = bench_tpu(imgs, payloads)
     except Exception as e:

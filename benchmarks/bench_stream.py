@@ -76,23 +76,23 @@ def main():
     d = Decoder(clip, backend="jax")
     frames = d.frames
 
-    @functools.partial(jax.jit, static_argnames=("nc", "txp", "tr_sub"))
-    def step(p2d, br, meta, *, nc, txp, tr_sub):
-        img3 = PK._unpack_image_pallas_v5.__wrapped__(
-            p2d, br, meta, num_chunks=nc, txp=txp, tr_sub=tr_sub
+    # v6 path: host = serial scans only; offsets/meta built on-device.
+    @functools.partial(jax.jit, static_argnames=("ty", "tx"))
+    def step(p32, bits, refs, *, ty, tx):
+        im = PK.decode_modern_device_v6.__wrapped__(
+            p32, bits, refs, ty=ty, tx=tx, height=H, width=W
         )
-        im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
         return im.astype(jnp.uint32).sum()
 
     def prep_host(ts):
-        plan, meta, modern = d._plan(ts)
-        return PK.prepare_chunked_v5(plan)
+        payload, window, meta = d._reader.frame_payload_window(ts)
+        return PK.prepare_modern_light(payload, W, H, window=window)
 
     def prep_device(ts):
-        p2d, br, m, nc, txp, tr_sub = prep_host(ts)
+        p32, bits, refs, ty, tx = prep_host(ts)
         return (
-            jax.device_put(p2d), jax.device_put(br), jax.device_put(m),
-            nc, txp, tr_sub,
+            jax.device_put(p32), jax.device_put(bits), jax.device_put(refs),
+            ty, tx,
         )
 
     # --- leg 1: host prep rate (threaded, no device) ---------------------
@@ -106,12 +106,12 @@ def main():
         print(f"host prep x{workers}: {FRAMES/dt:.1f} fps", flush=True)
 
     # --- leg 2: H2D bandwidth through this link ---------------------------
-    chunked = prep_host(frames[0])
-    nbytes = chunked[0].nbytes + chunked[2].nbytes
+    light = prep_host(frames[0])
+    nbytes = light[0].nbytes + light[1].nbytes + light[2].nbytes
     t0 = time.perf_counter()
     n = 3
     for _ in range(n):
-        a = (jax.device_put(chunked[0]), jax.device_put(chunked[2]))
+        a = tuple(jax.device_put(x) for x in light[:3])
         jax.block_until_ready(a)
     dt = (time.perf_counter() - t0) / n
     results["h2d_gbps"] = round(nbytes / dt / 1e9, 4)
@@ -122,8 +122,8 @@ def main():
     staged = [prep_device(ts) for ts in frames[:UNIQUE]]
     for a in staged:
         jax.block_until_ready(a[:3])
-    run = lambda i: step(*staged[i % UNIQUE][:3], nc=staged[0][3],
-                         txp=staged[0][4], tr_sub=staged[0][5])
+    run = lambda i: step(*staged[i % UNIQUE][:3], ty=staged[0][3],
+                         tx=staged[0][4])
     for i in range(UNIQUE):
         assert int(jax.block_until_ready(run(i))) == expected[i]
     iters = 90
@@ -145,7 +145,7 @@ def main():
     with ThreadPoolExecutor(max_workers=4) as pool:
         t0 = time.perf_counter()
         for a in pool.map(prep_device, frames):
-            o = step(*a[:3], nc=a[3], txp=a[4], tr_sub=a[5])
+            o = step(*a[:3], ty=a[3], tx=a[4])
             acc = o if acc is None else acc + o
         total = int(acc)
         dt = time.perf_counter() - t0

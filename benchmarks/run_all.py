@@ -212,6 +212,42 @@ def main():
     results["configs"]["legacy_1080p"] = cfg
     print(json.dumps({"legacy_1080p": cfg}), flush=True)
 
+    # Fused decode -> develop preview (BASELINE config 5), 4K on-device.
+    if on_tpu:
+        from mcraw import preview
+
+        h, w = 3072, 4096
+        img = make_frame(h, w)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        p32, bits, refs, ty, tx = PK.prepare_modern_light(payload, w, h)
+        pa = tuple(map(jax.device_put, (p32, bits, refs)))
+        cfa = (0, 1, 1, 2)
+        black = jnp.zeros(4, jnp.uint16)
+        white = jnp.float32(4095.0)
+        neutral = jnp.ones(3, jnp.float32)
+        fwd = jnp.asarray(np.diag([0.9642, 1.0, 0.8249]).astype(np.float32))
+
+        @functools.partial(jax.jit, static_argnames=("ty", "tx"))
+        def prev_sum(p32, bits, refs, *, ty, tx):
+            im = PK.decode_modern_device_v6.__wrapped__(
+                p32, bits, refs, ty=ty, tx=tx, height=h, width=w
+            )
+            rgb = preview.develop.__wrapped__(
+                im, black, white, neutral, fwd, height=h, width=w, cfa=cfa
+            )
+            return rgb.astype(jnp.uint32).sum()
+
+        runv = lambda: prev_sum(*pa, ty=ty, tx=tx)
+        want_prev = int(jax.block_until_ready(runv()))  # self-consistency
+        dt = timeit_dev(runv, want_prev, n=60)
+        results["configs"]["preview_4k"] = {
+            "shape": [h, w],
+            "decode_develop_ms": round(dt * 1e3, 3),
+            "fps": round(1 / dt, 1),
+        }
+        print(json.dumps({"preview_4k": results["configs"]["preview_4k"]}),
+              flush=True)
+
     out = Path(__file__).with_name("results.json")
     out.write_text(json.dumps(results, indent=2))
     print("wrote", out)

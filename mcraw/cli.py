@@ -38,7 +38,11 @@ def _cmd_decode(args: argparse.Namespace) -> int:
 
 def _decode_body(args: argparse.Namespace) -> int:
     try:
-        d = Decoder(args.input, backend=args.backend)
+        d = Decoder(
+            args.input,
+            backend=args.backend,
+            kernel=getattr(args, "kernel", "auto"),
+        )
         frames = d.frames
         container_metadata = d.container_metadata
 
@@ -199,6 +203,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="number of frames to export")
     p.add_argument("--output-dir", default=".")
     p.add_argument("--backend", default="auto", choices=("auto", "jax", "numpy"))
+    p.add_argument("--kernel", default="auto", choices=("auto", "pallas", "xla"),
+                   help="device kernel choice for the JAX backend")
     p.add_argument("--batch", action="store_true",
                    help="decode frames in batched device programs")
     p.add_argument("--batch-frames", type=int, default=16,

@@ -19,6 +19,7 @@ Layout (Decoder.cpp:116-151, 237-315):
 
 from __future__ import annotations
 
+import io
 import json
 import mmap
 import struct
@@ -74,28 +75,44 @@ class ContainerReader:
     """Parses an .mcraw container; the Python analogue of Decoder::init.
 
     Random access is O(1) via the EOF index (Decoder.cpp:237-264). Accepts a
-    path or raw bytes. Thread-safe for reads (no shared cursor; all reads are
-    absolute offsets into the mmap).
+    path, raw bytes, or an open binary file object (the analogue of the
+    reference's FILE* constructor, Decoder.hpp:49-50) — real files are
+    mmapped, non-seekable streams are read fully. Thread-safe for reads (no
+    shared cursor; all reads are absolute offsets into the mmap).
     """
 
-    def __init__(self, source: str | bytes | bytearray | memoryview):
+    def __init__(self, source):
+        self._file: BinaryIO | None = None
         if isinstance(source, str):
             try:
-                self._file: BinaryIO | None = open(source, "rb")
+                self._file = open(source, "rb")
             except OSError as e:
                 raise IOException(f"Failed to open {source}") from e
-            try:
-                self._buf: memoryview = memoryview(
-                    mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
-                )
-            except (ValueError, OSError) as e:  # empty file etc.
-                self._file.close()
-                raise IOException(f"Failed to open {source}: {e}") from e
-        else:
-            self._file = None
+            self._buf = self._mmap_or_fail(self._file, source)
+        elif isinstance(source, (bytes, bytearray, memoryview)):
             self._buf = memoryview(bytes(source))
+        elif hasattr(source, "read"):  # file object (Decoder.hpp:50)
+            try:
+                self._buf = memoryview(
+                    mmap.mmap(source.fileno(), 0, access=mmap.ACCESS_READ)
+                )
+            except (ValueError, OSError, AttributeError, io.UnsupportedOperation):
+                try:
+                    self._buf = memoryview(source.read())
+                except OSError as e:
+                    raise IOException(f"Failed to read stream: {e}") from e
+        else:
+            raise IOException(f"Unsupported source type {type(source)!r}")
         self._data = np.frombuffer(self._buf, dtype=np.uint8)
         self._init()
+
+    @staticmethod
+    def _mmap_or_fail(f, name: str) -> memoryview:
+        try:
+            return memoryview(mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ))
+        except (ValueError, OSError) as e:  # empty file etc.
+            f.close()
+            raise IOException(f"Failed to open {name}: {e}") from e
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -653,6 +653,22 @@ def _v5_indices(ty: int, tx: int) -> dict:
         ),
         "span_rows": v5_chunk_span_rows(ty, tx),
     }
+    # Device-prep permutation matrices: block order (txi, q, c) -> kernel-row
+    # order (q, txi) per tile-row, as one-hot matmuls (exact in fp32 HIGHEST;
+    # XLA's minor-dim-2 slicing/transposes cost ~1.1ms/frame on TPU).
+    # perm_off_* route dummy lanes (txi >= tx) to the band's first pair;
+    # perm_meta_* leave them zero (class 0 / ref 0).
+    for cc in (0, 1):
+        p_off = np.zeros((trb, 2 * txp), dtype=np.float32)
+        p_meta = np.zeros((trb, 2 * txp), dtype=np.float32)
+        for q in range(2):
+            for txi in range(txp):
+                dst = q * txp + txi
+                p_off[4 * (txi if txi < tx else 0) + 2 * q + cc, dst] = 1.0
+                if txi < tx:
+                    p_meta[4 * txi + 2 * q + cc, dst] = 1.0
+        c[f"perm_off_{cc}"] = p_off
+        c[f"perm_meta_{cc}"] = p_meta
     _V5_IDX_CACHE[key] = c
     return c
 
@@ -768,6 +784,202 @@ def decode_modern_pallas_batch_v5(plans: list, interpret: bool = False):
     rows_frame = img3.shape[0] // len(plans)
     img = img3.reshape(len(plans), rows_frame, txp * 64)
     return img[:, : p.height, : p.width]
+
+
+# -----------------------------------------------------------------------------
+# v6 = v5 kernel + DEVICE-SIDE prep: everything after the two serial host
+# scans (bits/refs streams) moves into the jit program — class/length
+# mapping, the block-offset prefix sum, and the kernel-row meta layout. The
+# meta layout is pure reshapes/transposes/pads (the (t,q,txi) kernel-row
+# order is a transpose of the (t,txi,q,c) block order), so no big gathers.
+# Host cost per frame drops to: native scans (~0.2ms) + a bucketed
+# (recompile-bounded) zero-copy payload upload. This is what makes sustained
+# streaming device-bound instead of host-bound.
+# -----------------------------------------------------------------------------
+
+PAYLOAD_BUCKET_ROWS = 4096  # 2MB H2D buckets bound jit recompiles
+
+
+def _cls_from_bits(b):
+    """bits (clamped 0..16) -> MODERN_CLASSES row index, branch-free.
+
+    Mirrors tables.MODERN_CLASS_INDEX: 0..6 -> itself, 7/8 -> 7 (class 8),
+    9/10 -> 8 (class 10), 11..16 -> 9 (class 16).
+    """
+    return jnp.where(b <= 6, b, jnp.where(b <= 8, 7, jnp.where(b <= 10, 8, 9)))
+
+
+def _len_from_bits(b):
+    """tables.MODERN_BLOCK_LENGTH as arithmetic (payload bytes per block)."""
+    return jnp.where(
+        b <= 6, 8 * b, jnp.where(b <= 8, 64, jnp.where(b <= 10, 80, 128))
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ty", "tx", "height", "width", "interpret")
+)
+def decode_modern_device_v6(
+    p32: jnp.ndarray,  # (rows_bucketed * 128,) int32 payload words
+    bits: jnp.ndarray,  # (nblk,) uint16 raw stream values
+    refs: jnp.ndarray,  # (nblk,) uint16
+    *,
+    ty: int,
+    tx: int,
+    height: int,
+    width: int,
+    interpret: bool = False,
+):
+    """Full modern decode with on-device prep + the fused v5 kernel."""
+    geo = _v5_indices(ty, tx)
+    txp, tr_sub, nc, bp = geo["txp"], geo["tr_sub"], geo["num_chunks"], geo["bp"]
+    trb = 4 * tx
+    ty_pad = geo["nblk"] // trb
+    nblk = ty * trb
+
+    b = jnp.minimum(bits.astype(jnp.int32), 16)
+    cls = _cls_from_bits(b)
+    lengths = _len_from_bits(b)
+    # Exclusive prefix sum on the MXU: jnp.cumsum lowers to a scan that
+    # costs ~0.7ms at 200k elements; two triangular matmuls are exact
+    # (level 1: values <= 128 in bf16; level 2: row totals <= 16384 in
+    # fp32 HIGHEST) and effectively free.
+    padn = (-nblk) % (128 * 128)
+    lp = (
+        jnp.concatenate([lengths, jnp.zeros(padn, jnp.int32)])
+        if padn
+        else lengths
+    )
+    x = lp.reshape(-1, 128)  # (R, 128), R <= 128 * ceil(nblk/16384) blocks
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    within = jnp.dot(
+        x.astype(jnp.bfloat16),
+        tri.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    rt = within[:, -1].reshape(-1, 128).astype(jnp.float32)  # (R/128, 128)
+    w2 = jnp.dot(
+        rt, tri, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    row_excl = (w2 - rt.astype(jnp.int32)).reshape(-1, 1)  # per-row base
+    # rows of 16384-element super-blocks still need the super-block bases
+    sb = w2[:, -1]  # (S,) super-block totals, S small
+    sb_excl = jnp.cumsum(sb) - sb  # tiny (<= a few dozen rows)
+    base = (row_excl.reshape(w2.shape) + sb_excl[:, None]).reshape(-1, 1)
+    inclusive = (within + base).reshape(-1)[:nblk]
+    offs = 16 + inclusive - lengths
+    offs_w = offs >> 2
+    ref32 = refs.astype(jnp.int32)
+
+    pad_t = ty_pad * trb - nblk
+    if pad_t:
+        offs_w = jnp.concatenate(
+            [offs_w, jnp.broadcast_to(offs_w[-1:], (pad_t,))]
+        )
+        cls = jnp.concatenate([cls, jnp.zeros(pad_t, jnp.int32)])
+        ref32 = jnp.concatenate([ref32, jnp.zeros(pad_t, jnp.int32)])
+
+    # Block order (t, txi, q, c) -> kernel-row order (t, q, txi) as exact
+    # one-hot matmuls (values < 2^24; fp32 HIGHEST). XLA's native form of
+    # this permutation (minor-dim-2 slices + transposes) costs ~1.1ms/frame.
+    hi = jax.lax.Precision.HIGHEST
+
+    def bands(arr, pkey):
+        x = arr.reshape(ty_pad, trb).astype(jnp.float32)
+        y = jnp.dot(
+            x,
+            jnp.asarray(geo[pkey]),
+            precision=hi,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        return y.reshape(nc, bp)
+
+    meta = jnp.stack(
+        [
+            bands(offs_w, "perm_off_0"),
+            bands(offs_w, "perm_off_1"),
+            bands(cls, "perm_meta_0"),
+            bands(cls, "perm_meta_1"),
+            bands(ref32, "perm_meta_0"),
+            bands(ref32, "perm_meta_1"),
+            jnp.zeros((nc, bp), jnp.int32),
+            jnp.zeros((nc, bp), jnp.int32),
+        ],
+        axis=1,
+    )  # (nc, 8, bp)
+
+    base_rows = offs_w[jnp.asarray(geo["base_idx"], dtype=jnp.int32)] >> 7
+
+    # prepare_modern_light buckets the payload with the chunk-span overhang
+    # included, so no device-side pad copy is needed.
+    payload2d = p32.reshape(-1, 128)
+
+    img3 = _unpack_image_pallas_v5.__wrapped__(
+        payload2d,
+        base_rows,
+        meta,
+        num_chunks=nc,
+        txp=txp,
+        tr_sub=tr_sub,
+        interpret=interpret,
+    )
+    img = img3.reshape(img3.shape[0], txp * 64)
+    return img[:height, :width]
+
+
+def prepare_modern_light(
+    payload: np.ndarray,
+    width: int,
+    height: int,
+    window: np.ndarray | None = None,
+):
+    """Minimal host prep for the v6 device-prep path.
+
+    Runs only the format's serial scans + validation; returns
+    (p32, bits, refs, ty, tx) where p32 is the payload as int32 words,
+    bucketed to PAYLOAD_BUCKET_ROWS (zero-copy from `window` when it covers
+    the bucket).
+    """
+    from . import numpy_ref as R
+    from .native import decode_metadata_stream
+    from ..errors import DecodeError
+
+    payload = np.asarray(payload, dtype=np.uint8)
+    n = len(payload)
+    enc_w, enc_h, bits_off, refs_off = R.read_metadata_header(payload)
+    if bits_off > n or refs_off > n:
+        raise DecodeError("metadata offsets out of bounds")
+    if enc_w % T.MODERN_BLOCK != 0:
+        raise DecodeError("encoded width not a multiple of 64")
+    if enc_w < width:
+        raise DecodeError("encoded width smaller than width")
+
+    bits, _ = decode_metadata_stream(payload, bits_off)
+    refs, _ = decode_metadata_stream(payload, refs_off)
+    ty, tx, nblk = R.modern_block_geometry(enc_w, enc_h)
+    if len(bits) < nblk or len(refs) < nblk:
+        raise DecodeError("metadata streams shorter than block count")
+    bits, refs = bits[:nblk], refs[:nblk]
+    total = int(
+        T.MODERN_BLOCK_LENGTH[np.minimum(bits.astype(np.int64), 16)].sum()
+    )
+    if 16 + total > n:
+        raise DecodeError("main data truncated")
+
+    # Bucket includes the kernel's worst-case last-chunk DMA overhang so the
+    # device consumes the buffer as-is (no pad copy anywhere).
+    span = (v5_chunk_span_rows(ty, tx) + 8) * 512
+    bucket = PAYLOAD_BUCKET_ROWS * 512
+    need = n + span
+    need += (-need) % bucket
+    if window is not None and len(window) >= need:
+        buf = np.asarray(window[:need], dtype=np.uint8)
+    else:
+        buf = np.zeros(need, dtype=np.uint8)
+        buf[:n] = payload
+    p32 = buf.view("<i4")
+    return p32, bits, refs, ty, tx
 
 
 def _unpack_kernel_v2(

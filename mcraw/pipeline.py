@@ -36,8 +36,10 @@ AudioChunk = tuple[int, np.ndarray]  # (timestampNs or -1, interleaved int16)
 
 
 class Decoder:
-    def __init__(self, source: str | bytes, backend: str = "auto", kernel: str = "auto"):
-        """backend: 'auto' (TPU/JAX if importable, else NumPy), 'jax', 'numpy'.
+    def __init__(self, source, backend: str = "auto", kernel: str = "auto"):
+        """source: path, raw bytes, or open binary file object (the analogue
+        of the reference's path/FILE* constructors, Decoder.hpp:49-50).
+        backend: 'auto' (TPU/JAX if importable, else NumPy), 'jax', 'numpy'.
         kernel: 'auto' (Pallas on accelerators, XLA elsewhere), 'pallas', 'xla'.
         """
         self._reader = ContainerReader(source)
@@ -163,9 +165,45 @@ class Decoder:
 
     def load_frame_device(self, timestamp: int):
         """Decode one frame on the accelerator; result stays in device HBM."""
+        if self._use_pallas():
+            import jax
+
+            if jax.devices()[0].platform != "cpu":
+                fast = self._load_frame_v6(timestamp)
+                if fast is not None:
+                    return fast
         plan, meta, modern = self._plan(timestamp)
         with self._stage("unpack"):
             return self._dispatch_device(plan, modern), meta
+
+    def _load_frame_v6(self, timestamp: int):
+        """Device-prep fast path (modern codec only): host runs just the
+        serial scans, the jit program builds offsets/meta and decodes."""
+        import jax.numpy as jnp
+
+        from .kernels import pallas_unpack as PK
+
+        with self._stage("parse"):
+            payload, window, meta = self._reader.frame_payload_window(
+                timestamp
+            )
+            fm = FrameMetadata(meta)
+            if fm.compression_type != COMPRESSION_TYPE:
+                return None  # legacy falls back to the plan path
+            p32, bits, refs, ty, tx = PK.prepare_modern_light(
+                payload, fm.width, fm.height, window=window
+            )
+        with self._stage("unpack"):
+            img = PK.decode_modern_device_v6(
+                jnp.asarray(p32),
+                jnp.asarray(bits),
+                jnp.asarray(refs),
+                ty=ty,
+                tx=tx,
+                height=fm.height,
+                width=fm.width,
+            )
+        return img, meta
 
     def _dispatch_device(self, plan, modern: bool):
         import jax.numpy as jnp
@@ -173,9 +211,14 @@ class Decoder:
         from .kernels import unpack as U
 
         if self._use_pallas():
+            import jax
+
             from .kernels import pallas_unpack as PK
             from .kernels import pallas_legacy as PL
 
+            # Mosaic compiles on TPU only; kernel='pallas' elsewhere runs
+            # the same kernels through the Pallas interpreter.
+            interpret = jax.devices()[0].platform == "cpu"
             if modern:
                 # v5: fused de-interleave — the kernel emits image rows.
                 payload2d, base_rows, pmeta, num_chunks, txp, tr_sub = (
@@ -188,6 +231,7 @@ class Decoder:
                     num_chunks=num_chunks,
                     txp=txp,
                     tr_sub=tr_sub,
+                    interpret=interpret,
                 )
                 img = img3.reshape(img3.shape[0], txp * 64)[
                     : plan.height, : plan.width
@@ -202,6 +246,7 @@ class Decoder:
                     jnp.asarray(base_rows),
                     jnp.asarray(pmeta),
                     num_chunks=num_chunks,
+                    interpret=interpret,
                 )
                 img = out[: plan.height * segs].reshape(
                     plan.height, segs * 128

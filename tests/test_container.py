@@ -43,6 +43,25 @@ def test_open_and_enumerate(rng):
     assert cm.cfa_pattern == bytes((0, 1, 1, 2))
 
 
+def test_open_from_file_object(rng, tmp_path):
+    """FILE*-constructor analogue (Decoder.hpp:49-50): real file objects
+    mmap; non-seekable streams are read fully."""
+    import io
+
+    blob, frames = build_clip(rng)
+    p = tmp_path / "clip.mcraw"
+    p.write_bytes(blob)
+    with open(p, "rb") as f:
+        r = ContainerReader(f)
+        assert r.frames == [1000, 1033, 1066]
+        payload, meta = r.frame_payload(1000)
+        assert meta["width"] == 64
+    r2 = ContainerReader(io.BytesIO(blob))  # no fileno -> read() path
+    assert r2.frames == [1000, 1033, 1066]
+    with pytest.raises(IOException):
+        ContainerReader(12345)
+
+
 def test_frame_payload_roundtrip(rng):
     from mcraw.kernels import numpy_ref as R
 

@@ -135,6 +135,35 @@ def test_pallas_v5_mixed_classes(rng):
     assert np.array_equal(out, img)
 
 
+@pytest.mark.parametrize("shape", [(16, 256), (8, 100), (64, 2048)])
+def test_pallas_v6_device_prep(rng, shape):
+    """v6: offsets/meta built on-device from the raw scan outputs."""
+    import jax.numpy as jnp
+
+    h, w = shape
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    p32, bits, refs, ty, tx = PK.prepare_modern_light(payload, w, h)
+    out = np.asarray(
+        PK.decode_modern_device_v6(
+            jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
+            ty=ty, tx=tx, height=h, width=w, interpret=True,
+        )
+    )
+    assert np.array_equal(out, img)
+
+
+def test_prepare_modern_light_validation(rng):
+    from mcraw.errors import DecodeError
+
+    img = rng.integers(0, 65536, size=(8, 64), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    with pytest.raises(DecodeError):
+        PK.prepare_modern_light(payload[: len(payload) // 2], 64, 8)
+    with pytest.raises(DecodeError):
+        PK.prepare_modern_light(payload, 128, 8)  # width > encodedWidth
+
+
 def test_pallas_v5_batched(rng):
     from mcraw.kernels import unpack as U
 

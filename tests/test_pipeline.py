@@ -246,14 +246,11 @@ def test_decode_clips_multi(rng):
             assert np.array_equal(imgs[c, f], frames[c][f])
 
 
-def test_load_frame_device_pallas_kernel(rng):
-    """kernel='pallas' path (interpret-compatible on CPU via interpret flag is
-    not plumbed here; on CPU the real pallas_call still lowers through the
-    Mosaic CPU path for these ops)."""
-    blob, frames = make_clip(rng, num_frames=1)
+@pytest.mark.parametrize("codec", [7, 6])
+def test_load_frame_device_pallas_kernel(rng, codec):
+    """kernel='pallas' works everywhere: Mosaic on TPU, the Pallas
+    interpreter elsewhere (both codecs' v5 kernels)."""
+    blob, frames = make_clip(rng, num_frames=1, codec=codec)
     d = Decoder(blob, backend="jax", kernel="pallas")
-    try:
-        img, _ = d.load_frame_device(d.frames[0])
-    except Exception:
-        pytest.skip("pallas kernel not supported on this test platform")
+    img, _ = d.load_frame_device(d.frames[0])
     assert np.array_equal(np.asarray(img), frames[0])
