@@ -57,6 +57,7 @@ def main():
         print(f"{tag}: {best*1e3:.3f} ms = {1.0/best:.1f} fps", flush=True)
 
     trb = 4 * plans[0].tiles_x  # 256 at 4K
+    saved = (PK.SUBGROUPS_V5, PK.TARGET_SG_V5)
 
     for sub, tr in [(32, 1), (24, 1), (48, 1), (64, 1)]:
         PK.SUBGROUPS_V5 = sub
@@ -87,6 +88,10 @@ def main():
         except Exception as e:
             print(f"sub{sub}_tr{tr}: FAILED {e!r}", flush=True)
             results[f"sub{sub}_tr{tr}"] = {"error": str(e)[:200]}
+
+    # Restore the tunables: jit caches are keyed on shapes, not on these
+    # globals, so leaving them changed can serve stale-compiled kernels.
+    PK.SUBGROUPS_V5, PK.TARGET_SG_V5 = saved
 
     with open("/root/repo/benchmarks/sweep_v5b.json", "w") as f:
         json.dump(results, f, indent=1)

@@ -86,6 +86,9 @@ def _decode_body(args: argparse.Namespace) -> int:
                 print(f"throughput: {stats.throughput}", file=sys.stderr)
             return 0
 
+        if args.batch and args.batch_frames <= 0:
+            print("Error: --batch-frames must be positive", file=sys.stderr)
+            return -1
         if args.batch and d.backend != "jax":
             print("warning: --batch needs the JAX backend; decoding per-frame",
                   file=sys.stderr)

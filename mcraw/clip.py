@@ -119,16 +119,18 @@ def export_clip(
         if progress is not None:
             progress(i, path)
 
-    with ThreadPoolExecutor(max_workers=max(1, prefetch)) as prep_pool, \
-            ThreadPoolExecutor(max_workers=max(1, writers)) as write_pool:
-        prepared = prep_pool.map(prepare, todo)
-        list(write_pool.map(write, prepared))
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, prefetch)) as prep_pool, \
+                ThreadPoolExecutor(max_workers=max(1, writers)) as write_pool:
+            prepared = prep_pool.map(prepare, todo)
+            list(write_pool.map(write, prepared))
+    finally:
+        if decoder.timer is timer:
+            decoder.timer = None
 
     stats.wall_seconds = time.perf_counter() - t0
     stats.stage_timing = timer.summary()
     stats.throughput = thr.summary()
-    if decoder.timer is timer:
-        decoder.timer = None
     timer.log()
     log_event(
         "export_clip_done",

@@ -112,6 +112,17 @@ def decode_batch_global_mesh(decoder, timestamps: list[int], mesh):
         raise ValueError(
             f"batch of {f} not divisible by {mesh.devices.size} devices"
         )
+    # Each process contributes a CONTIGUOUS timestamp slice, which is only
+    # correct if the mesh's device order is process-major (e.g.
+    # Mesh(np.array(jax.devices()), ...)). Topology-reordered meshes
+    # (mesh_utils.create_device_mesh) interleave processes and would
+    # silently misplace frames — reject them.
+    proc_order = [d.process_index for d in mesh.devices.flat]
+    if proc_order != sorted(proc_order):
+        raise ValueError(
+            "mesh devices must be process-major (contiguous per process); "
+            "build it from jax.devices() order"
+        )
 
     # This process's frame rows (contiguous: mesh axis is process-major).
     pi, pc = jax.process_index(), jax.process_count()

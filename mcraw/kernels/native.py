@@ -42,9 +42,24 @@ def _find_ext() -> Path | None:
         finally:
             sys.path.pop(0)
         return build()
-    except Exception:
+    except Exception as e:
+        # Build unavailable (no toolchain / read-only tree). Only fall back
+        # to an existing binary if its stamp matches the current source;
+        # a stale .so could silently diverge from the Python reference.
         p = root / "libmcraw_host.so"
-        return p if p.exists() else None
+        stamp = root / ".build_stamp"
+        src = root / "mcraw_host.cpp"
+        if p.exists() and stamp.exists() and src.exists():
+            import hashlib
+            import logging
+
+            if stamp.read_text() == hashlib.sha256(src.read_bytes()).hexdigest():
+                return p
+            logging.getLogger("mcraw").warning(
+                "native build failed (%s) and libmcraw_host.so is stale; "
+                "using the pure-Python scans", e,
+            )
+        return None
 
 
 def get_lib():

@@ -970,15 +970,19 @@ def prepare_modern_light(
     # Bucket includes the kernel's worst-case last-chunk DMA overhang so the
     # device consumes the buffer as-is (no pad copy anywhere).
     span = (v5_chunk_span_rows(ty, tx) + 8) * 512
+    # The device-prep permutation matmuls are exact only while word offsets
+    # stay below 2^24 (fp32 integer range); past that (payload >= 64 MiB)
+    # callers must use the integer host-prep path (prepare_chunked_v5).
+    if n >= (1 << 26):
+        raise DecodeError(
+            "payload too large for the v6 device-prep path (>= 64 MiB); "
+            "use the host-prep (v5) path"
+        )
+
     bucket = PAYLOAD_BUCKET_ROWS * 512
     need = n + span
     need += (-need) % bucket
-    if window is not None and len(window) >= need:
-        buf = np.asarray(window[:need], dtype=np.uint8)
-    else:
-        buf = np.zeros(need, dtype=np.uint8)
-        buf[:n] = payload
-    p32 = buf.view("<i4")
+    p32 = U.pad_or_window(payload, need, window).view("<i4")
     return p32, bits, refs, ty, tx
 
 

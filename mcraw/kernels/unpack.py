@@ -40,6 +40,25 @@ from ..errors import DecodeError
 # -----------------------------------------------------------------------------
 
 
+def pad_or_window(
+    payload: np.ndarray, size: int, window: np.ndarray | None = None
+) -> np.ndarray:
+    """A `size`-byte buffer whose head is `payload`: the zero-copy window
+    slice when it covers `size`, else zeros + copy.
+
+    THE single implementation of the kernel pad contract (CLAUDE.md: an
+    under-pad here silently reintroduces a multi-MB per-frame copy in the
+    chunk layouts — keep callers' `size` in sync with the chunk span).
+    Bytes past the payload are never addressed by any valid block, so the
+    window's trailing container bytes are safe.
+    """
+    if window is not None and len(window) >= size:
+        return np.asarray(window[:size], dtype=np.uint8)
+    buf = np.zeros(size, dtype=np.uint8)
+    buf[: len(payload)] = payload
+    return buf
+
+
 @dataclass(frozen=True)
 class ModernPlan:
     """Device-ready arrays for one modern frame."""
@@ -114,11 +133,7 @@ def prepare_modern(
         need = (last_base_row + rows_per_chunk + 8) * 512
         pad = max(pad, need - n)
         pad += (-(n + pad)) % 512
-    if window is not None and len(window) >= n + pad:
-        padded = np.asarray(window[: n + pad], dtype=np.uint8)
-    else:
-        padded = np.zeros(n + pad, dtype=np.uint8)
-        padded[:n] = payload
+    padded = pad_or_window(payload, n + pad, window)
     return ModernPlan(
         payload=padded,
         offsets=offsets.astype(np.int32),
@@ -170,11 +185,7 @@ def prepare_legacy(
         last_row = int(offs[-1]) // 512
         pad = max(pad, (last_row + span + 8) * 512 - n)
         pad += (-(n + pad)) % 512
-    if window is not None and len(window) >= n + pad:
-        padded = np.asarray(window[: n + pad], dtype=np.uint8)
-    else:
-        padded = np.zeros(n + pad, dtype=np.uint8)
-        padded[:n] = payload
+    padded = pad_or_window(payload, n + pad, window)
     return LegacyPlan(
         payload=padded,
         offsets=offs.astype(np.int32),

@@ -165,31 +165,55 @@ class Decoder:
 
     def load_frame_device(self, timestamp: int):
         """Decode one frame on the accelerator; result stays in device HBM."""
-        if self._use_pallas():
-            import jax
-
-            if jax.devices()[0].platform != "cpu":
-                fast = self._load_frame_v6(timestamp)
-                if fast is not None:
-                    return fast
-        plan, meta, modern = self._plan(timestamp)
-        with self._stage("unpack"):
-            return self._dispatch_device(plan, modern), meta
-
-    def _load_frame_v6(self, timestamp: int):
-        """Device-prep fast path (modern codec only): host runs just the
-        serial scans, the jit program builds offsets/meta and decodes."""
-        import jax.numpy as jnp
-
-        from .kernels import pallas_unpack as PK
-
         with self._stage("parse"):
             payload, window, meta = self._reader.frame_payload_window(
                 timestamp
             )
             fm = FrameMetadata(meta)
-            if fm.compression_type != COMPRESSION_TYPE:
-                return None  # legacy falls back to the plan path
+            ct = fm.compression_type
+            if ct == COMPRESSION_TYPE:
+                modern = True
+            elif ct == COMPRESSION_TYPE_LEGACY:
+                modern = False
+            else:
+                raise IOException("Invalid compression type")
+
+        if modern and self._v6_eligible(payload):
+            return self._load_frame_v6(payload, window, meta, fm)
+
+        with self._stage("parse"):
+            from .kernels import unpack as U
+
+            if modern:
+                plan = U.prepare_modern(
+                    payload, fm.width, fm.height, window=window
+                )
+            else:
+                plan = U.prepare_legacy(
+                    payload, fm.width, fm.height, window=window
+                )
+        with self._stage("unpack"):
+            return self._dispatch_device(plan, modern), meta
+
+    def _v6_eligible(self, payload) -> bool:
+        if not self._use_pallas():
+            return False
+        # The v6 device-prep matmuls are fp32-exact only below 2^24 word
+        # offsets (64 MiB payloads); larger frames use the integer v5 path.
+        if len(payload) >= (1 << 26):
+            return False
+        import jax
+
+        return jax.devices()[0].platform != "cpu"
+
+    def _load_frame_v6(self, payload, window, meta, fm):
+        """Device-prep fast path (modern codec): host runs just the serial
+        scans, the jit program builds offsets/meta and decodes."""
+        import jax.numpy as jnp
+
+        from .kernels import pallas_unpack as PK
+
+        with self._stage("parse"):
             p32, bits, refs, ty, tx = PK.prepare_modern_light(
                 payload, fm.width, fm.height, window=window
             )

@@ -48,13 +48,24 @@ def _phase_masks(height: int, width: int, cfa: tuple[int, ...]):
 
 
 def _conv2same(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
-    """Single-channel 2D 'same' convolution (lowers to the MXU)."""
-    return jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        jnp.asarray(k, dtype=x.dtype)[None, None, :, :],
-        window_strides=(1, 1),
-        padding="SAME",
-    )[0, 0]
+    """Single-channel 3x3 'same' convolution as shifted adds.
+
+    A C=1 conv_general_dilated can't feed the MXU (no channel dim to
+    contract) and measured ~40 ms per call at 4K on v5e; the unrolled
+    pad+slice form is pure VPU work and effectively free.
+    """
+    h, w = x.shape
+    p = jnp.pad(x, 1)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            wgt = float(k[dy, dx])
+            if wgt == 0.0:
+                continue
+            t = p[dy : dy + h, dx : dx + w]
+            t = t * wgt if wgt != 1.0 else t
+            acc = t if acc is None else acc + t
+    return acc
 
 
 _K_CROSS = np.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], dtype=np.float32)
@@ -88,9 +99,16 @@ def develop(
     masks = jnp.asarray(_phase_masks(height, width, cfa))
 
     # Per-site black level (blackLevel is 2x2, BlackLevelRepeatDim 2x2).
-    yy = jnp.arange(height)[:, None] % 2
-    xx = jnp.arange(width)[None, :] % 2
-    bl = black_level.astype(jnp.float32).reshape(2, 2)[yy, xx]
+    # Selects, NOT bl2x2[yy, xx]: that 12M-element gather from a 4-element
+    # table costs ~136 ms on TPU (XLA gather); two wheres are free.
+    yy = jnp.arange(height)[:, None] % 2 == 0
+    xx = jnp.arange(width)[None, :] % 2 == 0
+    b = black_level.astype(jnp.float32)
+    bl = jnp.where(
+        yy,
+        jnp.where(xx, b[0], b[1]),
+        jnp.where(xx, b[2], b[3]),
+    )
 
     x = (raw_u16.astype(jnp.float32) - bl) / (
         white_level.astype(jnp.float32) - bl
