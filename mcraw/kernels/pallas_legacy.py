@@ -394,6 +394,57 @@ def _unpack_legacy_pallas_v5(
     )(base_rows, meta, jnp.asarray(_TABLES_V5), payload2d)
 
 
+# Host-prep cache: kernel-row block indices depend only on geometry.
+_LEG_IDX_CACHE: dict = {}
+
+
+def _legacy_indices(pw: int, h: int) -> dict:
+    key = (pw, h, ROWS_PER_CHUNK_LEG)
+    c = _LEG_IDX_CACHE.get(key)
+    if c is not None:
+        return c
+    ppr = pw // 32
+    segs = -(-pw // 128)
+    rows_total = h * segs
+    b = ROWS_PER_CHUNK_LEG
+    num_chunks = max(1, -(-rows_total // b))
+    rows_pad = num_chunks * b
+    nblk = h * ppr * 2
+
+    # (rows_pad, 8) block indices in kernel-row order. OFFSET indices for
+    # dummies reuse the row's first block (in-span DMA windows); META
+    # (cls/refs) indices route dummies AND padding rows to a zeroed
+    # sentinel appended past the block arrays.
+    y = np.arange(rows_total) // segs
+    s = np.arange(rows_total) % segs
+    g = np.arange(4)[None, :]
+    pairs = y[:, None] * ppr + s[:, None] * 4 + g  # (rows_total, 4)
+    real = (s[:, None] * 4 + g) < ppr
+    pairs_off = np.where(real, pairs, y[:, None] * ppr)
+    blk_off = np.stack(
+        [2 * pairs_off, 2 * pairs_off + 1], axis=2
+    ).reshape(-1, 8)
+    blk_meta = np.stack([2 * pairs, 2 * pairs + 1], axis=2).reshape(-1, 8)
+    blk_meta = np.where(np.repeat(real, 2, axis=1).reshape(-1, 8), blk_meta, nblk)
+
+    def pad(a, fill):
+        out = np.empty((rows_pad, 8), dtype=np.intp)
+        out[:rows_total] = a
+        out[rows_total:] = fill
+        return out.reshape(-1)
+
+    c = {
+        "segs": segs,
+        "num_chunks": num_chunks,
+        "nblk": nblk,
+        "blk_off": pad(blk_off, blk_off[-1] if rows_total else 0),
+        "blk_meta": pad(blk_meta, nblk),
+        "chunk_first": (np.arange(num_chunks, dtype=np.intp) * b * 8),
+    }
+    _LEG_IDX_CACHE[key] = c
+    return c
+
+
 def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
     """Segment layout for the v5 legacy kernel.
 
@@ -403,48 +454,29 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
     (columns cropped after the reshape).
     """
     pw, h = plan.padded_width, plan.height
-    ppr = pw // 32  # pairs per image row
-    segs = -(-pw // 128)
-    rows_total = h * segs
+    idx = _legacy_indices(pw, h)
+    segs, num_chunks, nblk = idx["segs"], idx["num_chunks"], idx["nblk"]
     b = ROWS_PER_CHUNK_LEG
-    num_chunks = max(1, -(-rows_total // b))
-    rows_pad = num_chunks * b
 
-    n = len(plan.offsets)
-    offs = np.zeros(n, dtype=np.int32)
-    offs[:] = plan.offsets
+    # Block arrays + zeroed sentinel entry for dummy/padding lanes.
+    offs = np.empty(nblk + 1, dtype=np.int32)
+    offs[:nblk] = plan.offsets
+    offs[nblk] = offs[nblk - 1] if nblk else 0
+    cls = np.zeros(nblk + 1, dtype=np.int32)
+    cls[:nblk] = plan.cls
+    refs = np.zeros(nblk + 1, dtype=np.int32)
+    refs[:nblk] = plan.refs
 
-    # (rows_total, 8) block indices; dummies reuse the row's first block.
-    y = np.arange(rows_total) // segs
-    s = np.arange(rows_total) % segs
-    g = np.arange(4)[None, :]
-    pairs = y[:, None] * ppr + s[:, None] * 4 + g  # (rows_total, 4)
-    real = (s[:, None] * 4 + g) < ppr
-    pairs = np.where(real, pairs, y[:, None] * ppr)
-    blocks = np.stack([2 * pairs, 2 * pairs + 1], axis=2).reshape(-1, 8)
-    realb = np.repeat(real, 2, axis=1).reshape(-1, 8)
+    m_off = offs.take(idx["blk_off"]).reshape(num_chunks, b, 8)
+    m_cls = cls.take(idx["blk_meta"]).reshape(num_chunks, b, 8)
+    m_ref = refs.take(idx["blk_meta"]).reshape(num_chunks, b, 8)
 
-    m_off = offs[blocks]
-    m_cls = np.where(realb, plan.cls[blocks], 0)
-    m_ref = np.where(realb, plan.refs[blocks], 0)
+    meta = np.empty((num_chunks, 24, b), dtype=np.int32)
+    meta[:, 0:8] = m_off.transpose(0, 2, 1)
+    meta[:, 8:16] = m_cls.transpose(0, 2, 1)
+    meta[:, 16:24] = m_ref.transpose(0, 2, 1)
 
-    def pad_rows(a):
-        out = np.zeros((rows_pad, 8), dtype=np.int32)
-        out[:rows_total] = a
-        out[rows_total:] = a[-1] if rows_total else 0
-        return out
-
-    m_off, m_cls, m_ref = pad_rows(m_off), pad_rows(m_cls), pad_rows(m_ref)
-    if rows_total:  # padding rows decode to zeros (rows cropped anyway)
-        m_cls[rows_total:] = 0
-        m_ref[rows_total:] = 0
-
-    meta = np.zeros((num_chunks, 24, b), dtype=np.int32)
-    meta[:, 0:8] = m_off.reshape(num_chunks, b, 8).transpose(0, 2, 1)
-    meta[:, 8:16] = m_cls.reshape(num_chunks, b, 8).transpose(0, 2, 1)
-    meta[:, 16:24] = m_ref.reshape(num_chunks, b, 8).transpose(0, 2, 1)
-
-    base_rows = (m_off.reshape(num_chunks, b, 8)[:, 0, 0] // 512).astype(
+    base_rows = (offs.take(idx["blk_off"][idx["chunk_first"]]) // 512).astype(
         np.int32
     )
 
