@@ -58,21 +58,31 @@ def main():
     from mcraw import encode as E
     from mcraw.kernels import native, unpack as U, pallas_unpack as PK
 
-    results = {"device": str(jax.devices()[0]), "configs": {}}
+    results = {
+        "device": str(jax.devices()[0]),
+        "variance_note": (
+            "device timings via a remote TPU tunnel fluctuate ~1.7x "
+            "run-to-run (environmental); each number is the best of 5 "
+            "checksum-verified 90-frame bursts"
+        ),
+        "configs": {},
+    }
     on_tpu = jax.devices()[0].platform != "cpu"
 
     def timeit_dev(fn, want_one, n=90):
         """Chained-scalar timing (CLAUDE.md timing traps): every iteration's
         checksum feeds one accumulator, forced with int() and verified; long
-        bursts amortize the ~29 ms scalar D2H over the tunnel (trap #1);
-        best of 3 bursts."""
+        bursts amortize the ~29 ms scalar D2H over the tunnel (trap #1).
+        Best of 5 bursts: the tunneled chip's run-to-run noise is ~1.7x
+        (measured 587-1036 fps for the same legacy program), so the best
+        burst is the capability number; see results.json variance_note."""
         assert int(jax.block_until_ready(fn())) == want_one
         acc = fn()
         for _ in range(3):
             acc = acc + fn()
         int(acc)  # warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             acc = None
             for _ in range(n):

@@ -153,6 +153,35 @@ def test_pallas_v6_device_prep(rng, shape):
     assert np.array_equal(out, img)
 
 
+def test_light_prep_window_paths_agree(rng):
+    """Zero-copy window path == copy path (the last frames of a clip fall
+    back to copying when the mmap ends too soon)."""
+    img = rng.integers(0, 4096, size=(16, 256), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    big = np.zeros(len(payload) + 64 << 20, dtype=np.uint8)
+    big[: len(payload)] = payload
+    rng2 = np.random.default_rng(9)
+    big[len(payload):] = rng2.integers(0, 256, size=len(big) - len(payload))
+    a = PK.prepare_modern_light(payload, 256, 16, window=big)
+    b = PK.prepare_modern_light(payload, 256, 16, window=None)
+    # Same scans; window payload words equal within the real payload.
+    np.testing.assert_array_equal(a[1], b[1])
+    np.testing.assert_array_equal(a[2], b[2])
+    n_words = len(payload) // 4
+    np.testing.assert_array_equal(a[0][:n_words], b[0][:n_words])
+    # And both decode to the image (trailing garbage is never addressed).
+    import jax.numpy as jnp
+
+    for p32, bits, refs, ty, tx in (a, b):
+        out = np.asarray(
+            PK.decode_modern_device_v6(
+                jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
+                ty=ty, tx=tx, height=16, width=256, interpret=True,
+            )
+        )
+        assert np.array_equal(out, img)
+
+
 def test_prepare_modern_light_validation(rng):
     from mcraw.errors import DecodeError
 
