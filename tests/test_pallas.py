@@ -158,7 +158,7 @@ def test_light_prep_window_paths_agree(rng):
     back to copying when the mmap ends too soon)."""
     img = rng.integers(0, 4096, size=(16, 256), dtype=np.uint16)
     payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-    big = np.zeros(len(payload) + 64 << 20, dtype=np.uint8)
+    big = np.zeros(len(payload) + (64 << 20), dtype=np.uint8)
     big[: len(payload)] = payload
     rng2 = np.random.default_rng(9)
     big[len(payload):] = rng2.integers(0, 256, size=len(big) - len(payload))
