@@ -330,6 +330,23 @@ class Decoder:
             metas,
         )
 
+    def load_frame_sharded(self, timestamp: int, mesh):
+        """Decode ONE frame split across the mesh's devices (the
+        long-context analogue: the frame's block chunks are row-sharded
+        over the mesh; see parallel.decode_frame_sharded). Returns
+        ((H, W) row-sharded device array, frame JSON)."""
+        import jax
+
+        from .parallel import decode_frame_sharded
+
+        plan, meta, modern = self._plan(timestamp)
+        if not modern:
+            raise IOException(
+                "intra-frame sharding is modern-codec only"
+            )
+        interpret = jax.devices()[0].platform == "cpu"
+        return decode_frame_sharded(plan, mesh, interpret=interpret), meta
+
     def decode_batch_iter(
         self,
         timestamps: list[int] | None = None,

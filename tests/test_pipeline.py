@@ -215,6 +215,17 @@ def test_single_frame_sharded_across_devices(rng):
     assert len(out.sharding.device_set) == 4
     assert np.array_equal(np.asarray(out), img)
 
+    # Decoder-level surface (same path, CPU interpret auto-selected).
+    from mcraw.metadata import example_container_metadata, example_frame_metadata
+    from mcraw import encode as E2
+
+    writer = E2.ContainerWriter(example_container_metadata())
+    writer.add_frame(1, E2.encode_modern(img), example_frame_metadata(w, h))
+    d = Decoder(writer.finish(), backend="jax")
+    out2, meta = d.load_frame_sharded(1, mesh)
+    assert np.array_equal(np.asarray(out2), img)
+    assert meta["width"] == w
+
 
 def test_decode_batch_uneven_mesh_raises(rng):
     from mcraw.parallel import default_mesh
