@@ -72,3 +72,29 @@ def test_metadata_stream_count_bomb(rng):
     payload[bits_off : bits_off + 4] = (0x7FFFFFFF).to_bytes(4, "little")
     with pytest.raises(MotionCamException):
         R.decode_modern(np.frombuffer(bytes(payload), np.uint8), 64, 8)
+
+
+def test_light_prep_fuzz_never_crashes(rng):
+    """The v6 host prep (serial scans + validation only) must reject or
+    survive arbitrary corruption without crashing — it guards the device
+    program's assumptions (offsets in-bounds, counts sane)."""
+    from mcraw.kernels import pallas_unpack as PK
+
+    img = rng.integers(0, 4096, size=(16, 128), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    for _ in range(60):
+        bad = payload.copy()
+        mode = rng.integers(0, 3)
+        if mode == 0:  # truncate
+            bad = bad[: int(rng.integers(0, len(bad)))]
+        elif mode == 1:  # flip bytes
+            idx = rng.integers(0, len(bad), size=8)
+            bad[idx] = rng.integers(0, 256, size=8)
+        else:  # pure noise
+            bad = rng.integers(0, 256, size=int(rng.integers(0, 4096))).astype(
+                np.uint8
+            )
+        try:
+            PK.prepare_modern_light(bad, 128, 16)
+        except MotionCamException:
+            pass  # rejection is the expected outcome
