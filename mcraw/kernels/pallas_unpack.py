@@ -363,22 +363,23 @@ TARGET_SG_V5 = 256  # blocks per subgroup (sub16_tr1: 787 fps vs 676 at 512)
 
 
 def _packed_field_tables_v5() -> np.ndarray:
-    """(2*ncls, 384) int32 packed descriptors in v5 lane layout.
+    """(2*ncls, 384) int32 packed WORD-field descriptors in v5 lane layout.
 
     Array rows [0:ncls] describe even-parity lanes (c=0), rows [ncls:2*ncls]
     odd-parity lanes; lane f*128 + l holds field f of value j(l) = 32*(l>>6)
-    + ((l&63)>>1) when (l&1) == parity, else 0 (mask 0 -> contributes 0).
+    + ((l&63)>>1) when (l&1) == parity, else 0 (nbits 0 -> contributes 0).
+    Packing: widx(5b) | rsh32<<5(5b) | nbits<<10(5b) | lsh<<15(4b) — fields
+    are extracted straight from the gathered 32-bit word (tables.MODERN_W*),
+    no byte-select step, and < 2^19 keeps the one-hot matmul fp32-exact.
     """
     ncls = len(T.MODERN_CLASSES)
-    mask_bits = np.zeros_like(T.MODERN_MSK)
-    nz = T.MODERN_MSK > 0
-    mask_bits[nz] = np.log2(T.MODERN_MSK[nz] + 1).astype(np.int32)
     packed = (
-        T.MODERN_POS
-        | (T.MODERN_RSH << 7)
-        | (mask_bits << 10)
-        | (T.MODERN_LSH << 15)
+        T.MODERN_WIDX
+        | (T.MODERN_WRSH << 5)
+        | (T.MODERN_WNB << 10)
+        | (T.MODERN_WLSH << 15)
     )  # (ncls, 64, 3)
+    assert packed.max() < (1 << 19)
     out = np.zeros((2, ncls, 3 * 128), dtype=np.int32)
     for l in range(128):
         h, m = l >> 6, l & 63
@@ -492,22 +493,27 @@ def _unpack_kernel_v5(
         row0 = pick((row_ids == q).astype(jnp.bfloat16))
         row1 = pick((row_ids == q + 1).astype(jnp.bfloat16))
 
+        # Merged-row trick: the pair window is [t, t+64) with t = rel_e&127,
+        # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
+        # One select builds a single 128-lane source; every field then needs
+        # ONE gather at (widx & 127) instead of two + a per-field select.
+        t0 = rel_e & 127
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        merged = jnp.where(lane_ids >= t0, row0, row1)
+
         rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (sgp, 128)
+        rel_base = rel_lane - (q << 7)
 
         vals = None
         for f in range(3):
             d = desc[:, f * 128 : (f + 1) * 128]
-            pos = d & 127
-            rsh = (d >> 7) & 7
             mask = (1 << ((d >> 10) & 31)) - 1
             lsh = (d >> 15) & 15
-            widx = rel_lane + (pos >> 2) - (q << 7)
-            in0 = widx < 128
-            w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
-            w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
-            word = jnp.where(in0, w0, w1)
-            byt = jax.lax.shift_right_logical(word, 8 * (pos & 3)) & 0xFF
-            fv = ((byt >> rsh) & mask) << lsh
+            widx = rel_base + (d & 31)
+            word = jnp.take_along_axis(merged, widx & 127, axis=1)
+            fv = (
+                (jax.lax.shift_right_logical(word, (d >> 5) & 31)) & mask
+            ) << lsh
             vals = fv if vals is None else vals | fv
 
         refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
