@@ -59,7 +59,7 @@ def main():
     trb = 4 * plans[0].tiles_x  # 256 at 4K
     saved = (PK.SUBGROUPS_V5, PK.TARGET_SG_V5)
 
-    for sub, tr in [(32, 1), (24, 1), (48, 1), (64, 1)]:
+    for sub, tr in [(24, 1), (24, 1), (24, 1)]:
         PK.SUBGROUPS_V5 = sub
         PK.TARGET_SG_V5 = tr * trb
         try:

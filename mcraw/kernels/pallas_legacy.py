@@ -180,7 +180,7 @@ def _unpack_legacy_pallas(
                 (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # field tables, whole
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (b, 16), lambda i, base: (i, 0), memory_space=pltpu.VMEM
@@ -376,7 +376,7 @@ def _unpack_legacy_pallas_v5(
                 (1, 24, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (b, 128), lambda i, base: (i, 0), memory_space=pltpu.VMEM

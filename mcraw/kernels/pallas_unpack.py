@@ -279,7 +279,7 @@ def _unpack_blocks_pallas_v4(
                 (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM
@@ -358,8 +358,8 @@ def prepare_chunked_v4(plan: U.ModernPlan, blocks_per_chunk: int = 2048):
 # 256 payload bytes (a pair) instead of 128 (a block).
 # -----------------------------------------------------------------------------
 
-SUBGROUPS_V5 = 16  # swept on v5e: 16 subgroups/chunk beats 4/8/24/32
-TARGET_SG_V5 = 256  # blocks per subgroup (sub16_tr1: 787 fps vs 676 at 512)
+SUBGROUPS_V5 = 24  # swept on v5e (funnel kernel): 24 beats 8/16/32 (846-855 fps)
+TARGET_SG_V5 = 256  # blocks per subgroup (tr1 beats tr2 at 4K)
 
 
 def _packed_field_tables_v5() -> np.ndarray:
@@ -367,19 +367,39 @@ def _packed_field_tables_v5() -> np.ndarray:
 
     Array rows [0:ncls] describe even-parity lanes (c=0), rows [ncls:2*ncls]
     odd-parity lanes; lane f*128 + l holds field f of value j(l) = 32*(l>>6)
-    + ((l&63)>>1) when (l&1) == parity, else 0 (nbits 0 -> contributes 0).
-    Packing: widx(5b) | rsh32<<5(5b) | nbits<<10(5b) | lsh<<15(4b) — fields
-    are extracted straight from the gathered 32-bit word (tables.MODERN_W*),
-    no byte-select step, and < 2^19 keeps the one-hot matmul fp32-exact.
+    + ((l&63)>>1) when (l&1) == parity.
+
+    Funnel encoding: field = ((word << lsh1) >>> rsh2) << lsh with
+    lsh1 = 32-rsh32-nb (clears bits above the field), rsh2 = 32-nb (drops
+    the field to [0, nb), clearing bits below), then << lsh places it — no
+    mask build. Every field slot 0 has lsh == 0 (the low part comes first
+    in tables.py), so the kernel skips the third shift for slot 0. Packing:
+    widx(5b) | lsh1<<5(5b) | rsh2<<10(5b) | lsh<<15(4b) < 2^19 (one-hot
+    matmul fp32-exact). Empty field slots duplicate slot 0 (OR-idempotent);
+    class 0 has no fields at all — its rows stay 0 (descriptors that pass
+    `word` through) and the kernel zeroes class-0 lanes.
     """
     ncls = len(T.MODERN_CLASSES)
-    packed = (
-        T.MODERN_WIDX
-        | (T.MODERN_WRSH << 5)
-        | (T.MODERN_WNB << 10)
-        | (T.MODERN_WLSH << 15)
-    )  # (ncls, 64, 3)
+    widx, rsh, nb, lsh = (
+        T.MODERN_WIDX,
+        T.MODERN_WRSH,
+        T.MODERN_WNB,
+        T.MODERN_WLSH,
+    )
+    assert not lsh[:, :, 0].any(), "slot-0 fields must have lsh == 0"
+    lsh1 = np.where(nb > 0, 32 - rsh - nb, 0)
+    rsh2 = np.where(nb > 0, 32 - nb, 0)
+    assert lsh1.min() >= 0 and lsh1.max() < 32
+    assert lsh.max() < 16
+    packed = (widx | (lsh1 << 5) | (rsh2 << 10) | (lsh << 15)).astype(
+        np.int32
+    )
     assert packed.max() < (1 << 19)
+    for ci in range(ncls):
+        for j in range(T.MODERN_BLOCK):
+            for f in range(1, 3):
+                if nb[ci, j, f] == 0:
+                    packed[ci, j, f] = packed[ci, j, 0]
     out = np.zeros((2, ncls, 3 * 128), dtype=np.int32)
     for l in range(128):
         h, m = l >> 6, l & 63
@@ -450,48 +470,48 @@ def _unpack_kernel_v5(
         rel_o = offs_o - sub_row0 * 128
         q = rel_e >> 7
 
-        # Per-lane field descriptors: one-hot class rows pick each parity's
-        # table row; exact (descriptors < 2^19, fp32 HIGHEST matmul).
+        # Per-lane field descriptors: the concatenated even/odd one-hot rows
+        # pick both parities' table rows in ONE matmul (tables_ref is laid
+        # out [even rows; odd rows]); exact (descriptors < 2^15, fp32
+        # HIGHEST matmul).
         ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
-        desc = (
-            jnp.dot(
-                (ids == cls_e).astype(jnp.float32),
-                tables_ref[0:ncls, :].astype(jnp.float32),
-                precision=hi, preferred_element_type=jnp.float32,
-            )
-            + jnp.dot(
-                (ids == cls_o).astype(jnp.float32),
-                tables_ref[ncls : 2 * ncls, :].astype(jnp.float32),
-                precision=hi, preferred_element_type=jnp.float32,
-            )
-        ).astype(jnp.int32)  # (sgp, 384)
-
-        planes = jnp.concatenate(
+        oh2 = jnp.concatenate(
             [
-                (jax.lax.shift_right_logical(local, 8 * k) & 0xFF).astype(
-                    jnp.bfloat16
-                )
-                for k in range(4)
+                (ids == cls_e).astype(jnp.float32),
+                (ids == cls_o).astype(jnp.float32),
             ],
             axis=1,
-        )  # (sub_rows, 512)
+        )  # (sgp, 2*ncls)
+        desc = jnp.dot(
+            oh2,
+            tables_ref[:, :].astype(jnp.float32),
+            precision=hi,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (sgp, 384)
+
+        # Two 16-bit half planes (f32-exact < 2^24 under a one-hot HIGHEST
+        # matmul): half the plane-build, convert, and reassembly cost of
+        # byte planes. Measured faster than 4 bf16 byte planes despite the
+        # 6-pass HIGHEST dot (VPU is the bottleneck, not the MXU).
+        planes = jnp.concatenate(
+            [
+                (local & 0xFFFF).astype(jnp.float32),
+                jax.lax.shift_right_logical(local, 16).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # (sub_rows, 256)
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows), 1)
 
         def pick(oh):
-            p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(
-                jnp.int32
-            )
-            return (
-                p[:, 0:128]
-                | (p[:, 128:256] << 8)
-                | (p[:, 256:384] << 16)
-                | (p[:, 384:512] << 24)
-            )
+            p = jnp.dot(
+                oh, planes, precision=hi, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)
+            return p[:, 0:128] | (p[:, 128:256] << 16)
 
         # A pair spans <= 64 words, so rows q, q+1 always cover both windows.
-        row0 = pick((row_ids == q).astype(jnp.bfloat16))
-        row1 = pick((row_ids == q + 1).astype(jnp.bfloat16))
+        row0 = pick((row_ids == q).astype(jnp.float32))
+        row1 = pick((row_ids == q + 1).astype(jnp.float32))
 
         # Merged-row trick: the pair window is [t, t+64) with t = rel_e&127,
         # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
@@ -507,14 +527,19 @@ def _unpack_kernel_v5(
         vals = None
         for f in range(3):
             d = desc[:, f * 128 : (f + 1) * 128]
-            mask = (1 << ((d >> 10) & 31)) - 1
-            lsh = (d >> 15) & 15
             widx = rel_base + (d & 31)
             word = jnp.take_along_axis(merged, widx & 127, axis=1)
-            fv = (
-                (jax.lax.shift_right_logical(word, (d >> 5) & 31)) & mask
-            ) << lsh
+            fv = jax.lax.shift_right_logical(
+                word << ((d >> 5) & 31), (d >> 10) & 31
+            )
+            if f > 0:  # slot 0 always has lsh == 0
+                fv = fv << ((d >> 15) & 15)
             vals = fv if vals is None else vals | fv
+
+        # Class 0 has no fields (its funnel slots are all-zero descriptors
+        # that pass word bits through) — zero those lanes explicitly.
+        cls_lane = jnp.where(c_lane == 1, cls_o, cls_e)
+        vals = jnp.where(cls_lane == 0, 0, vals)
 
         refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
         vals = (vals + refs_lane) & 0xFFFF  # (sgp, 128) finished pixels
@@ -558,7 +583,7 @@ def _unpack_image_pallas_v5(
                 (1, 8, bp), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (rows_chunk, txp, 64),
@@ -1109,7 +1134,7 @@ def _unpack_blocks_pallas_v2(
                 (1, 8, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # packed field tables
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (b, 64), lambda i, base: (i, 0), memory_space=pltpu.VMEM

@@ -205,7 +205,8 @@ def test_single_frame_sharded_across_devices(rng):
 
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
-    h, w = 256, 2752  # tr_sub=1 -> 4 chunks of 16 tile-rows each
+    # tr_sub=1 -> SUBGROUPS_V5 tile-rows per chunk; pick h for 4 chunks.
+    h, w = 4 * 4 * PK.SUBGROUPS_V5, 2752
     img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
     payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
     plan = U.prepare_modern(payload, w, h)
