@@ -212,45 +212,22 @@ def _unpack_legacy_pallas(
 ROWS_PER_CHUNK_LEG = 512  # kernel rows (of 8 blocks) per grid step
 
 
-def _packed_tables_v5() -> np.ndarray:
-    """(2*ncls, 128) int32: packed per-lane field descriptors.
-
-    Row ci (ci+ncls) = field 0 (field 1) of class ci; lane l describes value
-    k(l) = (l&31)>>1. Packing: pos(5b) | rsh<<5(3b) | mask_bits<<8(4b) |
-    lsh<<12(4b) — all <2^16, exact through the fp32 select.
-    """
-    ncls = len(T.LEGACY_CLASSES)
-    mask_bits = np.zeros_like(T.LEGACY_MSK)
-    nz = T.LEGACY_MSK > 0
-    mask_bits[nz] = np.log2(T.LEGACY_MSK[nz] + 1).astype(np.int32)
-    assert np.all((1 << mask_bits) - 1 == T.LEGACY_MSK)
-    packed = (
-        T.LEGACY_POS
-        | (T.LEGACY_RSH << 5)
-        | (mask_bits << 8)
-        | (T.LEGACY_LSH << 12)
-    )  # (ncls, 16, 2)
-    out = np.zeros((2, ncls, 128), dtype=np.int32)
-    for l in range(128):
-        k = (l & 31) >> 1
-        out[0, :, l] = packed[:, k, 0]
-        out[1, :, l] = packed[:, k, 1]
-    return out.reshape(2 * ncls, 128)
-
-
-_TABLES_V5 = _packed_tables_v5()
-
-
 def _legacy_kernel_v5(
     base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B)
     meta_ref,  # (1, 24, B) int32: rows 0-7 offs, 8-15 cls, 16-23 refs
-    tables_ref,  # (2*ncls, 128) int32
     payload_ref,  # HBM (P/512, 128) int32
     out_ref,  # (B, 128) uint16 — finished pixel segments
     scratch_ref,  # VMEM (2, rows, 128) int32
     sems,
     rows: int = None,
 ):
+    """Bitstream form: every legacy class is a plain MSB-first c-bit
+    bitstream over its block payload (verified against tables.py /
+    RawData_Legacy.cpp:38-370; the 16-bit class is big-endian uint16 = the
+    same stream at c=16). So instead of descriptor tables the kernel
+    byteswaps the span once and extracts value k of a c-bit block as the
+    top c bits of a two-word big-endian funnel at bit offset 8*off + k*c —
+    no class tables, no field loop, one funnel per lane."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -273,7 +250,6 @@ def _legacy_kernel_v5(
     base_row = base_ref[i]
     b = meta_ref.shape[2]
     meta = meta_ref[0]
-    ncls = len(T.LEGACY_CLASSES)
 
     # Per-row 8-block params -> per-lane via a constant single-vreg gather.
     # Mosaic's gather lowering needs idx.shape == src.shape, so the 8 param
@@ -296,62 +272,63 @@ def _legacy_kernel_v5(
     rel_lane = jnp.take_along_axis(offs8, pidx, axis=1) - base_row * 512
     cls_lane = jnp.take_along_axis(cls8, pidx, axis=1)
     refs_lane = jnp.take_along_axis(refs8, pidx, axis=1)
+    # Class index -> bit width (LEGACY_CLASSES: indices 0..10 are the bits
+    # value itself, index 11 is 16).
+    cb = jnp.where(cls_lane >= 11, 16, cls_lane)
 
-    # Packed descriptors by class select (values < 2^16).
-    def select_desc(t):
-        out = None
-        for ci in range(ncls):
-            row = tables_ref[t * ncls + ci : t * ncls + ci + 1, :]
-            contrib = jnp.where(cls_lane == ci, row, 0)
-            out = contrib if out is None else out | contrib
-        return out  # (B, 128)
-
-    q = (jnp.transpose(meta[0:1, :], (1, 0)) - base_row * 512) >> 9  # (B, 1)
+    rel0 = jnp.transpose(meta[0:1, :], (1, 0)) - base_row * 512  # (B, 1)
+    q = rel0 >> 9
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
 
     span_dma(i, slot).wait()
     span = scratch_ref[slot]
+    # Byteswap once so gathered words read as big-endian (bitstream order).
+    span_be = (
+        ((span & 0xFF) << 24)
+        | ((span & 0xFF00) << 8)
+        | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
+        | jax.lax.shift_right_logical(span, 24)
+    )
+    # Two 16-bit half planes (f32-exact under the one-hot HIGHEST matmul).
+    hi = jax.lax.Precision.HIGHEST
     planes = jnp.concatenate(
         [
-            (jax.lax.shift_right_logical(span, 8 * k) & 0xFF).astype(
-                jnp.bfloat16
-            )
-            for k in range(4)
+            (span_be & 0xFFFF).astype(jnp.float32),
+            jax.lax.shift_right_logical(span_be, 16).astype(jnp.float32),
         ],
         axis=1,
-    )  # (rows, 512)
+    )  # (rows, 256)
 
     def pick(oh):
-        p = jnp.dot(oh, planes, preferred_element_type=jnp.float32).astype(
-            jnp.int32
-        )
-        return (
-            p[:, 0:128]
-            | (p[:, 128:256] << 8)
-            | (p[:, 256:384] << 16)
-            | (p[:, 384:512] << 24)
-        )
+        p = jnp.dot(
+            oh, planes, precision=hi, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        return p[:, 0:128] | (p[:, 128:256] << 16)
 
     # 8 blocks span <= 272 bytes: rows q, q+1 always cover the windows.
-    row0 = pick((row_ids == q).astype(jnp.bfloat16))
-    row1 = pick((row_ids == q + 1).astype(jnp.bfloat16))
+    row0 = pick((row_ids == q).astype(jnp.float32))
+    row1 = pick((row_ids == q + 1).astype(jnp.float32))
 
-    vals = None
-    for f in range(2):
-        d = select_desc(f)
-        pos = d & 31
-        rsh = (d >> 5) & 7
-        mask = (1 << ((d >> 8) & 15)) - 1
-        lsh = (d >> 12) & 15
-        addr = rel_lane + pos
-        widx = (addr >> 2) - (q << 7)
-        in0 = widx < 128
-        w0 = jnp.take_along_axis(row0, jnp.where(in0, widx, 0), axis=1)
-        w1 = jnp.take_along_axis(row1, jnp.where(in0, 0, widx - 128), axis=1)
-        word = jnp.where(in0, w0, w1)
-        byt = jax.lax.shift_right_logical(word, 8 * (addr & 3)) & 0xFF
-        fv = ((byt >> rsh) & mask) << lsh
-        vals = fv if vals is None else vals | fv
+    # Merged-row trick (see pallas_unpack): the row's window starts at word
+    # t0 = (rel0>>2)&127 and spans < 128 words, so row0's used lanes are
+    # [t0, 128) and row1's [0, t0) — one select, single gathers after.
+    t0 = (rel0 >> 2) & 127
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    merged = jnp.where(lane128 >= t0, row0, row1)
+
+    # Value k of a c-bit block at payload byte `off` = top c bits of the
+    # 64-bit big-endian window at bit 8*off + k*c.
+    k = (lane & 31) >> 1
+    bitp = ((rel_lane - (q << 9)) << 3) + k * cb  # bit addr in the row pair
+    wd = jax.lax.shift_right_logical(bitp, 5)
+    sh = bitp & 31
+    g0 = jnp.take_along_axis(merged, wd & 127, axis=1)
+    g1 = jnp.take_along_axis(merged, (wd + 1) & 127, axis=1)
+    comb = (g0 << sh) | jax.lax.shift_right_logical(
+        jax.lax.shift_right_logical(g1, 31 - sh), 1
+    )
+    vals = jax.lax.shift_right_logical(comb, 32 - jnp.maximum(cb, 1))
+    vals = jnp.where(cb == 0, 0, vals)
 
     out_ref[:] = ((vals + refs_lane) & 0xFFFF).astype(jnp.uint16)
 
@@ -375,7 +352,6 @@ def _unpack_legacy_pallas_v5(
             pl.BlockSpec(
                 (1, 24, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -391,7 +367,7 @@ def _unpack_legacy_pallas_v5(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
-    )(base_rows, meta, jnp.asarray(_TABLES_V5), payload2d)
+    )(base_rows, meta, payload2d)
 
 
 # Host-prep cache: kernel-row block indices depend only on geometry.

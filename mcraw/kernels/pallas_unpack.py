@@ -847,23 +847,12 @@ def _len_from_bits(b):
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ty", "tx", "height", "width", "interpret")
-)
-def decode_modern_device_v6(
-    p32: jnp.ndarray,  # (rows_bucketed * 128,) int32 payload words
-    bits: jnp.ndarray,  # (nblk,) uint16 raw stream values
-    refs: jnp.ndarray,  # (nblk,) uint16
-    *,
-    ty: int,
-    tx: int,
-    height: int,
-    width: int,
-    interpret: bool = False,
-):
-    """Full modern decode with on-device prep + the fused v5 kernel."""
+def _v6_build_meta(bits: jnp.ndarray, refs: jnp.ndarray, *, ty: int, tx: int):
+    """Device-side prep for ONE frame: raw bits/refs streams -> (meta
+    (nc, 8, bp), base_rows (nc*SUBGROUPS_V5,)). Pure jnp (vmappable: the
+    batched v6 path maps this over a frame axis)."""
     geo = _v5_indices(ty, tx)
-    txp, tr_sub, nc, bp = geo["txp"], geo["tr_sub"], geo["num_chunks"], geo["bp"]
+    nc, bp = geo["num_chunks"], geo["bp"]
     trb = 4 * tx
     ty_pad = geo["nblk"] // trb
     nblk = ty * trb
@@ -941,6 +930,27 @@ def decode_modern_device_v6(
     )  # (nc, 8, bp)
 
     base_rows = offs_w[jnp.asarray(geo["base_idx"], dtype=jnp.int32)] >> 7
+    return meta, base_rows
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ty", "tx", "height", "width", "interpret")
+)
+def decode_modern_device_v6(
+    p32: jnp.ndarray,  # (rows_bucketed * 128,) int32 payload words
+    bits: jnp.ndarray,  # (nblk,) uint16 raw stream values
+    refs: jnp.ndarray,  # (nblk,) uint16
+    *,
+    ty: int,
+    tx: int,
+    height: int,
+    width: int,
+    interpret: bool = False,
+):
+    """Full modern decode with on-device prep + the fused v5 kernel."""
+    geo = _v5_indices(ty, tx)
+    txp, tr_sub, nc = geo["txp"], geo["tr_sub"], geo["num_chunks"]
+    meta, base_rows = _v6_build_meta(bits, refs, ty=ty, tx=tx)
 
     # prepare_modern_light buckets the payload with the chunk-span overhang
     # included, so no device-side pad copy is needed.
@@ -957,6 +967,50 @@ def decode_modern_device_v6(
     )
     img = img3.reshape(img3.shape[0], txp * 64)
     return img[:height, :width]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ty", "tx", "height", "width", "interpret")
+)
+def decode_modern_device_v6_batch(
+    p32s: jnp.ndarray,  # (F, rows * 128) int32 per-frame bucketed words
+    bits: jnp.ndarray,  # (F, nblk) uint16 raw stream values
+    refs: jnp.ndarray,  # (F, nblk) uint16
+    *,
+    ty: int,
+    tx: int,
+    height: int,
+    width: int,
+    interpret: bool = False,
+):
+    """(F, H, W) modern decode with per-frame DEVICE-side prep + ONE fused
+    kernel launch. The host only runs the serial bits/refs scans and uploads
+    payload buckets — no per-frame offset/meta assembly on the host, so a
+    multi-chip mesh can be fed from one process (see
+    parallel.decode_frames_v6_mesh)."""
+    geo = _v5_indices(ty, tx)
+    txp, tr_sub, nc = geo["txp"], geo["tr_sub"], geo["num_chunks"]
+    f = p32s.shape[0]
+    rows = p32s.shape[1] // 128
+    metas, bases = jax.vmap(
+        functools.partial(_v6_build_meta, ty=ty, tx=tx)
+    )(bits, refs)  # (F, nc, 8, bp), (F, nc*SUBGROUPS_V5)
+    shift = jnp.arange(f, dtype=jnp.int32) * rows
+    metas = metas.at[:, :, 0:2, :].add((shift * 128)[:, None, None, None])
+    bases = (bases + shift[:, None]).reshape(-1)
+    meta2 = metas.reshape(f * nc, 8, metas.shape[3])
+    img3 = _unpack_image_pallas_v5.__wrapped__(
+        p32s.reshape(-1, 128),
+        bases,
+        meta2,
+        num_chunks=f * nc,
+        txp=txp,
+        tr_sub=tr_sub,
+        interpret=interpret,
+    )
+    rows_frame = img3.shape[0] // f
+    img = img3.reshape(f, rows_frame, txp * 64)
+    return img[:, :height, :width]
 
 
 def prepare_modern_light(

@@ -10,6 +10,8 @@ with zero cross-device communication until (optional) gather-for-output.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -210,6 +212,58 @@ def decode_frame_sharded(
     )
     img = fn(*args)
     return img[: plan.height, : plan.width]
+
+
+def decode_frames_v6_mesh(
+    p32s,
+    bits,
+    refs,
+    *,
+    ty: int,
+    tx: int,
+    height: int,
+    width: int,
+    mesh: Mesh | None = None,
+    interpret: bool = False,
+):
+    """Frame-data-parallel decode with DEVICE-side prep (v6): each shard
+    builds its frames' offsets/meta on its own chip from the raw bits/refs
+    streams and runs one fused kernel launch. The host contribution per
+    frame is just the two serial scans + a payload-bucket upload, so one
+    host can feed a multi-chip mesh (the v5 mesh path's ~2 ms/frame host
+    meta assembly is gone).
+
+    p32s: (F, rows*128) int32, bits/refs: (F, nblk) uint16 — from
+    pallas_unpack.prepare_modern_light, padded to a common bucket.
+    """
+    from .kernels import pallas_unpack as PK
+
+    body = functools.partial(
+        PK.decode_modern_device_v6_batch.__wrapped__,
+        ty=ty,
+        tx=tx,
+        height=height,
+        width=width,
+        interpret=interpret,
+    )
+    if mesh is None:
+        return jax.jit(lambda a, b, c: body(a, b, c))(p32s, bits, refs)
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if p32s.shape[0] % n != 0:
+        raise ValueError(f"batch of {p32s.shape[0]} not divisible by {n} devices")
+    sharding = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, sharding) for a in (p32s, bits, refs)]
+    fn = jax.jit(
+        jax.shard_map(
+            lambda a, b, c: body(a, b, c),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    return fn(*args)
 
 
 def decode_frames_legacy_mesh(

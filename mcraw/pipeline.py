@@ -315,6 +315,9 @@ class Decoder:
 
         if timestamps is None:
             timestamps = self.frames
+        v6 = self._decode_batch_v6(timestamps, mesh)
+        if v6 is not None:
+            return v6
         plans, metas, moderns = [], [], []
         for ts in timestamps:
             plan, meta, modern = self._plan(ts)
@@ -329,6 +332,74 @@ class Decoder:
             ),
             metas,
         )
+
+    def _decode_batch_v6(self, timestamps, mesh):
+        """Device-prep batch fast path (modern codec on an accelerator).
+
+        Host work per frame: the serial bits/refs scans + a zero-copy
+        payload-bucket upload; offsets and kernel metadata are built on
+        device per shard. Returns None when ineligible (non-modern frames,
+        CPU platform, kernel='xla', oversized payloads, or mixed geometry)
+        so the caller falls through to the plan-based paths.
+        """
+        from .kernels import pallas_unpack as PK
+
+        lights, metas = [], []
+        geos = set()
+        for ts in timestamps:
+            with self._stage("parse"):
+                payload, window, meta = self._reader.frame_payload_window(ts)
+                fm = FrameMetadata(meta)
+                if fm.compression_type != COMPRESSION_TYPE:
+                    return None
+                if not self._v6_eligible(payload):
+                    return None
+                p32, bits, refs, ty, tx = PK.prepare_modern_light(
+                    payload, fm.width, fm.height, window=window
+                )
+            lights.append((p32, bits, refs))
+            metas.append(meta)
+            geos.add((ty, tx, fm.width, fm.height))
+        if len(geos) != 1:
+            return None  # mixed geometry: let decode_frames_batched raise
+        ty, tx, width, height = geos.pop()
+
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel import decode_frames_v6_mesh
+
+        with self._stage("unpack"):
+            rmax = max(len(l[0]) for l in lights)
+            if mesh is None:
+                # Upload each bucket directly (zero host memcpy) and stack
+                # on device; pads only when buckets differ.
+                p32s = jnp.stack(
+                    [
+                        jnp.pad(jax.device_put(p), (0, rmax - len(p)))
+                        if len(p) < rmax
+                        else jax.device_put(p)
+                        for p, _, _ in lights
+                    ]
+                )
+            else:
+                # Sharded placement needs a global array; one host stack.
+                p32s = np.zeros((len(lights), rmax), dtype=np.int32)
+                for i, (p, _, _) in enumerate(lights):
+                    p32s[i, : len(p)] = p
+            bits = np.stack([l[1] for l in lights])
+            refs = np.stack([l[2] for l in lights])
+            img = decode_frames_v6_mesh(
+                p32s,
+                jnp.asarray(bits),
+                jnp.asarray(refs),
+                ty=ty,
+                tx=tx,
+                height=height,
+                width=width,
+                mesh=mesh,
+            )
+        return img, metas
 
     def load_frame_sharded(self, timestamp: int, mesh):
         """Decode ONE frame split across the mesh's devices (the

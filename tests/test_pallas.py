@@ -153,6 +153,67 @@ def test_pallas_v6_device_prep(rng, shape):
     assert np.array_equal(out, img)
 
 
+def test_pallas_v6_batch_device_prep(rng):
+    """v6 batch: per-frame device prep vmapped + ONE kernel launch."""
+    import jax.numpy as jnp
+
+    h, w = 16, 256
+    imgs = [
+        rng.integers(0, 1 << b, size=(h, w), dtype=np.uint16)
+        for b in (12, 6, 16, 1)
+    ]
+    lights = []
+    for img in imgs:
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        lights.append(PK.prepare_modern_light(payload, w, h))
+    ty, tx = lights[0][3], lights[0][4]
+    rmax = max(len(l[0]) for l in lights)
+    p32s = np.zeros((len(lights), rmax), dtype=np.int32)
+    for i, l in enumerate(lights):
+        p32s[i, : len(l[0])] = l[0]
+    bits = np.stack([l[1] for l in lights])
+    refs = np.stack([l[2] for l in lights])
+    out = np.asarray(
+        PK.decode_modern_device_v6_batch(
+            jnp.asarray(p32s), jnp.asarray(bits), jnp.asarray(refs),
+            ty=ty, tx=tx, height=h, width=w, interpret=True,
+        )
+    )
+    assert np.array_equal(out, np.stack(imgs))
+
+
+def test_v6_mesh_device_prep(rng):
+    """v6 under shard_map: each shard builds its frames' meta on-device."""
+    import jax
+    from jax.sharding import Mesh
+    from mcraw.parallel import decode_frames_v6_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    h, w = 16, 256
+    imgs = [
+        rng.integers(0, 4096, size=(h, w), dtype=np.uint16) for _ in range(8)
+    ]
+    lights = []
+    for img in imgs:
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        lights.append(PK.prepare_modern_light(payload, w, h))
+    ty, tx = lights[0][3], lights[0][4]
+    rmax = max(len(l[0]) for l in lights)
+    p32s = np.zeros((len(lights), rmax), dtype=np.int32)
+    for i, l in enumerate(lights):
+        p32s[i, : len(l[0])] = l[0]
+    bits = np.stack([l[1] for l in lights])
+    refs = np.stack([l[2] for l in lights])
+    mesh = Mesh(np.array(jax.devices()[:4]), ("frames",))
+    out = decode_frames_v6_mesh(
+        p32s, bits, refs, ty=ty, tx=tx, height=h, width=w,
+        mesh=mesh, interpret=True,
+    )
+    assert len(out.sharding.device_set) == 4
+    assert np.array_equal(np.asarray(out), np.stack(imgs))
+
+
 def test_light_prep_window_paths_agree(rng):
     """Zero-copy window path == copy path (the last frames of a clip fall
     back to copying when the mmap ends too soon)."""
