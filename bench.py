@@ -28,19 +28,20 @@ FRAMES = 4
 ITERS = 90
 
 
-def make_frames():
+def make_frames(h=None, w=None):
     from mcraw import encode as E
 
+    h, w = h or H, w or W
     rng = np.random.default_rng(11)
     imgs, payloads = [], []
     for k in range(FRAMES):
         base = (
-            np.sin(np.arange(W) / (97 + k))[None, :]
-            * np.cos(np.arange(H) / (61 + k))[:, None]
+            np.sin(np.arange(w) / (97 + k))[None, :]
+            * np.cos(np.arange(h) / (61 + k))[:, None]
             * 1200
             + 2000
         )
-        img = (base + rng.normal(0, 30, size=(H, W))).clip(0, 4095).astype(np.uint16)
+        img = (base + rng.normal(0, 30, size=(h, w))).clip(0, 4095).astype(np.uint16)
         imgs.append(img)
         payloads.append(np.frombuffer(E.encode_modern(img), dtype=np.uint8))
     return imgs, payloads
@@ -68,20 +69,37 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         chunked = [PK.prepare_chunked_v5(pl) for pl in plans]
         num_chunks, txp, tr_sub = chunked[0][3:]
         args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
+        # Content-aware span windows (plane/pick work scales with them).
+        spans = [
+            PK.v5_content_spans(
+                PK.prepare_modern_light(p, W, H)[1],
+                plans[0].tiles_y,
+                plans[0].tiles_x,
+            )
+            for p in payloads
+        ]
+        rows = max(s[0] for s in spans)
+        sub_rows = max(s[1] for s in spans)
 
         @functools.partial(
-            jax.jit, static_argnames=("num_chunks", "txp", "tr_sub")
+            jax.jit,
+            static_argnames=("num_chunks", "txp", "tr_sub", "rows", "sub_rows"),
         )
-        def step(payload2d, base_rows, meta, *, num_chunks, txp, tr_sub):
+        def step(
+            payload2d, base_rows, meta, *, num_chunks, txp, tr_sub, rows, sub_rows
+        ):
             img3 = PK._unpack_image_pallas_v5.__wrapped__(
                 payload2d, base_rows, meta,
                 num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+                rows=rows, sub_rows=sub_rows,
             )
             im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
             return im.astype(jnp.uint32).sum()
 
         run = lambda i: step(
-            *args[i % FRAMES], num_chunks=num_chunks, txp=txp, tr_sub=tr_sub
+            *args[i % FRAMES],
+            num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+            rows=rows, sub_rows=sub_rows,
         )
     else:
         args = [

@@ -13,7 +13,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-H, W = 3072, 4096
+import os
+H = int(os.environ.get("SWEEP_H", 3072))
+W = int(os.environ.get("SWEEP_W", 4096))
 FRAMES = 4
 ITERS = 90
 
@@ -29,7 +31,7 @@ def main():
     from mcraw.kernels import unpack as U
     from mcraw.kernels import pallas_unpack as PK
 
-    imgs, payloads = make_frames()
+    imgs, payloads = make_frames(H, W)
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
     plans = [U.prepare_modern(p, W, H) for p in payloads]
     results = {}
@@ -59,7 +61,12 @@ def main():
     trb = 4 * plans[0].tiles_x  # 256 at 4K
     saved = (PK.SUBGROUPS_V5, PK.TARGET_SG_V5)
 
-    for sub, tr in [(24, 1), (24, 1), (24, 1)]:
+    import ast
+
+    configs = ast.literal_eval(
+        os.environ.get("SWEEP_CFGS", "[(24, 1), (16, 1), (32, 1)]")
+    )
+    for sub, tr in configs:
         PK.SUBGROUPS_V5 = sub
         PK.TARGET_SG_V5 = tr * trb
         try:
@@ -93,7 +100,7 @@ def main():
     # globals, so leaving them changed can serve stale-compiled kernels.
     PK.SUBGROUPS_V5, PK.TARGET_SG_V5 = saved
 
-    with open("/root/repo/benchmarks/sweep_v5b.json", "w") as f:
+    with open(os.environ.get("SWEEP_OUT", "/root/repo/benchmarks/sweep_v5b.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -359,7 +359,9 @@ def prepare_chunked_v4(plan: U.ModernPlan, blocks_per_chunk: int = 2048):
 # -----------------------------------------------------------------------------
 
 SUBGROUPS_V5 = 24  # swept on v5e (funnel kernel): 24 beats 8/16/32 (846-855 fps)
-TARGET_SG_V5 = 256  # blocks per subgroup (tr1 beats tr2 at 4K)
+TARGET_SG_V5 = 128  # blocks per subgroup: tr_sub=1 wins at 4K AND 1080p
+# (1080p sweep: sub24_tr1 1723 fps vs sub24_tr2 1478); only narrow frames
+# (< ~22 tiles across) pack multiple tile-rows per subgroup.
 
 
 def _packed_field_tables_v5() -> np.ndarray:
@@ -554,7 +556,9 @@ def _unpack_kernel_v5(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_chunks", "txp", "tr_sub", "interpret"),
+    static_argnames=(
+        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "interpret"
+    ),
 )
 def _unpack_image_pallas_v5(
     payload2d: jnp.ndarray,
@@ -564,16 +568,23 @@ def _unpack_image_pallas_v5(
     num_chunks: int,
     txp: int,
     tr_sub: int,
+    rows: int | None = None,  # content-aware chunk-DMA span (None = worst)
+    sub_rows: int | None = None,  # content-aware subgroup span (None = worst)
     interpret: bool = False,
 ):
     """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
     bp = meta.shape[2]
     sgp = bp // SUBGROUPS_V5
-    # A subgroup's real blocks span at most sgp*2 block windows of 32 words.
-    sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
-    sub_rows += (-sub_rows) % 8
-    rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
-    rows += (-rows) % 8
+    if sub_rows is None:
+        # A subgroup's real blocks span at most sgp*2 block windows of 32
+        # words; plane-build and pick-matmul work scale with this, so
+        # callers that know the frame's actual spans (v6 light prep) pass
+        # smaller bucketed values.
+        sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+        sub_rows += (-sub_rows) % 8
+    if rows is None:
+        rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+        rows += (-rows) % 8
     rows_chunk = SUBGROUPS_V5 * tr_sub * 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -829,6 +840,55 @@ def decode_modern_pallas_batch_v5(plans: list, interpret: bool = False):
 # -----------------------------------------------------------------------------
 
 PAYLOAD_BUCKET_ROWS = 4096  # 2MB H2D buckets bound jit recompiles
+SUB_ROWS_STEP = 16  # content-span bucket steps (bound recompiles per geometry)
+ROWS_STEP = 512
+
+
+def v5_content_spans(bits: np.ndarray, ty: int, tx: int) -> tuple[int, int]:
+    """Bucketed (rows, sub_rows) for a frame's ACTUAL content spans.
+
+    The kernel's plane-build, one-hot pick matmuls, and chunk DMA all scale
+    with the span windows, which default to the all-16-bit worst case; real
+    content (e.g. ~9.6 bits/px) spans ~60% of that. Derived on the host from
+    the bits stream (one cumsum — the same pass that validates payload
+    length), rounded up to coarse buckets so jit recompiles stay bounded.
+    """
+    geo = _v5_indices(ty, tx)
+    nblk = ty * 4 * tx
+    lengths = T.MODERN_BLOCK_LENGTH[
+        np.minimum(bits[:nblk].astype(np.int64), 16)
+    ]
+    cse = np.empty(nblk + 1, dtype=np.int64)
+    cse[0] = 16  # payload header
+    np.cumsum(lengths, out=cse[1:])
+    cse[1:] += 16
+    idxs = np.minimum(geo["base_idx"], nblk)  # subgroup starts (block units)
+    starts = cse[idxs]
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = cse[nblk]
+    base = (starts >> 2) >> 7
+    need = ((((ends + 3) >> 2) - (base << 7) + 127) >> 7) + 1
+    sub_need = int(need.max())
+    cstarts = starts[:: SUBGROUPS_V5]
+    cends = np.empty_like(cstarts)
+    cends[:-1] = cstarts[1:]
+    cends[-1] = cse[nblk]
+    cbase = (cstarts >> 2) >> 7
+    cneed = ((((cends + 3) >> 2) - (cbase << 7) + 127) >> 7) + 1
+    rows_need = int(cneed.max())
+
+    sgp = geo["bp"] // SUBGROUPS_V5
+    sub_worst = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    sub_worst += (-sub_worst) % 8
+    rows_worst = (geo["bp"] * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows_worst += (-rows_worst) % 8
+    sub_rows = min(sub_worst, sub_need + (-sub_need) % SUB_ROWS_STEP)
+    # The kernel slices scratch at [sub_base - chunk_base, +sub_rows); the
+    # bucket slack on sub_rows must fit inside the chunk window too.
+    rows_need += sub_rows - sub_need
+    rows = min(rows_worst, rows_need + (-rows_need) % ROWS_STEP)
+    return rows, max(sub_rows, 8)
 
 
 def _cls_from_bits(b):
@@ -934,7 +994,10 @@ def _v6_build_meta(bits: jnp.ndarray, refs: jnp.ndarray, *, ty: int, tx: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ty", "tx", "height", "width", "interpret")
+    jax.jit,
+    static_argnames=(
+        "ty", "tx", "height", "width", "rows", "sub_rows", "interpret"
+    ),
 )
 def decode_modern_device_v6(
     p32: jnp.ndarray,  # (rows_bucketed * 128,) int32 payload words
@@ -945,6 +1008,8 @@ def decode_modern_device_v6(
     tx: int,
     height: int,
     width: int,
+    rows: int | None = None,  # bucketed content spans (v5_content_spans)
+    sub_rows: int | None = None,
     interpret: bool = False,
 ):
     """Full modern decode with on-device prep + the fused v5 kernel."""
@@ -963,6 +1028,8 @@ def decode_modern_device_v6(
         num_chunks=nc,
         txp=txp,
         tr_sub=tr_sub,
+        rows=rows,
+        sub_rows=sub_rows,
         interpret=interpret,
     )
     img = img3.reshape(img3.shape[0], txp * 64)
@@ -970,7 +1037,10 @@ def decode_modern_device_v6(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ty", "tx", "height", "width", "interpret")
+    jax.jit,
+    static_argnames=(
+        "ty", "tx", "height", "width", "rows", "sub_rows", "interpret"
+    ),
 )
 def decode_modern_device_v6_batch(
     p32s: jnp.ndarray,  # (F, rows * 128) int32 per-frame bucketed words
@@ -981,6 +1051,8 @@ def decode_modern_device_v6_batch(
     tx: int,
     height: int,
     width: int,
+    rows: int | None = None,  # max of per-frame v5_content_spans buckets
+    sub_rows: int | None = None,
     interpret: bool = False,
 ):
     """(F, H, W) modern decode with per-frame DEVICE-side prep + ONE fused
@@ -991,11 +1063,11 @@ def decode_modern_device_v6_batch(
     geo = _v5_indices(ty, tx)
     txp, tr_sub, nc = geo["txp"], geo["tr_sub"], geo["num_chunks"]
     f = p32s.shape[0]
-    rows = p32s.shape[1] // 128
+    frame_rows = p32s.shape[1] // 128
     metas, bases = jax.vmap(
         functools.partial(_v6_build_meta, ty=ty, tx=tx)
     )(bits, refs)  # (F, nc, 8, bp), (F, nc*SUBGROUPS_V5)
-    shift = jnp.arange(f, dtype=jnp.int32) * rows
+    shift = jnp.arange(f, dtype=jnp.int32) * frame_rows
     metas = metas.at[:, :, 0:2, :].add((shift * 128)[:, None, None, None])
     bases = (bases + shift[:, None]).reshape(-1)
     meta2 = metas.reshape(f * nc, 8, metas.shape[3])
@@ -1006,6 +1078,8 @@ def decode_modern_device_v6_batch(
         num_chunks=f * nc,
         txp=txp,
         tr_sub=tr_sub,
+        rows=rows,
+        sub_rows=sub_rows,
         interpret=interpret,
     )
     rows_frame = img3.shape[0] // f

@@ -223,6 +223,8 @@ def decode_frames_v6_mesh(
     tx: int,
     height: int,
     width: int,
+    rows: int | None = None,
+    sub_rows: int | None = None,
     mesh: Mesh | None = None,
     interpret: bool = False,
 ):
@@ -244,6 +246,8 @@ def decode_frames_v6_mesh(
         tx=tx,
         height=height,
         width=width,
+        rows=rows,
+        sub_rows=sub_rows,
         interpret=interpret,
     )
     if mesh is None:

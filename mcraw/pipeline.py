@@ -217,6 +217,7 @@ class Decoder:
             p32, bits, refs, ty, tx = PK.prepare_modern_light(
                 payload, fm.width, fm.height, window=window
             )
+            rows, sub_rows = PK.v5_content_spans(bits, ty, tx)
         with self._stage("unpack"):
             img = PK.decode_modern_device_v6(
                 jnp.asarray(p32),
@@ -226,6 +227,8 @@ class Decoder:
                 tx=tx,
                 height=fm.height,
                 width=fm.width,
+                rows=rows,
+                sub_rows=sub_rows,
             )
         return img, meta
 
@@ -357,7 +360,7 @@ class Decoder:
                 p32, bits, refs, ty, tx = PK.prepare_modern_light(
                     payload, fm.width, fm.height, window=window
                 )
-            lights.append((p32, bits, refs))
+            lights.append((p32, bits, refs, PK.v5_content_spans(bits, ty, tx)))
             metas.append(meta)
             geos.add((ty, tx, fm.width, fm.height))
         if len(geos) != 1:
@@ -379,13 +382,13 @@ class Decoder:
                         jnp.pad(jax.device_put(p), (0, rmax - len(p)))
                         if len(p) < rmax
                         else jax.device_put(p)
-                        for p, _, _ in lights
+                        for p, _, _, _ in lights
                     ]
                 )
             else:
                 # Sharded placement needs a global array; one host stack.
                 p32s = np.zeros((len(lights), rmax), dtype=np.int32)
-                for i, (p, _, _) in enumerate(lights):
+                for i, (p, _, _, _) in enumerate(lights):
                     p32s[i, : len(p)] = p
             bits = np.stack([l[1] for l in lights])
             refs = np.stack([l[2] for l in lights])
@@ -397,6 +400,8 @@ class Decoder:
                 tx=tx,
                 height=height,
                 width=width,
+                rows=max(l[3][0] for l in lights),
+                sub_rows=max(l[3][1] for l in lights),
                 mesh=mesh,
             )
         return img, metas

@@ -214,6 +214,27 @@ def test_v6_mesh_device_prep(rng):
     assert np.array_equal(np.asarray(out), np.stack(imgs))
 
 
+def test_v6_content_spans_exact(rng):
+    """Bucketed content spans: mixed-density frame (one all-16-bit band in
+    low-bit content) decodes exactly with the tighter rows/sub_rows."""
+    import jax.numpy as jnp
+
+    h, w = 64, 512
+    img = rng.integers(0, 16, size=(h, w), dtype=np.uint16)
+    img[24:32] = rng.integers(0, 1 << 16, size=(8, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    p32, bits, refs, ty, tx = PK.prepare_modern_light(payload, w, h)
+    rows, sub_rows = PK.v5_content_spans(bits, ty, tx)
+    out = np.asarray(
+        PK.decode_modern_device_v6(
+            jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
+            ty=ty, tx=tx, height=h, width=w,
+            rows=rows, sub_rows=sub_rows, interpret=True,
+        )
+    )
+    assert np.array_equal(out, img)
+
+
 def test_light_prep_window_paths_agree(rng):
     """Zero-copy window path == copy path (the last frames of a clip fall
     back to copying when the mmap ends too soon)."""
