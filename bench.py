@@ -70,14 +70,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         num_chunks, txp, tr_sub = chunked[0][3:]
         args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
         # Content-aware span windows (plane/pick work scales with them).
-        spans = [
-            PK.v5_content_spans(
-                PK.prepare_modern_light(p, W, H)[1],
-                plans[0].tiles_y,
-                plans[0].tiles_x,
-            )
-            for p in payloads
-        ]
+        spans = [PK.prepare_modern_light(p, W, H)[5] for p in payloads]
         rows = max(s[0] for s in spans)
         sub_rows = max(s[1] for s in spans)
 

@@ -77,10 +77,13 @@ def main():
     frames = d.frames
 
     # v6 path: host = serial scans only; offsets/meta built on-device.
-    @functools.partial(jax.jit, static_argnames=("ty", "tx"))
-    def step(p32, bits, refs, *, ty, tx):
+    @functools.partial(
+        jax.jit, static_argnames=("ty", "tx", "rows", "sub_rows")
+    )
+    def step(p32, bits, refs, *, ty, tx, rows=None, sub_rows=None):
         im = PK.decode_modern_device_v6.__wrapped__(
-            p32, bits, refs, ty=ty, tx=tx, height=H, width=W
+            p32, bits, refs, ty=ty, tx=tx, height=H, width=W,
+            rows=rows, sub_rows=sub_rows,
         )
         return im.astype(jnp.uint32).sum()
 
@@ -89,10 +92,10 @@ def main():
         return PK.prepare_modern_light(payload, W, H, window=window)
 
     def prep_device(ts):
-        p32, bits, refs, ty, tx = prep_host(ts)
+        p32, bits, refs, ty, tx, spans = prep_host(ts)
         return (
             jax.device_put(p32), jax.device_put(bits), jax.device_put(refs),
-            ty, tx,
+            ty, tx, spans,
         )
 
     # --- leg 1: host prep rate (threaded, no device) ---------------------
@@ -122,8 +125,10 @@ def main():
     staged = [prep_device(ts) for ts in frames[:UNIQUE]]
     for a in staged:
         jax.block_until_ready(a[:3])
+    rows = max(a[5][0] for a in staged)
+    sub_rows = max(a[5][1] for a in staged)
     run = lambda i: step(*staged[i % UNIQUE][:3], ty=staged[0][3],
-                         tx=staged[0][4])
+                         tx=staged[0][4], rows=rows, sub_rows=sub_rows)
     for i in range(UNIQUE):
         assert int(jax.block_until_ready(run(i))) == expected[i]
     iters = 90
@@ -145,7 +150,7 @@ def main():
     with ThreadPoolExecutor(max_workers=4) as pool:
         t0 = time.perf_counter()
         for a in pool.map(prep_device, frames):
-            o = step(*a[:3], ty=a[3], tx=a[4])
+            o = step(*a[:3], ty=a[3], tx=a[4], rows=rows, sub_rows=sub_rows)
             acc = o if acc is None else acc + o
         total = int(acc)
         dt = time.perf_counter() - t0

@@ -229,7 +229,7 @@ def main():
         h, w = 3072, 4096
         img = make_frame(h, w)
         payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-        p32, bits, refs, ty, tx = PK.prepare_modern_light(payload, w, h)
+        p32, bits, refs, ty, tx, _spans = PK.prepare_modern_light(payload, w, h)
         pa = tuple(map(jax.device_put, (p32, bits, refs)))
         cfa = (0, 1, 1, 2)
         black = jnp.zeros(4, jnp.uint16)

@@ -844,36 +844,32 @@ SUB_ROWS_STEP = 16  # content-span bucket steps (bound recompiles per geometry)
 ROWS_STEP = 512
 
 
-def v5_content_spans(bits: np.ndarray, ty: int, tx: int) -> tuple[int, int]:
-    """Bucketed (rows, sub_rows) for a frame's ACTUAL content spans.
+def _spans_from_lengths(
+    lengths: np.ndarray, ty: int, tx: int
+) -> tuple[int, int]:
+    """Bucketed (rows, sub_rows) from a frame's per-block payload lengths.
 
     The kernel's plane-build, one-hot pick matmuls, and chunk DMA all scale
     with the span windows, which default to the all-16-bit worst case; real
-    content (e.g. ~9.6 bits/px) spans ~60% of that. Derived on the host from
-    the bits stream (one cumsum — the same pass that validates payload
-    length), rounded up to coarse buckets so jit recompiles stay bounded.
+    content (e.g. ~9.6 bits/px) spans ~60% of that. One reduceat at subgroup
+    boundaries (no full cumsum), rounded up to coarse buckets so jit
+    recompiles stay bounded.
     """
     geo = _v5_indices(ty, tx)
-    nblk = ty * 4 * tx
-    lengths = T.MODERN_BLOCK_LENGTH[
-        np.minimum(bits[:nblk].astype(np.int64), 16)
-    ]
-    cse = np.empty(nblk + 1, dtype=np.int64)
-    cse[0] = 16  # payload header
-    np.cumsum(lengths, out=cse[1:])
-    cse[1:] += 16
-    idxs = np.minimum(geo["base_idx"], nblk)  # subgroup starts (block units)
-    starts = cse[idxs]
-    ends = np.empty_like(starts)
-    ends[:-1] = starts[1:]
-    ends[-1] = cse[nblk]
+    nblk = len(lengths)
+    idxs = geo["base_idx"]  # subgroup starts, block units, ascending
+    k = max(int(np.searchsorted(idxs, nblk)), 1)
+    seg = np.add.reduceat(lengths, np.asarray(idxs[:k], dtype=np.intp))
+    ends = 16 + np.cumsum(seg, dtype=np.int64)  # each subgroup's end byte
+    starts = ends - seg
     base = (starts >> 2) >> 7
     need = ((((ends + 3) >> 2) - (base << 7) + 127) >> 7) + 1
     sub_need = int(need.max())
-    cstarts = starts[:: SUBGROUPS_V5]
-    cends = np.empty_like(cstarts)
-    cends[:-1] = cstarts[1:]
-    cends[-1] = cse[nblk]
+    cstarts = starts[::SUBGROUPS_V5]
+    last = np.minimum(
+        np.arange(1, len(cstarts) + 1) * SUBGROUPS_V5, k
+    ) - 1
+    cends = ends[last]
     cbase = (cstarts >> 2) >> 7
     cneed = ((((cends + 3) >> 2) - (cbase << 7) + 127) >> 7) + 1
     rows_need = int(cneed.max())
@@ -889,6 +885,13 @@ def v5_content_spans(bits: np.ndarray, ty: int, tx: int) -> tuple[int, int]:
     rows_need += sub_rows - sub_need
     rows = min(rows_worst, rows_need + (-rows_need) % ROWS_STEP)
     return rows, max(sub_rows, 8)
+
+
+def v5_content_spans(bits: np.ndarray, ty: int, tx: int) -> tuple[int, int]:
+    """Bucketed (rows, sub_rows) content spans from a raw bits stream."""
+    nblk = ty * 4 * tx
+    lengths = T.MODERN_BLOCK_LENGTH.take(bits[:nblk], mode="clip")
+    return _spans_from_lengths(lengths, ty, tx)
 
 
 def _cls_from_bits(b):
@@ -1096,9 +1099,10 @@ def prepare_modern_light(
     """Minimal host prep for the v6 device-prep path.
 
     Runs only the format's serial scans + validation; returns
-    (p32, bits, refs, ty, tx) where p32 is the payload as int32 words,
-    bucketed to PAYLOAD_BUCKET_ROWS (zero-copy from `window` when it covers
-    the bucket).
+    (p32, bits, refs, ty, tx, spans) where p32 is the payload as int32
+    words, bucketed to PAYLOAD_BUCKET_ROWS (zero-copy from `window` when it
+    covers the bucket) and spans = bucketed (rows, sub_rows) content spans
+    for the kernel's static window sizes.
     """
     from . import numpy_ref as R
     from .native import decode_metadata_stream
@@ -1120,11 +1124,12 @@ def prepare_modern_light(
     if len(bits) < nblk or len(refs) < nblk:
         raise DecodeError("metadata streams shorter than block count")
     bits, refs = bits[:nblk], refs[:nblk]
-    total = int(
-        T.MODERN_BLOCK_LENGTH[np.minimum(bits.astype(np.int64), 16)].sum()
-    )
+    # mode='clip' == the codec's bits<=16 clamp (RawData.cpp:424-458).
+    lengths = T.MODERN_BLOCK_LENGTH.take(bits, mode="clip")
+    total = int(lengths.sum(dtype=np.int64))
     if 16 + total > n:
         raise DecodeError("main data truncated")
+    spans = _spans_from_lengths(lengths, ty, tx)
 
     # Bucket includes the kernel's worst-case last-chunk DMA overhang so the
     # device consumes the buffer as-is (no pad copy anywhere).
@@ -1142,7 +1147,7 @@ def prepare_modern_light(
     need = n + span
     need += (-need) % bucket
     p32 = U.pad_or_window(payload, need, window).view("<i4")
-    return p32, bits, refs, ty, tx
+    return p32, bits, refs, ty, tx, spans
 
 
 def _unpack_kernel_v2(

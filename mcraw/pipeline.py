@@ -214,10 +214,11 @@ class Decoder:
         from .kernels import pallas_unpack as PK
 
         with self._stage("parse"):
-            p32, bits, refs, ty, tx = PK.prepare_modern_light(
-                payload, fm.width, fm.height, window=window
+            p32, bits, refs, ty, tx, (rows, sub_rows) = (
+                PK.prepare_modern_light(
+                    payload, fm.width, fm.height, window=window
+                )
             )
-            rows, sub_rows = PK.v5_content_spans(bits, ty, tx)
         with self._stage("unpack"):
             img = PK.decode_modern_device_v6(
                 jnp.asarray(p32),
@@ -357,10 +358,10 @@ class Decoder:
                     return None
                 if not self._v6_eligible(payload):
                     return None
-                p32, bits, refs, ty, tx = PK.prepare_modern_light(
+                p32, bits, refs, ty, tx, spans = PK.prepare_modern_light(
                     payload, fm.width, fm.height, window=window
                 )
-            lights.append((p32, bits, refs, PK.v5_content_spans(bits, ty, tx)))
+            lights.append((p32, bits, refs, spans))
             metas.append(meta)
             geos.add((ty, tx, fm.width, fm.height))
         if len(geos) != 1:

@@ -143,7 +143,7 @@ def test_pallas_v6_device_prep(rng, shape):
     h, w = shape
     img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
     payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-    p32, bits, refs, ty, tx = PK.prepare_modern_light(payload, w, h)
+    p32, bits, refs, ty, tx, _spans = PK.prepare_modern_light(payload, w, h)
     out = np.asarray(
         PK.decode_modern_device_v6(
             jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
@@ -223,7 +223,7 @@ def test_v6_content_spans_exact(rng):
     img = rng.integers(0, 16, size=(h, w), dtype=np.uint16)
     img[24:32] = rng.integers(0, 1 << 16, size=(8, w), dtype=np.uint16)
     payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-    p32, bits, refs, ty, tx = PK.prepare_modern_light(payload, w, h)
+    p32, bits, refs, ty, tx, _spans = PK.prepare_modern_light(payload, w, h)
     rows, sub_rows = PK.v5_content_spans(bits, ty, tx)
     out = np.asarray(
         PK.decode_modern_device_v6(
@@ -254,7 +254,7 @@ def test_light_prep_window_paths_agree(rng):
     # And both decode to the image (trailing garbage is never addressed).
     import jax.numpy as jnp
 
-    for p32, bits, refs, ty, tx in (a, b):
+    for p32, bits, refs, ty, tx, _sp in (a, b):
         out = np.asarray(
             PK.decode_modern_device_v6(
                 jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
