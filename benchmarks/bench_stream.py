@@ -100,23 +100,25 @@ def main():
 
     # --- leg 1: host prep rate (threaded, no device) ---------------------
     for workers in (1, 4, 8):
+        best = float("inf")
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(prep_host, frames[:4]))  # warm caches
-            t0 = time.perf_counter()
-            list(pool.map(prep_host, frames))
-            dt = time.perf_counter() - t0
-        results[f"host_prep_fps_w{workers}"] = round(FRAMES / dt, 1)
-        print(f"host prep x{workers}: {FRAMES/dt:.1f} fps", flush=True)
+            for _ in range(3):  # best-of-3: host load here swings 2x+
+                t0 = time.perf_counter()
+                list(pool.map(prep_host, frames))
+                best = min(best, time.perf_counter() - t0)
+        results[f"host_prep_fps_w{workers}"] = round(FRAMES / best, 1)
+        print(f"host prep x{workers}: {FRAMES/best:.1f} fps", flush=True)
 
     # --- leg 2: H2D bandwidth through this link ---------------------------
     light = prep_host(frames[0])
     nbytes = light[0].nbytes + light[1].nbytes + light[2].nbytes
-    t0 = time.perf_counter()
-    n = 3
-    for _ in range(n):
+    dt = float("inf")
+    for _ in range(3):  # best-of-3 single transfers (tunnel load varies)
+        t0 = time.perf_counter()
         a = tuple(jax.device_put(x) for x in light[:3])
         jax.block_until_ready(a)
-    dt = (time.perf_counter() - t0) / n
+        dt = min(dt, time.perf_counter() - t0)
     results["h2d_gbps"] = round(nbytes / dt / 1e9, 4)
     results["h2d_fps_implied"] = round(1.0 / dt, 2)
     print(f"H2D: {nbytes/dt/1e9:.3f} GB/s -> {1.0/dt:.2f} frames/s", flush=True)
