@@ -129,20 +129,28 @@ def main():
             payload2d, base_rows, meta, num_chunks, txp, tr_sub = (
                 PK.prepare_chunked_v5(plan)
             )
+            rowsb, sub_rowsb = PK.prepare_modern_light(payload, w, h)[5]
             pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
             @functools.partial(
-                jax.jit, static_argnames=("nc", "txp", "tr_sub")
+                jax.jit,
+                static_argnames=("nc", "txp", "tr_sub", "rows", "sub_rows"),
             )
-            def pk_sum(payload2d, base_rows, meta, *, nc, txp, tr_sub):
+            def pk_sum(
+                payload2d, base_rows, meta, *, nc, txp, tr_sub, rows, sub_rows
+            ):
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
                     payload2d, base_rows, meta,
                     num_chunks=nc, txp=txp, tr_sub=tr_sub,
+                    rows=rows, sub_rows=sub_rows,
                 )
                 im = img3.reshape(img3.shape[0], txp * 64)[:h, :w]
                 return im.astype(jnp.uint32).sum()
 
-            runp = lambda: pk_sum(*pa, nc=num_chunks, txp=txp, tr_sub=tr_sub)
+            runp = lambda: pk_sum(
+                *pa, nc=num_chunks, txp=txp, tr_sub=tr_sub,
+                rows=rowsb, sub_rows=sub_rowsb,
+            )
             dt = timeit_dev(runp, want, n=50)
             cfg["pallas_ms"] = round(dt * 1e3, 3)
             cfg["pallas_fps"] = round(1 / dt, 1)

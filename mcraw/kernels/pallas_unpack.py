@@ -860,6 +860,16 @@ def _spans_from_lengths(
     idxs = geo["base_idx"]  # subgroup starts, block units, ascending
     k = max(int(np.searchsorted(idxs, nblk)), 1)
     seg = np.add.reduceat(lengths, np.asarray(idxs[:k], dtype=np.intp))
+    return _spans_from_segments(seg, ty, tx)
+
+
+def _spans_from_segments(
+    seg: np.ndarray, ty: int, tx: int
+) -> tuple[int, int]:
+    """Span buckets from per-subgroup payload byte sums (see
+    _spans_from_lengths; the native scan produces `seg` directly)."""
+    geo = _v5_indices(ty, tx)
+    k = len(seg)
     ends = 16 + np.cumsum(seg, dtype=np.int64)  # each subgroup's end byte
     starts = ends - seg
     base = (starts >> 2) >> 7
@@ -1105,7 +1115,7 @@ def prepare_modern_light(
     for the kernel's static window sizes.
     """
     from . import numpy_ref as R
-    from .native import decode_metadata_stream
+    from .native import decode_metadata_stream, length_segments
     from ..errors import DecodeError
 
     payload = np.asarray(payload, dtype=np.uint8)
@@ -1124,12 +1134,18 @@ def prepare_modern_light(
     if len(bits) < nblk or len(refs) < nblk:
         raise DecodeError("metadata streams shorter than block count")
     bits, refs = bits[:nblk], refs[:nblk]
-    # mode='clip' == the codec's bits<=16 clamp (RawData.cpp:424-458).
-    lengths = T.MODERN_BLOCK_LENGTH.take(bits, mode="clip")
-    total = int(lengths.sum(dtype=np.int64))
+    geo = _v5_indices(ty, tx)
+    native_seg = length_segments(bits, geo["tr_sub"] * 4 * tx)
+    if native_seg is not None:
+        total, seg = native_seg
+        spans = _spans_from_segments(seg, ty, tx)
+    else:
+        # mode='clip' == the codec's bits<=16 clamp (RawData.cpp:424-458).
+        lengths = T.MODERN_BLOCK_LENGTH.take(bits, mode="clip")
+        total = int(lengths.sum(dtype=np.int64))
+        spans = _spans_from_lengths(lengths, ty, tx)
     if 16 + total > n:
         raise DecodeError("main data truncated")
-    spans = _spans_from_lengths(lengths, ty, tx)
 
     # Bucket includes the kernel's worst-case last-chunk DMA overhang so the
     # device consumes the buffer as-is (no pad copy anywhere).

@@ -146,6 +146,30 @@ int64_t mcraw_metadata_scan(const uint8_t* data, int64_t len, int64_t offset,
   return offset;
 }
 
+// Sum main-data payload lengths from decoded modern `bits` values, with
+// per-segment sums at a regular `stride` (the v5 kernel's subgroup size).
+// Replaces a NumPy LUT-gather + reduceat pass (~0.8 ms/4K frame) with one
+// memory-speed walk. bits > 16 clamp to 16 (RawData.cpp:424-458 default
+// case). Writes ceil(n/stride) segment sums; returns the total.
+int64_t mcraw_length_segments(const uint16_t* bits, int64_t n, int64_t stride,
+                              int64_t* seg_out) {
+  int64_t total = 0;
+  const int64_t nseg = stride > 0 ? (n + stride - 1) / stride : 0;
+  for (int64_t s = 0; s < nseg; ++s) {
+    int64_t end = (s + 1) * stride;
+    if (end > n) end = n;
+    int64_t acc = 0;
+    for (int64_t i = s * stride; i < end; ++i) {
+      int b = bits[i];
+      if (b > 16) b = 16;
+      acc += kModernBlockLength[b];
+    }
+    seg_out[s] = acc;
+    total += acc;
+  }
+  return total;
+}
+
 // Walk the legacy inline-header chain for `num_blocks` blocks starting at
 // `start`. Emits per-block clamped bits, 12-bit references, and payload
 // offsets (just past each 2-byte header). Truncation semantics follow the

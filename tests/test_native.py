@@ -70,3 +70,22 @@ def test_legacy_scan_truncated(native_lib, rng):
     num_blocks = 8 * (64 // 32) * 2
     with pytest.raises(DecodeError):
         N.legacy_scan(data[: len(data) // 2], num_blocks)
+
+
+def test_length_segments_matches_numpy(rng):
+    """Native lengths/segment sums == the NumPy LUT + reduceat fallback."""
+    from mcraw.kernels import native as N
+    from mcraw.kernels import tables as T
+
+    r = N.length_segments(
+        rng.integers(0, 24, 5000).astype(np.uint16), 384
+    )
+    if r is None:
+        pytest.skip("native extension unavailable")
+    bits = rng.integers(0, 24, 5000).astype(np.uint16)
+    for stride in (1, 64, 384, 5000, 7000):
+        total, seg = N.length_segments(bits, stride)
+        lengths = T.MODERN_BLOCK_LENGTH.take(bits, mode="clip")
+        assert total == int(lengths.sum())
+        want = np.add.reduceat(lengths, np.arange(0, len(bits), stride))
+        assert np.array_equal(seg, want), stride
