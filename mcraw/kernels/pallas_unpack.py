@@ -426,6 +426,7 @@ def _unpack_kernel_v5(
     sub_rows: int = None,
     txp: int = None,
     tr_sub: int = None,
+    ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -462,12 +463,20 @@ def _unpack_kernel_v5(
         sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
         local = scratch_ref[slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :]
         sl = slice(j * sgp, (j + 1) * sgp)
-        offs_e = jnp.transpose(meta[0:1, sl], (1, 0))
-        offs_o = jnp.transpose(meta[1:2, sl], (1, 0))
-        cls_e = jnp.transpose(meta[2:3, sl], (1, 0))
-        cls_o = jnp.transpose(meta[3:4, sl], (1, 0))
-        refs_e = jnp.transpose(meta[4:5, sl], (1, 0))
-        refs_o = jnp.transpose(meta[5:6, sl], (1, 0))
+        if "nometa" in ablate:  # (timing ablation: wrong results; measures
+            # the 6 lane->sublane meta transposes)
+            col = jax.lax.broadcasted_iota(jnp.int32, (sgp, 1), 0)
+            offs_e = col + sub_row0 * 128
+            offs_o = offs_e
+            cls_e = cls_o = col & 7
+            refs_e = refs_o = col & 0xFFF
+        else:
+            offs_e = jnp.transpose(meta[0:1, sl], (1, 0))
+            offs_o = jnp.transpose(meta[1:2, sl], (1, 0))
+            cls_e = jnp.transpose(meta[2:3, sl], (1, 0))
+            cls_o = jnp.transpose(meta[3:4, sl], (1, 0))
+            refs_e = jnp.transpose(meta[4:5, sl], (1, 0))
+            refs_o = jnp.transpose(meta[5:6, sl], (1, 0))
         rel_e = offs_e - sub_row0 * 128
         rel_o = offs_o - sub_row0 * 128
         q = rel_e >> 7
@@ -484,12 +493,18 @@ def _unpack_kernel_v5(
             ],
             axis=1,
         )  # (sgp, 2*ncls)
-        desc = jnp.dot(
-            oh2,
-            tables_ref[:, :].astype(jnp.float32),
-            precision=hi,
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # (sgp, 384)
+        if "nodesc" in ablate:  # (timing ablation: wrong results;
+            # data-dependent so Mosaic keeps a real vector value)
+            desc = (
+                jax.lax.broadcasted_iota(jnp.int32, (sgp, 384), 1) + cls_e
+            ) & 31
+        else:
+            desc = jnp.dot(
+                oh2,
+                tables_ref[:, :].astype(jnp.float32),
+                precision=hi,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # (sgp, 384)
 
         # Two 16-bit half planes (f32-exact < 2^24 under a one-hot HIGHEST
         # matmul): half the plane-build, convert, and reassembly cost of
@@ -522,12 +537,18 @@ def _unpack_kernel_v5(
         t0 = rel_e & 127
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         merged = jnp.where(lane_ids >= t0, row0, row1)
+        if "nopick" in ablate:  # (timing ablation: wrong results; the
+            # scalar read keeps the span DMA live)
+            merged = (rel_e ^ local[0, 0]) + lane_ids
 
         rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (sgp, 128)
         rel_base = rel_lane - (q << 7)
 
-        vals = None
-        for f in range(3):
+        nfields = 3
+        if "fields" in ablate:
+            nfields = int(ablate[ablate.index("fields") + 6])
+        vals = jnp.zeros((sgp, 128), jnp.int32) if nfields == 0 else None
+        for f in range(nfields):
             d = desc[:, f * 128 : (f + 1) * 128]
             widx = rel_base + (d & 31)
             word = jnp.take_along_axis(merged, widx & 127, axis=1)
@@ -546,18 +567,22 @@ def _unpack_kernel_v5(
         refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
         vals = (vals + refs_lane) & 0xFFFF  # (sgp, 128) finished pixels
 
-        for r in range(rows_per_sub):
-            t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
-            band = (t_local * 2 + qr) * txp
-            out_ref[j * rows_per_sub + r] = vals[
-                band : band + txp, h * 64 : (h + 1) * 64
-            ].astype(jnp.uint16)
+        if "rawout" in ablate:  # (timing ablation: raw pair-row layout)
+            out_ref[pl.ds(j * sgp, sgp)] = vals.astype(jnp.uint16)
+        else:
+            for r in range(rows_per_sub):
+                t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
+                band = (t_local * 2 + qr) * txp
+                out_ref[j * rows_per_sub + r] = vals[
+                    band : band + txp, h * 64 : (h + 1) * 64
+                ].astype(jnp.uint16)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "interpret"
+        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "ablate",
+        "interpret"
     ),
 )
 def _unpack_image_pallas_v5(
@@ -570,6 +595,7 @@ def _unpack_image_pallas_v5(
     tr_sub: int,
     rows: int | None = None,  # content-aware chunk-DMA span (None = worst)
     sub_rows: int | None = None,  # content-aware subgroup span (None = worst)
+    ablate: str = "",
     interpret: bool = False,
 ):
     """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
@@ -586,6 +612,24 @@ def _unpack_image_pallas_v5(
         rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
         rows += (-rows) % 8
     rows_chunk = SUBGROUPS_V5 * tr_sub * 4
+    if "rawout" in ablate:  # timing ablation: raw (pair-row, 128) layout
+        out_spec = pl.BlockSpec(
+            (SUBGROUPS_V5 * sgp, 128),
+            lambda i, base: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (num_chunks * SUBGROUPS_V5 * sgp, 128), jnp.uint16
+        )
+    else:
+        out_spec = pl.BlockSpec(
+            (rows_chunk, txp, 64),
+            lambda i, base: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (num_chunks * rows_chunk, txp, 64), jnp.uint16
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
@@ -596,11 +640,7 @@ def _unpack_image_pallas_v5(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (rows_chunk, txp, 64),
-            lambda i, base: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, rows, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -614,11 +654,10 @@ def _unpack_image_pallas_v5(
             sub_rows=sub_rows,
             txp=txp,
             tr_sub=tr_sub,
+            ablate=ablate,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (num_chunks * rows_chunk, txp, 64), jnp.uint16
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(base_rows, meta, tables, payload2d)
 
