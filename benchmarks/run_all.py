@@ -245,17 +245,20 @@ def main():
         neutral = jnp.ones(3, jnp.float32)
         fwd = jnp.asarray(np.diag([0.9642, 1.0, 0.8249]).astype(np.float32))
 
+        inv = preview._inv_dens_device(h, w, cfa)
+
         @functools.partial(jax.jit, static_argnames=("ty", "tx"))
-        def prev_sum(p32, bits, refs, *, ty, tx):
+        def prev_sum(p32, bits, refs, inv, *, ty, tx):
             im = PK.decode_modern_device_v6.__wrapped__(
                 p32, bits, refs, ty=ty, tx=tx, height=h, width=w
             )
             rgb = preview.develop.__wrapped__(
-                im, black, white, neutral, fwd, height=h, width=w, cfa=cfa
+                im, black, white, neutral, fwd, inv,
+                height=h, width=w, cfa=cfa,
             )
             return rgb.astype(jnp.uint32).sum()
 
-        runv = lambda: prev_sum(*pa, ty=ty, tx=tx)
+        runv = lambda: prev_sum(*pa, inv, ty=ty, tx=tx)
         want_prev = int(jax.block_until_ready(runv()))  # self-consistency
         dt = timeit_dev(runv, want_prev, n=60)
         results["configs"]["preview_4k"] = {

@@ -71,15 +71,65 @@ def _conv2same(x: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
 _K_CROSS = np.array([[0, 1, 0], [1, 4, 1], [0, 1, 0]], dtype=np.float32)
 _K_FULL = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float32)
 
+# The normalizer conv(mask) is static per geometry: precompute its
+# reciprocal so the per-frame work is one multiply, not a full conv + a
+# divide (the three mask convs were ~45 full-frame passes per frame).
+_INV_DEN_CACHE: dict = {}
 
-def bilinear_demosaic(raw: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
-    """Mask-normalized bilinear demosaic. raw: (H, W) float; masks (3, H, W).
-    Returns (H, W, 3). Normalizing by the convolved mask handles borders."""
+
+def _np_conv2same(x: np.ndarray, k: np.ndarray) -> np.ndarray:
+    h, w = x.shape
+    p = np.pad(x, 1)
+    acc = np.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            if k[dy, dx]:
+                acc += k[dy, dx] * p[dy : dy + h, dx : dx + w]
+    return acc
+
+
+def _inv_dens(height: int, width: int, cfa: tuple[int, ...]) -> np.ndarray:
+    key = (height, width, cfa)
+    c = _INV_DEN_CACHE.get(key)
+    if c is None:
+        masks = _phase_masks(height, width, cfa)
+        c = np.stack(
+            [
+                1.0 / _np_conv2same(masks[ch], k)
+                for ch, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL))
+            ]
+        ).astype(np.float32)
+        _INV_DEN_CACHE[key] = c
+    return c
+
+
+_INV_DEN_DEV_CACHE: dict = {}
+
+
+def _inv_dens_device(height: int, width: int, cfa: tuple[int, ...]):
+    """Device-resident 1/conv(mask) normalizers, uploaded once per
+    geometry (~150 MB at 4K — far too big to bake into the program)."""
+    key = (height, width, cfa)
+    c = _INV_DEN_DEV_CACHE.get(key)
+    if c is None:
+        c = jnp.asarray(_inv_dens(height, width, cfa))
+        _INV_DEN_DEV_CACHE[key] = c
+    return c
+
+
+def bilinear_demosaic(
+    raw: jnp.ndarray, masks, inv_dens: jnp.ndarray, gains=None
+) -> jnp.ndarray:
+    """Mask-normalized bilinear demosaic. raw: (H, W) float; masks: 3-list
+    of (H, W) float; inv_dens (3, H, W) precomputed 1/conv(mask) (borders
+    included); gains: optional (3,) per-channel scale folded into the
+    normalizer (white balance commutes with the per-channel linear conv).
+    Returns (H, W, 3)."""
     out = []
     for c, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL)):
         num = _conv2same(raw * masks[c], k)
-        den = _conv2same(masks[c], k)
-        out.append(num / den)
+        inv = inv_dens[c] if gains is None else inv_dens[c] * gains[c]
+        out.append(num * inv)
     return jnp.stack(out, axis=-1)
 
 
@@ -90,13 +140,26 @@ def develop(
     white_level: jnp.ndarray,  # scalar
     as_shot_neutral: jnp.ndarray,  # (3,)
     forward_matrix: jnp.ndarray,  # (3, 3) camera -> XYZ D50
+    inv_dens: jnp.ndarray,  # (3, H, W) 1/conv(mask), _inv_dens_device
     *,
     height: int,
     width: int,
     cfa: tuple[int, ...],
 ) -> jnp.ndarray:
-    """(H, W) uint16 Bayer -> (H, W, 3) uint8 sRGB preview."""
-    masks = jnp.asarray(_phase_masks(height, width, cfa))
+    """(H, W) uint16 Bayer -> (H, W, 3) uint8 sRGB preview.
+
+    inv_dens: (3, H, W) from _inv_dens_device (passed as a runtime arg —
+    baking it as a program constant blows up the compile payload at 4K).
+    Masks are built in-graph from parity iotas (no big constants).
+    """
+    yy2 = jnp.arange(height)[:, None] % 2 == 0
+    xx2 = jnp.arange(width)[None, :] % 2 == 0
+    chan = jnp.where(
+        yy2,
+        jnp.where(xx2, cfa[0], cfa[1]),
+        jnp.where(xx2, cfa[2], cfa[3]),
+    )
+    masks = [(chan == c).astype(jnp.float32) for c in range(3)]
 
     # Per-site black level (blackLevel is 2x2, BlackLevelRepeatDim 2x2).
     # Selects, NOT bl2x2[yy, xx]: that 12M-element gather from a 4-element
@@ -110,15 +173,22 @@ def develop(
         jnp.where(xx, b[2], b[3]),
     )
 
-    x = (raw_u16.astype(jnp.float32) - bl) / (
-        white_level.astype(jnp.float32) - bl
+    # (raw - bl) * 1/(white - bl): the per-site reciprocal is 4 scalars
+    # arranged by the same parity wheres (a full-frame divide is ~an order
+    # slower than a multiply on the VPU).
+    wf = white_level.astype(jnp.float32)
+    inv_scale = jnp.where(
+        yy,
+        jnp.where(xx, 1.0 / (wf - b[0]), 1.0 / (wf - b[1])),
+        jnp.where(xx, 1.0 / (wf - b[2]), 1.0 / (wf - b[3])),
     )
+    x = (raw_u16.astype(jnp.float32) - bl) * inv_scale
     x = jnp.clip(x, 0.0, 1.0)
 
-    rgb = bilinear_demosaic(x, masks)
-
-    # White balance: divide by AsShotNeutral (neutral has G == 1).
-    rgb = rgb / as_shot_neutral.astype(jnp.float32)[None, None, :]
+    # White balance (divide by AsShotNeutral, G == 1) folds into the
+    # demosaic normalizer: per-channel scales commute with the conv.
+    gains = 1.0 / as_shot_neutral.astype(jnp.float32)
+    rgb = bilinear_demosaic(x, masks, inv_dens, gains)
     rgb = jnp.clip(rgb, 0.0, 1.0)
 
     # Camera -> XYZ(D50) -> linear sRGB.
@@ -147,6 +217,7 @@ def preview_frame(decoder, timestamp: int) -> jax.Array:
         jnp.asarray(np.float32(cm.white_level)),
         jnp.asarray(fm.as_shot_neutral),
         jnp.asarray(cm.forward_matrix(1).reshape(3, 3)),
+        _inv_dens_device(fm.height, fm.width, cfa),
         height=fm.height,
         width=fm.width,
         cfa=cfa,
