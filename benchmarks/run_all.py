@@ -245,20 +245,27 @@ def main():
         neutral = jnp.ones(3, jnp.float32)
         fwd = jnp.asarray(np.diag([0.9642, 1.0, 0.8249]).astype(np.float32))
 
-        inv = preview._inv_dens_device(h, w, cfa)
+        from mcraw.kernels import pallas_develop as PD
+
+        inv2d = preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+        params = jnp.asarray(
+            PD.pack_develop_params(
+                np.zeros(4, np.float32), 4095.0, np.ones(3, np.float32),
+                np.diag([0.9642, 1.0, 0.8249]).astype(np.float32),
+            )
+        )
 
         @functools.partial(jax.jit, static_argnames=("ty", "tx"))
-        def prev_sum(p32, bits, refs, inv, *, ty, tx):
+        def prev_sum(p32, bits, refs, params, inv2d, *, ty, tx):
             im = PK.decode_modern_device_v6.__wrapped__(
                 p32, bits, refs, ty=ty, tx=tx, height=h, width=w
             )
-            rgb = preview.develop.__wrapped__(
-                im, black, white, neutral, fwd, inv,
-                height=h, width=w, cfa=cfa,
+            rgba = PD.develop_rgba_pallas.__wrapped__(
+                im, params, inv2d, height=h, width=w, cfa=cfa
             )
-            return rgb.astype(jnp.uint32).sum()
+            return rgba.astype(jnp.uint32).sum()
 
-        runv = lambda: prev_sum(*pa, inv, ty=ty, tx=tx)
+        runv = lambda: prev_sum(*pa, params, inv2d, ty=ty, tx=tx)
         want_prev = int(jax.block_until_ready(runv()))  # self-consistency
         dt = timeit_dev(runv, want_prev, n=60)
         results["configs"]["preview_4k"] = {

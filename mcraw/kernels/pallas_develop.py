@@ -1,0 +1,238 @@
+"""Fused Pallas TPU develop kernel: Bayer uint16 -> packed RGBA8888.
+
+The XLA develop pipeline (preview.py) is correct but crosses HBM between
+fusions and pays ~3.7 ms/4K frame. This kernel runs the whole develop —
+black/white normalize, mask demosaic, white balance, color matrix, sRGB
+gamma — in one pass over row bands held in VMEM:
+
+  - grid step = band of BR image rows; the raw band is DMA'd with a
+    one-row halo on each side (clamped at the image edges; out-of-image
+    halo rows are zeroed so they contribute nothing, matching the XLA
+    path's zero padding);
+  - demosaic convs: K_FULL = [1,2,1] x [1,2,1] runs separably (vertical
+    pass over the halo band, horizontal pass via pltpu.roll lane rotates
+    with the wrapped border lane zeroed); K_CROSS is vertical + horizontal
+    + center;
+  - the mask normalizers 1/conv(mask) stream from HBM per band (they are
+    0.25 everywhere except the one-pixel image border; sharing the
+    precomputed tables with the XLA path keeps the two exact-equal in
+    structure);
+  - white balance folds into the normalizer multiply; the sRGB curve uses
+    exp(log(x)/2.4) (Mosaic-supported);
+  - output is ONE uint32 plane per pixel: R | G<<8 | B<<16 | 0xFF<<24
+    (RGBA8888) — channel-interleaved u8 and (H, W, 3) layouts are both
+    hostile to 128-lane vregs; a display consumer gets the standard
+    packed format directly.
+
+Output matches preview.develop to <= 1 LSB (fp add order differs in the
+conv; differential-tested in tests/test_preview.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BAND_ROWS = 32  # 64 exceeds the 16MB VMEM budget at W=4096 (19.3M)
+
+
+def _develop_kernel(
+    params_ref,  # (1, 128) f32: [b0..b3, wf, g0..g2, m00..m22]
+    raw_ref,  # HBM (H, W) uint16
+    inv_ref,  # HBM (3*H, W) f32 1/conv(mask) per channel
+    out_ref,  # (BR, W) uint32 RGBA band
+    rscr,  # VMEM (2, BR+16, W) uint16 (u16 DMA slices need
+    #         16-sublane alignment; only the first BR+2 rows are used)
+    iscr,  # VMEM (2, 3, BR, W) f32
+    sems,  # DMA sems (2, 4)
+    H: int = None,
+    W: int = None,
+    cfa: tuple = None,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    BR = out_ref.shape[0]
+    slot = jax.lax.rem(i, 2)
+
+    def start_band(b, dst):
+        # raw_ref is padded with 1 top + >=1 bottom zero rows, so every
+        # band's halo window starts at b*BR with no edge clipping.
+        cp = [
+            pltpu.make_async_copy(
+                raw_ref.at[pl.ds(b * BR, BR + 16), :], rscr.at[dst],
+                sems.at[dst, 0],
+            )
+        ]
+        for c in range(3):
+            cp.append(
+                pltpu.make_async_copy(
+                    inv_ref.at[pl.ds(c * H + b * BR, BR), :],
+                    iscr.at[dst, c],
+                    sems.at[dst, 1 + c],
+                )
+            )
+        return cp
+
+    @pl.when(i == 0)
+    def _():
+        for cp in start_band(0, 0):
+            cp.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for cp in start_band(i + 1, jax.lax.rem(i + 1, 2)):
+            cp.start()
+
+    # Wait all four copies of this band's slot.
+    sl = slot
+    pltpu.make_async_copy(
+        raw_ref.at[pl.ds(i * BR, BR + 16), :], rscr.at[sl], sems.at[sl, 0]
+    ).wait()
+    for c in range(3):
+        pltpu.make_async_copy(
+            inv_ref.at[pl.ds(c * H + i * BR, BR), :],
+            iscr.at[sl, c],
+            sems.at[sl, 1 + c],
+        ).wait()
+
+    p = params_ref[0]
+    b0, b1, b2, b3 = p[0], p[1], p[2], p[3]
+    wf = p[4]
+    g = [p[5], p[6], p[7]]
+    m = [[p[8 + 3 * r + c] for c in range(3)] for r in range(3)]
+
+    raw = rscr[sl][0 : BR + 2].astype(jnp.int32).astype(jnp.float32)
+
+    # Global image row of local band row lr is i*BR + lr - 1 (the pad rows
+    # are zeros; their x comes out 0 after the clip, matching zero-pad).
+    rr = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1), 0) + (i * BR - 1)
+    yy = (rr & 1) == 0
+    cc = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    xx = (cc & 1) == 0
+
+    bl = jnp.where(yy, jnp.where(xx, b0, b1), jnp.where(xx, b2, b3))
+    inv_sc = jnp.where(
+        yy,
+        jnp.where(xx, 1.0 / (wf - b0), 1.0 / (wf - b1)),
+        jnp.where(xx, 1.0 / (wf - b2), 1.0 / (wf - b3)),
+    )
+    x = jnp.clip((raw - bl) * inv_sc, 0.0, 1.0)
+
+    # CFA channel of each site -> masked planes.
+    chan = jnp.where(
+        yy,
+        jnp.where(xx, cfa[0], cfa[1]),
+        jnp.where(xx, cfa[2], cfa[3]),
+    )
+
+    def hshift(v, d):
+        # v shifted so lane l reads column l+d; wrapped border lane zeroed.
+        if d == 1:
+            r = pltpu.roll(v, W - 1, 1)
+            return jnp.where(cc == W - 1, 0.0, r)
+        r = pltpu.roll(v, 1, 1)
+        return jnp.where(cc == 0, 0.0, r)
+
+    rgb = []
+    for c in range(3):
+        xc = jnp.where(chan == c, x, 0.0)
+        up, mid, dn = xc[0:BR], xc[1 : BR + 1], xc[2 : BR + 2]
+        if c == 1:  # K_CROSS: 4*mid + vertical + horizontal neighbors
+            num = 4.0 * mid + up + dn + hshift(mid, 1) + hshift(mid, -1)
+        else:  # K_FULL separable: [1,2,1]^T x [1,2,1]
+            v = up + 2.0 * mid + dn
+            num = 2.0 * v + hshift(v, 1) + hshift(v, -1)
+        rgb.append(jnp.clip(num * iscr[sl, c] * g[c], 0.0, 1.0))
+
+    out = []
+    for r in range(3):
+        lin = m[r][0] * rgb[0] + m[r][1] * rgb[1] + m[r][2] * rgb[2]
+        lin = jnp.clip(lin, 0.0, 1.0)
+        srgb = jnp.where(
+            lin <= 0.0031308,
+            12.92 * lin,
+            1.055 * jnp.exp(jnp.log(jnp.maximum(lin, 1e-12)) / 2.4) - 0.055,
+        )
+        out.append(
+            jnp.round(jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        )
+
+    packed = out[0] | (out[1] << 8) | (out[2] << 16) | jnp.int32(-16777216)
+    out_ref[:] = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "cfa", "interpret")
+)
+def develop_rgba_pallas(
+    raw_u16: jnp.ndarray,  # (H, W) uint16
+    params: jnp.ndarray,  # (1, 128) f32, see _develop_kernel
+    inv2d: jnp.ndarray,  # (3*H, W) f32
+    *,
+    height: int,
+    width: int,
+    cfa: tuple,
+    interpret: bool = False,
+):
+    """(H, W) uint32 RGBA8888 preview, fully fused in one kernel."""
+    BR = BAND_ROWS
+    nb = -(-height // BR)
+    hp = nb * BR
+    # One top halo row + bottom zero rows to hp+16: every band's aligned
+    # (BR+16)-row DMA window is in range, and the (BR+2)-row compute halo
+    # is zero-padded exactly like the XLA path.
+    raw_u16 = jnp.pad(raw_u16, ((1, hp + 15 - height), (0, 0)))
+    if hp != height:
+        inv2d = jnp.pad(
+            inv2d.reshape(3, height, width),
+            ((0, 0), (0, hp - height), (0, 0)),
+            constant_values=1.0,
+        ).reshape(3 * hp, width)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # params
+            pl.BlockSpec(memory_space=pl.ANY),  # raw
+            pl.BlockSpec(memory_space=pl.ANY),  # inv
+        ],
+        out_specs=pl.BlockSpec(
+            (BR, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BR + 16, width), jnp.uint16),
+            pltpu.VMEM((2, 3, BR, width), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _develop_kernel, H=hp, W=width, cfa=tuple(cfa)
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * BR, width), jnp.uint32),
+        interpret=interpret,
+    )(params, raw_u16, inv2d)
+    return out[:height]
+
+
+def pack_develop_params(
+    black_level, white_level, as_shot_neutral, forward_matrix
+) -> np.ndarray:
+    """(1, 128) f32 parameter row for develop_rgba_pallas."""
+    from ..preview import _XYZ_D50_TO_SRGB
+
+    p = np.zeros((1, 128), dtype=np.float32)
+    p[0, 0:4] = np.asarray(black_level, dtype=np.float32)
+    p[0, 4] = np.float32(white_level)
+    p[0, 5:8] = 1.0 / np.asarray(as_shot_neutral, dtype=np.float32)
+    m = _XYZ_D50_TO_SRGB @ np.asarray(
+        forward_matrix, dtype=np.float32
+    ).reshape(3, 3)
+    p[0, 8:17] = m.reshape(-1)
+    return p

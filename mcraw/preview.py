@@ -191,9 +191,24 @@ def develop(
     rgb = bilinear_demosaic(x, masks, inv_dens, gains)
     rgb = jnp.clip(rgb, 0.0, 1.0)
 
-    # Camera -> XYZ(D50) -> linear sRGB.
+    # Camera -> XYZ(D50) -> linear sRGB, as elementwise scalar muls (an
+    # einsum here lowers to a bf16 MXU matmul on TPU, and HIGHEST is not
+    # honored once it fuses into the larger program). NOTE: even in this
+    # form, XLA-on-TPU loses ~bf16-level precision SOMEWHERE in this big
+    # fusion (up to ~20/255 vs the f64 reference, found by the Pallas
+    # kernel's ground-truth differential); the fused kernel
+    # (kernels/pallas_develop.py) holds <= 1 LSB and is the primary
+    # path — this XLA pipeline remains the fallback for odd widths/CPU.
     m = jnp.asarray(_XYZ_D50_TO_SRGB) @ forward_matrix.astype(jnp.float32)
-    rgb = jnp.einsum("hwc,rc->hwr", rgb, m, preferred_element_type=jnp.float32)
+    rgb = jnp.stack(
+        [
+            m[r, 0] * rgb[:, :, 0]
+            + m[r, 1] * rgb[:, :, 1]
+            + m[r, 2] * rgb[:, :, 2]
+            for r in range(3)
+        ],
+        axis=-1,
+    )
     rgb = jnp.clip(rgb, 0.0, 1.0)
 
     # sRGB transfer curve.
@@ -205,18 +220,116 @@ def develop(
     return jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
-def preview_frame(decoder, timestamp: int) -> jax.Array:
-    """Decode + develop one frame fully on-device; returns (H, W, 3) uint8."""
+def develop_rgba(
+    raw_u16,
+    black_level,
+    white_level,
+    as_shot_neutral,
+    forward_matrix,
+    *,
+    height: int,
+    width: int,
+    cfa: tuple,
+    interpret: bool = False,
+) -> jax.Array:
+    """(H, W) uint32 RGBA8888 via the fused Pallas develop kernel
+    (kernels/pallas_develop.py) — one pass over row bands instead of the
+    XLA pipeline's HBM-crossing fusions (~3.7 -> ~1 ms at 4K). Matches
+    `develop` to <= 1 LSB (conv fp add order differs). Requires
+    width % 128 == 0; callers fall back to `develop` otherwise."""
+    from .kernels import pallas_develop as PD
+
+    params = jnp.asarray(
+        PD.pack_develop_params(
+            np.asarray(black_level),
+            np.asarray(white_level),
+            np.asarray(as_shot_neutral),
+            np.asarray(forward_matrix),
+        )
+    )
+    inv2d = _inv_dens_device(height, width, tuple(cfa)).reshape(
+        3 * height, width
+    )
+    return PD.develop_rgba_pallas(
+        raw_u16, params, inv2d,
+        height=height, width=width, cfa=tuple(cfa), interpret=interpret,
+    )
+
+
+def preview_frame_rgba(decoder, timestamp: int) -> jax.Array:
+    """Decode + fused develop on-device; returns (H, W) uint32 RGBA8888.
+
+    Uses the Pallas develop kernel when the geometry allows (width a
+    lane multiple) and the platform compiles Mosaic; otherwise packs the
+    XLA `develop` output."""
+    import jax as _jax
+
     img, meta = decoder.load_frame_device(timestamp)
     cm = ContainerMetadata(decoder.container_metadata)
     fm = FrameMetadata(meta)
     cfa = tuple(cm.cfa_pattern)
-    return develop(
-        img,
+    args = (
         jnp.asarray(cm.black_level),
         jnp.asarray(np.float32(cm.white_level)),
         jnp.asarray(fm.as_shot_neutral),
         jnp.asarray(cm.forward_matrix(1).reshape(3, 3)),
+    )
+    platform = _jax.devices()[0].platform
+    if fm.width % 128 == 0 and fm.height > 2:
+        return develop_rgba(
+            img, *args,
+            height=fm.height, width=fm.width, cfa=cfa,
+            interpret=platform == "cpu",
+        )
+    rgb = develop(
+        img, *args, _inv_dens_device(fm.height, fm.width, cfa),
+        height=fm.height, width=fm.width, cfa=cfa,
+    )
+    r = rgb.astype(jnp.uint32)
+    return (
+        r[:, :, 0] | (r[:, :, 1] << 8) | (r[:, :, 2] << 16)
+        | jnp.uint32(0xFF000000)
+    )
+
+
+def preview_frame(decoder, timestamp: int) -> jax.Array:
+    """Decode + develop one frame fully on-device; returns (H, W, 3) uint8.
+
+    Routes through the fused Pallas kernel when the geometry allows: on
+    TPU it is both ~3.5x faster AND closer to the f64 reference than the
+    XLA pipeline (XLA-on-TPU silently loses ~bf16-level precision inside
+    this large fusion — up to 20/255 — however the ops are expressed; the
+    Pallas kernel holds <= 1 LSB). Prefer preview_frame_rgba for playback
+    (it skips the (H, W, 3) unpack, a layout XLA handles poorly)."""
+    import jax as _jax
+
+    img, meta = decoder.load_frame_device(timestamp)
+    cm = ContainerMetadata(decoder.container_metadata)
+    fm = FrameMetadata(meta)
+    cfa = tuple(cm.cfa_pattern)
+    args = (
+        jnp.asarray(cm.black_level),
+        jnp.asarray(np.float32(cm.white_level)),
+        jnp.asarray(fm.as_shot_neutral),
+        jnp.asarray(cm.forward_matrix(1).reshape(3, 3)),
+    )
+    if fm.width % 128 == 0 and fm.height > 2:
+        rgba = develop_rgba(
+            img, *args,
+            height=fm.height, width=fm.width, cfa=cfa,
+            interpret=_jax.devices()[0].platform == "cpu",
+        )
+        return jnp.stack(
+            [
+                (rgba & 0xFF).astype(jnp.uint8),
+                ((rgba >> 8) & 0xFF).astype(jnp.uint8),
+                ((rgba >> 16) & 0xFF).astype(jnp.uint8),
+            ],
+            axis=-1,
+        )
+    return develop(
+        img,
+        *args,
         _inv_dens_device(fm.height, fm.width, cfa),
         height=fm.height,
         width=fm.width,

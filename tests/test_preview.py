@@ -67,3 +67,40 @@ def test_cfa_patterns_consistent():
         outs.append(np.asarray(preview_frame(d, 1))[4:-4, 4:-4].astype(int))
     for other in outs[1:]:
         assert np.max(np.abs(outs[0] - other)) <= 1
+
+
+def test_fused_rgba_matches_xla_develop():
+    """Pallas fused develop (RGBA32) == XLA develop to <= 1 LSB."""
+    import jax.numpy as jnp
+    from mcraw import preview as P
+
+    rng = np.random.default_rng(5)
+    h, w = 24, 256
+    raw = rng.integers(0, 1024, size=(h, w), dtype=np.uint16)
+    black = np.array([16, 20, 24, 28], np.float32)
+    white = np.float32(1023.0)
+    neutral = np.array([0.55, 1.0, 0.71], np.float32)
+    fwd = np.array(
+        [0.6, 0.2, 0.16, 0.25, 0.7, 0.05, 0.02, 0.18, 0.62], np.float32
+    ).reshape(3, 3)
+    cfa = (0, 1, 1, 2)
+
+    rgb = np.asarray(
+        P.develop(
+            jnp.asarray(raw), jnp.asarray(black), jnp.asarray(white),
+            jnp.asarray(neutral), jnp.asarray(fwd),
+            P._inv_dens_device(h, w, cfa),
+            height=h, width=w, cfa=cfa,
+        )
+    )
+    rgba = np.asarray(
+        P.develop_rgba(
+            jnp.asarray(raw), black, white, neutral, fwd,
+            height=h, width=w, cfa=cfa, interpret=True,
+        )
+    )
+    got = np.stack(
+        [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF], axis=-1
+    ).astype(np.int64)
+    assert np.all((rgba >> 24) == 0xFF)
+    assert np.max(np.abs(got - rgb.astype(np.int64))) <= 1
