@@ -335,3 +335,34 @@ def preview_frame(decoder, timestamp: int) -> jax.Array:
         width=fm.width,
         cfa=cfa,
     )
+
+
+def preview_clip(decoder, timestamps=None, batch_frames: int = 8):
+    """Playback pipeline: yields (timestamp, (H, W) uint32 RGBA8888 device
+    array) for each frame, decoding in batched launches (the v6 batch
+    path) and developing with the fused kernel. The whole chain stays on
+    device; a display loop reads back or blits each RGBA plane."""
+    import jax as _jax
+
+    if timestamps is None:
+        timestamps = decoder.frames
+    cm = ContainerMetadata(decoder.container_metadata)
+    cfa = tuple(cm.cfa_pattern)
+    black = np.asarray(cm.black_level)
+    white = np.float32(cm.white_level)
+    fwd = cm.forward_matrix(1).reshape(3, 3)
+    interp = _jax.devices()[0].platform == "cpu"
+    i = 0
+    for imgs, metas in decoder.decode_batch_iter(
+        timestamps, chunk_frames=batch_frames
+    ):
+        for k in range(imgs.shape[0]):
+            fm = FrameMetadata(metas[k])
+            rgba = develop_rgba(
+                imgs[k], black, white,
+                np.asarray(fm.as_shot_neutral), fwd,
+                height=fm.height, width=fm.width, cfa=cfa,
+                interpret=interp,
+            )
+            yield timestamps[i], rgba
+            i += 1

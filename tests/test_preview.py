@@ -104,3 +104,85 @@ def test_fused_rgba_matches_xla_develop():
     ).astype(np.int64)
     assert np.all((rgba >> 24) == 0xFF)
     assert np.max(np.abs(got - rgb.astype(np.int64))) <= 1
+
+
+@pytest.mark.parametrize("sensor", ["rggb", "bggr", "grbg", "gbrg"])
+def test_fused_rgba_all_cfas(sensor):
+    """Fused develop handles every CFA (interpret) == XLA develop."""
+    import jax.numpy as jnp
+    from mcraw import preview as P
+    from mcraw.metadata import CFA_PATTERNS
+
+    rng = np.random.default_rng(9)
+    h, w = 30, 128  # odd-band height exercises the pad/crop path
+    raw = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    black = np.array([8, 10, 12, 14], np.float32)
+    white = np.float32(4095.0)
+    neutral = np.array([0.8, 1.0, 0.9], np.float32)
+    fwd = np.array(
+        [0.7, 0.15, 0.11, 0.2, 0.75, 0.05, 0.03, 0.12, 0.67], np.float32
+    ).reshape(3, 3)
+    cfa = tuple(CFA_PATTERNS[sensor])
+
+    rgb = np.asarray(
+        P.develop(
+            jnp.asarray(raw), jnp.asarray(black), jnp.asarray(white),
+            jnp.asarray(neutral), jnp.asarray(fwd),
+            P._inv_dens_device(h, w, cfa),
+            height=h, width=w, cfa=cfa,
+        )
+    ).astype(np.int64)
+    rgba = np.asarray(
+        P.develop_rgba(
+            jnp.asarray(raw), black, white, neutral, fwd,
+            height=h, width=w, cfa=cfa, interpret=True,
+        )
+    )
+    got = np.stack(
+        [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF], axis=-1
+    ).astype(np.int64)
+    assert np.max(np.abs(got - rgb)) <= 1, sensor
+
+
+def test_preview_frame_rgba_end_to_end():
+    """Decoder -> preview_frame_rgba pipeline (interpret on CPU)."""
+    blob = _clip_with_flat_color(512, 512, 512)
+    d = Decoder(blob, backend="jax")
+    from mcraw.preview import preview_frame_rgba
+
+    rgba = np.asarray(preview_frame_rgba(d, 1))
+    assert rgba.shape == (16, 64)
+    assert rgba.dtype == np.uint32
+    assert np.all((rgba >> 24) == 0xFF)
+    inner = rgba[2:-2, 2:-2]
+    r, g, b = inner & 0xFF, (inner >> 8) & 0xFF, (inner >> 16) & 0xFF
+    assert np.all(np.abs(r.astype(int) - g.astype(int)) <= 1)
+    assert np.all(np.abs(g.astype(int) - b.astype(int)) <= 1)
+
+
+def test_preview_clip_playback():
+    """Batched decode + fused develop playback iterator."""
+    from mcraw import encode as E2
+    from mcraw.metadata import example_frame_metadata
+    from mcraw.preview import preview_clip
+
+    cm = example_container_metadata(
+        black_level=(0, 0, 0, 0), white_level=1023.0
+    )
+    cm["forwardMatrix1"] = [0.9642, 0, 0, 0, 1.0, 0, 0, 0, 0.8249]
+    writer = E2.ContainerWriter(cm)
+    rng = np.random.default_rng(3)
+    imgs = []
+    for t in range(3):
+        img = rng.integers(0, 1024, size=(16, 128), dtype=np.uint16)
+        imgs.append(img)
+        fm = example_frame_metadata(128, 16)
+        fm["asShotNeutral"] = [1.0, 1.0, 1.0]
+        writer.add_frame(t + 1, E2.encode_modern(img), fm)
+    d = Decoder(writer.finish(), backend="jax")
+    frames = list(preview_clip(d, batch_frames=2))
+    assert [t for t, _ in frames] == [1, 2, 3]
+    for _, rgba in frames:
+        a = np.asarray(rgba)
+        assert a.shape == (16, 128) and a.dtype == np.uint32
+        assert np.all((a >> 24) == 0xFF)
