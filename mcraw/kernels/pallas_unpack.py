@@ -608,9 +608,17 @@ def _unpack_image_pallas_v5(
         # smaller bucketed values.
         sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
         sub_rows += (-sub_rows) % 8
+    rows_worst = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows_worst += (-rows_worst) % 8
     if rows is None:
-        rows = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
-        rows += (-rows) % 8
+        rows = rows_worst
+    else:
+        # rows from v5_content_spans is the chunk CONTENT span; every
+        # subgroup's scratch slice [sub_base - chunk_base, +sub_rows) must
+        # fit, and sub_base can sit anywhere inside the content span (a
+        # late subgroup after dense ones, or a padded-tail dummy whose
+        # base is the last real block) — so the window is span + sub_rows.
+        rows = min(rows_worst, rows + sub_rows)
     rows_chunk = SUBGROUPS_V5 * tr_sub * 4
     if "rawout" in ablate:  # timing ablation: raw (pair-row, 128) layout
         out_spec = pl.BlockSpec(
@@ -929,9 +937,11 @@ def _spans_from_segments(
     rows_worst = (geo["bp"] * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
     rows_worst += (-rows_worst) % 8
     sub_rows = min(sub_worst, sub_need + (-sub_need) % SUB_ROWS_STEP)
-    # The kernel slices scratch at [sub_base - chunk_base, +sub_rows); the
-    # bucket slack on sub_rows must fit inside the chunk window too.
-    rows_need += sub_rows - sub_need
+    # Returned rows are the CONTENT span only. The kernel slices scratch at
+    # [sub_base - chunk_base, +sub_rows) for every subgroup, so the scratch
+    # window must be span + sub_rows — added in _unpack_image_pallas_v5,
+    # NOT here, so that batched callers can max() each component across
+    # frames independently without breaking the coupled invariant.
     rows = min(rows_worst, rows_need + (-rows_need) % ROWS_STEP)
     return rows, max(sub_rows, 8)
 

@@ -348,7 +348,10 @@ class Decoder:
         """
         from .kernels import pallas_unpack as PK
 
-        lights, metas = [], []
+        # Cheap eligibility pre-pass (payload views + JSON only) so an
+        # ineligible clip doesn't pay the full per-frame scans twice
+        # (once here, once in the plan-based fallback).
+        frames = []
         geos = set()
         for ts in timestamps:
             with self._stage("parse"):
@@ -358,15 +361,25 @@ class Decoder:
                     return None
                 if not self._v6_eligible(payload):
                     return None
+                frames.append((payload, window, meta, fm))
+                geos.add((fm.width, fm.height))
+        if len(geos) != 1:
+            return None  # mixed geometry: let decode_frames_batched raise
+
+        lights, metas = [], []
+        gset = set()
+        for payload, window, meta, fm in frames:
+            with self._stage("parse"):
                 p32, bits, refs, ty, tx, spans = PK.prepare_modern_light(
                     payload, fm.width, fm.height, window=window
                 )
             lights.append((p32, bits, refs, spans))
             metas.append(meta)
-            geos.add((ty, tx, fm.width, fm.height))
-        if len(geos) != 1:
-            return None  # mixed geometry: let decode_frames_batched raise
-        ty, tx, width, height = geos.pop()
+            gset.add((ty, tx))
+        if len(gset) != 1:
+            return None  # mixed encoded dims (same nominal size)
+        ty, tx = gset.pop()
+        width, height = fm.width, fm.height
 
         import jax
         import jax.numpy as jnp
@@ -404,6 +417,7 @@ class Decoder:
                 rows=max(l[3][0] for l in lights),
                 sub_rows=max(l[3][1] for l in lights),
                 mesh=mesh,
+                interpret=jax.devices()[0].platform == "cpu",
             )
         return img, metas
 

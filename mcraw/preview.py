@@ -256,30 +256,27 @@ def develop_rgba(
     )
 
 
-def preview_frame_rgba(decoder, timestamp: int) -> jax.Array:
-    """Decode + fused develop on-device; returns (H, W) uint32 RGBA8888.
+def _fused_eligible(height: int, width: int) -> bool:
+    """The Pallas develop kernel assumes 128-lane-aligned widths."""
+    return width % 128 == 0 and height > 2
 
-    Uses the Pallas develop kernel when the geometry allows (width a
-    lane multiple) and the platform compiles Mosaic; otherwise packs the
-    XLA `develop` output."""
-    import jax as _jax
 
-    img, meta = decoder.load_frame_device(timestamp)
-    cm = ContainerMetadata(decoder.container_metadata)
-    fm = FrameMetadata(meta)
-    cfa = tuple(cm.cfa_pattern)
+def _frame_rgba(img, fm, cm, cfa, interpret: bool) -> jax.Array:
+    """Shared develop dispatch: fused Pallas kernel when eligible, else
+    the XLA pipeline packed to RGBA. The single home of the eligibility
+    rule (preview_frame / preview_frame_rgba / preview_clip all route
+    here)."""
     args = (
         jnp.asarray(cm.black_level),
         jnp.asarray(np.float32(cm.white_level)),
         jnp.asarray(fm.as_shot_neutral),
         jnp.asarray(cm.forward_matrix(1).reshape(3, 3)),
     )
-    platform = _jax.devices()[0].platform
-    if fm.width % 128 == 0 and fm.height > 2:
+    if _fused_eligible(fm.height, fm.width):
         return develop_rgba(
             img, *args,
             height=fm.height, width=fm.width, cfa=cfa,
-            interpret=platform == "cpu",
+            interpret=interpret,
         )
     rgb = develop(
         img, *args, _inv_dens_device(fm.height, fm.width, cfa),
@@ -292,6 +289,24 @@ def preview_frame_rgba(decoder, timestamp: int) -> jax.Array:
     )
 
 
+def _on_cpu() -> bool:
+    import jax as _jax
+
+    return _jax.devices()[0].platform == "cpu"
+
+
+def preview_frame_rgba(decoder, timestamp: int) -> jax.Array:
+    """Decode + fused develop on-device; returns (H, W) uint32 RGBA8888.
+
+    Uses the Pallas develop kernel when the geometry allows (width a
+    lane multiple) and the platform compiles Mosaic; otherwise packs the
+    XLA `develop` output."""
+    img, meta = decoder.load_frame_device(timestamp)
+    cm = ContainerMetadata(decoder.container_metadata)
+    fm = FrameMetadata(meta)
+    return _frame_rgba(img, fm, cm, tuple(cm.cfa_pattern), _on_cpu())
+
+
 def preview_frame(decoder, timestamp: int) -> jax.Array:
     """Decode + develop one frame fully on-device; returns (H, W, 3) uint8.
 
@@ -301,68 +316,33 @@ def preview_frame(decoder, timestamp: int) -> jax.Array:
     this large fusion — up to 20/255 — however the ops are expressed; the
     Pallas kernel holds <= 1 LSB). Prefer preview_frame_rgba for playback
     (it skips the (H, W, 3) unpack, a layout XLA handles poorly)."""
-    import jax as _jax
-
-    img, meta = decoder.load_frame_device(timestamp)
-    cm = ContainerMetadata(decoder.container_metadata)
-    fm = FrameMetadata(meta)
-    cfa = tuple(cm.cfa_pattern)
-    args = (
-        jnp.asarray(cm.black_level),
-        jnp.asarray(np.float32(cm.white_level)),
-        jnp.asarray(fm.as_shot_neutral),
-        jnp.asarray(cm.forward_matrix(1).reshape(3, 3)),
-    )
-    if fm.width % 128 == 0 and fm.height > 2:
-        rgba = develop_rgba(
-            img, *args,
-            height=fm.height, width=fm.width, cfa=cfa,
-            interpret=_jax.devices()[0].platform == "cpu",
-        )
-        return jnp.stack(
-            [
-                (rgba & 0xFF).astype(jnp.uint8),
-                ((rgba >> 8) & 0xFF).astype(jnp.uint8),
-                ((rgba >> 16) & 0xFF).astype(jnp.uint8),
-            ],
-            axis=-1,
-        )
-    return develop(
-        img,
-        *args,
-        _inv_dens_device(fm.height, fm.width, cfa),
-        height=fm.height,
-        width=fm.width,
-        cfa=cfa,
+    rgba = preview_frame_rgba(decoder, timestamp)
+    return jnp.stack(
+        [
+            (rgba & 0xFF).astype(jnp.uint8),
+            ((rgba >> 8) & 0xFF).astype(jnp.uint8),
+            ((rgba >> 16) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
     )
 
 
 def preview_clip(decoder, timestamps=None, batch_frames: int = 8):
     """Playback pipeline: yields (timestamp, (H, W) uint32 RGBA8888 device
     array) for each frame, decoding in batched launches (the v6 batch
-    path) and developing with the fused kernel. The whole chain stays on
-    device; a display loop reads back or blits each RGBA plane."""
-    import jax as _jax
-
+    path) and developing with the fused kernel (XLA fallback for
+    non-lane-aligned widths). The whole chain stays on device; a display
+    loop reads back or blits each RGBA plane."""
     if timestamps is None:
         timestamps = decoder.frames
     cm = ContainerMetadata(decoder.container_metadata)
     cfa = tuple(cm.cfa_pattern)
-    black = np.asarray(cm.black_level)
-    white = np.float32(cm.white_level)
-    fwd = cm.forward_matrix(1).reshape(3, 3)
-    interp = _jax.devices()[0].platform == "cpu"
+    interp = _on_cpu()
     i = 0
     for imgs, metas in decoder.decode_batch_iter(
         timestamps, chunk_frames=batch_frames
     ):
         for k in range(imgs.shape[0]):
             fm = FrameMetadata(metas[k])
-            rgba = develop_rgba(
-                imgs[k], black, white,
-                np.asarray(fm.as_shot_neutral), fwd,
-                height=fm.height, width=fm.width, cfa=cfa,
-                interpret=interp,
-            )
-            yield timestamps[i], rgba
+            yield timestamps[i], _frame_rgba(imgs[k], fm, cm, cfa, interp)
             i += 1

@@ -235,6 +235,40 @@ def test_v6_content_spans_exact(rng):
     assert np.array_equal(out, img)
 
 
+def test_v6_spans_adversarial_mixes(rng):
+    """Span windows must hold for pathological density mixes: the scratch
+    slice invariant (sub_base - chunk_base + sub_rows <= rows) broke for
+    ~0.2% of random mixes before rows/sub_rows were decoupled (a late
+    subgroup after dense ones, with the global-max subgroup elsewhere).
+    In interpret mode a violation clamps the slice and decodes wrong
+    pixels, which this catches."""
+    import jax.numpy as jnp
+
+    h, w = 4 * 4 * PK.SUBGROUPS_V5 + 8, 512  # multi-chunk + padded tail
+    for trial in range(6):
+        img = np.zeros((h, w), dtype=np.uint16)
+        # random per-row density classes, plus one all-16-bit band and a
+        # near-empty band adjacent to it
+        for r in range(h):
+            b = int(rng.integers(0, 17))
+            img[r] = rng.integers(0, 1 << b if b else 1, size=w)
+        dense = int(rng.integers(0, h - 4))
+        img[dense : dense + 4] = rng.integers(0, 1 << 16, size=(4, w))
+        img[dense + 4 :][:2] = 0
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        p32, bits, refs, ty, tx, (rows, sub_rows) = PK.prepare_modern_light(
+            payload, w, h
+        )
+        out = np.asarray(
+            PK.decode_modern_device_v6(
+                jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
+                ty=ty, tx=tx, height=h, width=w,
+                rows=rows, sub_rows=sub_rows, interpret=True,
+            )
+        )
+        assert np.array_equal(out, img), f"trial {trial}"
+
+
 def test_light_prep_window_paths_agree(rng):
     """Zero-copy window path == copy path (the last frames of a clip fall
     back to copying when the mmap ends too soon)."""

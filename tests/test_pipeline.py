@@ -266,3 +266,40 @@ def test_load_frame_device_pallas_kernel(rng, codec):
     d = Decoder(blob, backend="jax", kernel="pallas")
     img, _ = d.load_frame_device(d.frames[0])
     assert np.array_equal(np.asarray(img), frames[0])
+
+
+def test_decode_batch_v6_fast_path(rng, monkeypatch):
+    """The accelerator-default _decode_batch_v6 path, driven on CPU via a
+    patched eligibility check + interpret-mode kernels (conftest forces
+    CPU, which otherwise always takes the plan-based path)."""
+    from mcraw.metadata import example_container_metadata, example_frame_metadata
+    from mcraw import encode as E2
+
+    writer = E2.ContainerWriter(example_container_metadata())
+    imgs = []
+    for t in range(3):
+        img = rng.integers(0, 4096, size=(16, 256), dtype=np.uint16)
+        imgs.append(img)
+        writer.add_frame(
+            t + 1, E2.encode_modern(img), example_frame_metadata(256, 16)
+        )
+    d = Decoder(writer.finish(), backend="jax", kernel="pallas")
+    monkeypatch.setattr(
+        Decoder, "_v6_eligible", lambda self, payload: len(payload) < (1 << 26)
+    )
+    out, metas = d.decode_batch([1, 2, 3])
+    assert np.array_equal(np.asarray(out), np.stack(imgs))
+    assert len(metas) == 3
+
+    # Mixed-codec clip falls back cleanly (returns None internally).
+    writer2 = E2.ContainerWriter(example_container_metadata())
+    writer2.add_frame(1, E2.encode_modern(imgs[0]), example_frame_metadata(256, 16))
+    fm = example_frame_metadata(256, 16)
+    fm["compressionType"] = 6
+    writer2.add_frame(2, E2.encode_legacy(imgs[1]), fm)
+    d2 = Decoder(writer2.finish(), backend="jax", kernel="pallas")
+    monkeypatch.setattr(
+        Decoder, "_v6_eligible", lambda self, payload: len(payload) < (1 << 26)
+    )
+    with pytest.raises(Exception):
+        d2.decode_batch([1, 2])  # mixed codecs raise via the fallback
