@@ -202,7 +202,7 @@ def main():
         from mcraw.kernels import pallas_legacy as PL
 
         payload2d, base_rows, meta, num_chunks, segs = (
-            PL.prepare_chunked_legacy_v5(plan)
+            PL.prepare_chunked_legacy_v5(plan)  # 6-tuple (incl rows)
         )
         pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 

@@ -333,18 +333,22 @@ def _legacy_kernel_v5(
     out_ref[:] = ((vals + refs_lane) & 0xFFFF).astype(jnp.uint16)
 
 
-@functools.partial(jax.jit, static_argnames=("num_chunks", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_chunks", "rows", "interpret")
+)
 def _unpack_legacy_pallas_v5(
     payload2d: jnp.ndarray,
     base_rows: jnp.ndarray,
     meta: jnp.ndarray,  # (num_chunks, 24, B)
     *,
     num_chunks: int,
+    rows: int | None = None,  # content-aware chunk span (None = worst)
     interpret: bool = False,
 ):
     b = meta.shape[2]
-    rows = (b * 8 * 34) // 512 + 2
-    rows += (-rows) % 8
+    rows_worst = (b * 8 * 34) // 512 + 2
+    rows_worst += (-rows_worst) % 8
+    rows = rows_worst if rows is None else min(rows_worst, rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
@@ -421,10 +425,19 @@ def _legacy_indices(pw: int, h: int) -> dict:
     return c
 
 
+# Payload bytes per block by CLASS INDEX (LEGACY_CLASSES row), for the
+# content-span computation (sentinel/dummy entries are class 0 = 0 bytes).
+_LEN_BY_CLASS_IDX = np.array(
+    [T.LEGACY_BLOCK_LENGTH[c] for c in T.LEGACY_CLASSES], dtype=np.int64
+)
+
+LEGACY_ROWS_STEP = 64  # content-span bucket (bounds recompiles)
+
+
 def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
     """Segment layout for the v5 legacy kernel.
 
-    Returns (payload2d, base_rows, meta, num_chunks, segs). Kernel row
+    Returns (payload2d, base_rows, meta, num_chunks, segs, rows). Kernel row
     (y, s) covers image pixels [s*128, s*128+128) of row y via blocks
     (y*ppr + s*4 + g)*2 + c; segments beyond ppr get zero-class dummies
     (columns cropped after the reshape).
@@ -456,6 +469,18 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
         np.int32
     )
 
+    # Content-aware chunk span: the picks fetch rows q, q+1 of each chunk's
+    # window, so rows must cover the chunk's last block end + one row.
+    ends = m_off.astype(np.int64) + _LEN_BY_CLASS_IDX[m_cls]
+    cend = ends.reshape(num_chunks, -1).max(axis=1)
+    need = ((cend - base_rows.astype(np.int64) * 512 + 511) >> 9) + 2
+    rows_need = int(need.max()) if num_chunks else 2
+    rows_worst = (b * 8 * 34) // 512 + 2
+    rows_worst += (-rows_worst) % 8
+    rows_c = min(
+        rows_worst, int(rows_need + (-rows_need) % LEGACY_ROWS_STEP)
+    )
+
     rows_span = (b * 8 * 34) // 512 + 2
     rows_span += (-rows_span) % 8
     pay = plan.payload
@@ -468,7 +493,7 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
         padded = np.zeros(total, dtype=np.uint8)
         padded[: len(pay)] = pay
     payload2d = np.ascontiguousarray(padded).view("<i4").reshape(-1, 128)
-    return payload2d, base_rows, meta, num_chunks, segs
+    return payload2d, base_rows, meta, num_chunks, segs, rows_c
 
 
 def decode_legacy_pallas_v5(
@@ -476,14 +501,15 @@ def decode_legacy_pallas_v5(
 ):
     """Full legacy decode with fused interleave (no epilogue)."""
     plan = U.prepare_legacy(payload, width, height)
-    payload2d, base_rows, meta, num_chunks, segs = prepare_chunked_legacy_v5(
-        plan
+    payload2d, base_rows, meta, num_chunks, segs, rows = (
+        prepare_chunked_legacy_v5(plan)
     )
     out = _unpack_legacy_pallas_v5(
         jnp.asarray(payload2d),
         jnp.asarray(base_rows),
         jnp.asarray(meta),
         num_chunks=num_chunks,
+        rows=rows,
         interpret=interpret,
     )
     img = out[: plan.height * segs].reshape(plan.height, segs * 128)
@@ -494,8 +520,9 @@ def stack_chunked_legacy_v5(plans: list) -> tuple:
     """Concatenate same-geometry frames into one v5 legacy launch."""
     chunked = [prepare_chunked_legacy_v5(p) for p in plans]
     nc, segs = chunked[0][3], chunked[0][4]
-    if any(c[3:] != (nc, segs) for c in chunked):
+    if any(c[3:5] != (nc, segs) for c in chunked):
         raise ValueError("frames in a batch must share geometry")
+    rows = max(c[5] for c in chunked)
     row_starts, total = [], 0
     for p2d, *_ in chunked:
         row_starts.append(total)
@@ -510,13 +537,13 @@ def stack_chunked_legacy_v5(plans: list) -> tuple:
         m[:, 0:8] += rs * 512  # byte offsets shift with the payload rows
         metas.append(m)
     meta = np.concatenate(metas, axis=0)
-    return payload2d, base_rows, meta, nc * len(plans), segs
+    return payload2d, base_rows, meta, nc * len(plans), segs, rows
 
 
 def decode_legacy_pallas_batch_v5(plans: list, interpret: bool = False):
     """(F, H, W) uint16 from same-geometry LegacyPlans in ONE launch."""
-    payload2d, base_rows, meta, num_chunks, segs = stack_chunked_legacy_v5(
-        plans
+    payload2d, base_rows, meta, num_chunks, segs, rows = (
+        stack_chunked_legacy_v5(plans)
     )
     p = plans[0]
     out = _unpack_legacy_pallas_v5(
@@ -524,6 +551,7 @@ def decode_legacy_pallas_batch_v5(plans: list, interpret: bool = False):
         jnp.asarray(base_rows),
         jnp.asarray(meta),
         num_chunks=num_chunks,
+        rows=rows,
         interpret=interpret,
     )
     rows_frame = out.shape[0] // len(plans)
@@ -534,8 +562,8 @@ def decode_legacy_pallas_batch_v5(plans: list, interpret: bool = False):
 
 def prepare_device_legacy_v5(plan: U.LegacyPlan):
     """Device-array tuple for callers that jit around the kernel."""
-    payload2d, base_rows, meta, num_chunks, segs = prepare_chunked_legacy_v5(
-        plan
+    payload2d, base_rows, meta, num_chunks, segs, rows = (
+        prepare_chunked_legacy_v5(plan)
     )
     return (
         jnp.asarray(payload2d),
@@ -543,6 +571,7 @@ def prepare_device_legacy_v5(plan: U.LegacyPlan):
         jnp.asarray(meta),
         num_chunks,
         segs,
+        rows,
     )
 
 

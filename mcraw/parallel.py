@@ -281,8 +281,9 @@ def decode_frames_legacy_mesh(
     p = plans[0]
     chunked = [PL.prepare_chunked_legacy_v5(pl) for pl in plans]
     nc, segs = chunked[0][3], chunked[0][4]
-    if any(c[3:] != (nc, segs) for c in chunked):
+    if any(c[3:5] != (nc, segs) for c in chunked):
         raise ValueError("frames in a batch must share geometry")
+    krows = max(c[5] for c in chunked)
     rows = max(c[0].shape[0] for c in chunked)
     f = len(plans)
     payloads = np.zeros((f, rows, 128), dtype=np.int32)
@@ -303,7 +304,8 @@ def decode_frames_legacy_mesh(
         )
         meta2 = meta2.reshape(fl * nc, 24, b)
         out = PL._unpack_legacy_pallas_v5.__wrapped__(
-            pay2, base2, meta2, num_chunks=fl * nc, interpret=interpret
+            pay2, base2, meta2, num_chunks=fl * nc, rows=krows,
+            interpret=interpret,
         )
         rows_frame = out.shape[0] // fl
         out = out.reshape(fl, rows_frame, 128)[:, : h * segs]

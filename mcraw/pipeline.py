@@ -266,7 +266,7 @@ class Decoder:
                 ]
             else:
                 # v5: fused interleave — rows of finished pixel segments.
-                payload2d, base_rows, pmeta, num_chunks, segs = (
+                payload2d, base_rows, pmeta, num_chunks, segs, lrows = (
                     PL.prepare_chunked_legacy_v5(plan)
                 )
                 out = PL._unpack_legacy_pallas_v5(
@@ -274,6 +274,7 @@ class Decoder:
                     jnp.asarray(base_rows),
                     jnp.asarray(pmeta),
                     num_chunks=num_chunks,
+                    rows=lrows,
                     interpret=interpret,
                 )
                 img = out[: plan.height * segs].reshape(
