@@ -201,20 +201,22 @@ def main():
     if on_tpu:
         from mcraw.kernels import pallas_legacy as PL
 
-        payload2d, base_rows, meta, num_chunks, segs = (
-            PL.prepare_chunked_legacy_v5(plan)  # 6-tuple (incl rows)
+        payload2d, base_rows, meta, num_chunks, segs, lrows = (
+            PL.prepare_chunked_legacy_v5(plan)
         )
         pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
-        @functools.partial(jax.jit, static_argnames=("nc", "segs"))
-        def leg_pk(payload2d, base_rows, meta, *, nc, segs):
+        @functools.partial(
+            jax.jit, static_argnames=("nc", "segs", "lrows")
+        )
+        def leg_pk(payload2d, base_rows, meta, *, nc, segs, lrows):
             out = PL._unpack_legacy_pallas_v5.__wrapped__(
-                payload2d, base_rows, meta, num_chunks=nc
+                payload2d, base_rows, meta, num_chunks=nc, rows=lrows
             )
             im = out[: h * segs].reshape(h, segs * 128)[:, :w]
             return im.astype(jnp.uint32).sum()
 
-        runp = lambda: leg_pk(*pa, nc=num_chunks, segs=segs)
+        runp = lambda: leg_pk(*pa, nc=num_chunks, segs=segs, lrows=lrows)
         dt = timeit_dev(runp, want, n=50)
         cfg["pallas_ms"] = round(dt * 1e3, 3)
         cfg["pallas_fps"] = round(1 / dt, 1)
