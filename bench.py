@@ -28,20 +28,31 @@ FRAMES = 4
 ITERS = 90
 
 
-def make_frames(h=None, w=None):
+def make_frames(h=None, w=None, worst_case=False):
     from mcraw import encode as E
 
     h, w = h or H, w or W
     rng = np.random.default_rng(11)
     imgs, payloads = [], []
     for k in range(FRAMES):
-        base = (
-            np.sin(np.arange(w) / (97 + k))[None, :]
-            * np.cos(np.arange(h) / (61 + k))[:, None]
-            * 1200
-            + 2000
-        )
-        img = (base + rng.normal(0, 30, size=(h, w))).clip(0, 4095).astype(np.uint16)
+        if worst_case:
+            # Incompressible full-range noise: every block encodes at 16
+            # bits (128 B/block), the format's worst case — span windows
+            # and payload DMA are maximal. Reported alongside the headline
+            # because content-aware spans make fps content-dependent.
+            img = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+        else:
+            base = (
+                np.sin(np.arange(w) / (97 + k))[None, :]
+                * np.cos(np.arange(h) / (61 + k))[:, None]
+                * 1200
+                + 2000
+            )
+            img = (
+                (base + rng.normal(0, 30, size=(h, w)))
+                .clip(0, 4095)
+                .astype(np.uint16)
+            )
         imgs.append(img)
         payloads.append(np.frombuffer(E.encode_modern(img), dtype=np.uint8))
     return imgs, payloads
@@ -189,12 +200,31 @@ def main():
 def _run(imgs, payloads):
     try:
         fps = bench_tpu(imgs, payloads)
+        use_pallas = None
     except Exception as e:
         # Pallas path unavailable (e.g. Mosaic lowering change): fall back to
         # the pure-XLA decode so the bench always reports — but say so.
         print(f"warning: pallas path failed ({e!r}); falling back to XLA",
               file=sys.stderr)
         fps = bench_tpu(imgs, payloads, use_pallas=False)
+        use_pallas = False
+
+    # Full metric family (BASELINE.md line 22: "4K Bayer frames/sec/chip;
+    # unpack GB/s"): bytes moved per device-second = packed payload in +
+    # uint16 plane out, at the headline rate.
+    payload_bytes = sum(len(p) for p in payloads) / len(payloads)
+    out_bytes = 2 * H * W
+    gbps = (payload_bytes + out_bytes) * fps / 1e9
+
+    # Worst-case content (all blocks 16-bit): the lower bound of the
+    # content-dependent span-window optimization.
+    try:
+        imgs_w, payloads_w = make_frames(worst_case=True)
+        fps_worst = bench_tpu(imgs_w, payloads_w, use_pallas=use_pallas)
+    except Exception as e:
+        print(f"warning: worst-case leg failed ({e!r})", file=sys.stderr)
+        fps_worst = None
+
     ref_fps = bench_reference_cpu(payloads)
     vs = fps / ref_fps if ref_fps else fps / 720.0
     print(
@@ -204,6 +234,10 @@ def _run(imgs, payloads):
                 "value": round(fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(vs, 2),
+                "unpack_gbps": round(gbps, 2),
+                "worst_case_fps": (
+                    round(fps_worst, 1) if fps_worst else None
+                ),
             }
         )
     )

@@ -483,8 +483,8 @@ def _unpack_kernel_v5(
 
         # Per-lane field descriptors: the concatenated even/odd one-hot rows
         # pick both parities' table rows in ONE matmul (tables_ref is laid
-        # out [even rows; odd rows]); exact (descriptors < 2^15, fp32
-        # HIGHEST matmul).
+        # out [even rows; odd rows]); exact (descriptors < 2^19 per the
+        # _packed_field_tables_v5 assert, fp32 HIGHEST matmul < 2^24).
         ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
         oh2 = jnp.concatenate(
             [

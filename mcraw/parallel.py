@@ -240,25 +240,41 @@ def decode_frames_v6_mesh(
     """
     from .kernels import pallas_unpack as PK
 
-    body = functools.partial(
-        PK.decode_modern_device_v6_batch.__wrapped__,
-        ty=ty,
-        tx=tx,
-        height=height,
-        width=width,
-        rows=rows,
-        sub_rows=sub_rows,
-        interpret=interpret,
-    )
     if mesh is None:
-        return jax.jit(lambda a, b, c: body(a, b, c))(p32s, bits, refs)
+        # The already-jitted batch entry (cached on its static kwargs) —
+        # building a fresh jit(lambda) here would retrace + re-lower the
+        # whole Mosaic program on every call.
+        return PK.decode_modern_device_v6_batch(
+            p32s, bits, refs,
+            ty=ty, tx=tx, height=height, width=width,
+            rows=rows, sub_rows=sub_rows, interpret=interpret,
+        )
     axis = mesh.axis_names[0]
     n = mesh.devices.size
     if p32s.shape[0] % n != 0:
         raise ValueError(f"batch of {p32s.shape[0]} not divisible by {n} devices")
     sharding = NamedSharding(mesh, P(axis))
     args = [jax.device_put(a, sharding) for a in (p32s, bits, refs)]
-    fn = jax.jit(
+    fn = _v6_mesh_fn(
+        mesh, ty=ty, tx=tx, height=height, width=width,
+        rows=rows, sub_rows=sub_rows, interpret=interpret,
+    )
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=16)
+def _v6_mesh_fn(mesh, *, ty, tx, height, width, rows, sub_rows, interpret):
+    """Memoized jitted shard_map v6 decoder — one trace/lower per
+    (mesh, geometry, span-bucket) key instead of per call."""
+    from .kernels import pallas_unpack as PK
+
+    body = functools.partial(
+        PK.decode_modern_device_v6_batch.__wrapped__,
+        ty=ty, tx=tx, height=height, width=width,
+        rows=rows, sub_rows=sub_rows, interpret=interpret,
+    )
+    axis = mesh.axis_names[0]
+    return jax.jit(
         jax.shard_map(
             lambda a, b, c: body(a, b, c),
             mesh=mesh,
@@ -267,7 +283,6 @@ def decode_frames_v6_mesh(
             check_vma=False,
         )
     )
-    return fn(*args)
 
 
 def decode_frames_legacy_mesh(

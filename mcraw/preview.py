@@ -74,7 +74,19 @@ _K_FULL = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], dtype=np.float32)
 # The normalizer conv(mask) is static per geometry: precompute its
 # reciprocal so the per-frame work is one multiply, not a full conv + a
 # divide (the three mask convs were ~45 full-frame passes per frame).
+# Entries are ~150 MB each at 4K, so both caches are capped LRU-style to
+# the most recent geometries instead of growing without bound.
 _INV_DEN_CACHE: dict = {}
+_INV_DEN_CACHE_MAX = 2
+
+
+def _cache_put(cache: dict, key, value):
+    """Insert + evict oldest beyond _INV_DEN_CACHE_MAX (dicts are
+    insertion-ordered; re-inserting refreshes recency)."""
+    cache.pop(key, None)
+    cache[key] = value
+    while len(cache) > _INV_DEN_CACHE_MAX:
+        cache.pop(next(iter(cache)))
 
 
 def _np_conv2same(x: np.ndarray, k: np.ndarray) -> np.ndarray:
@@ -99,7 +111,7 @@ def _inv_dens(height: int, width: int, cfa: tuple[int, ...]) -> np.ndarray:
                 for ch, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL))
             ]
         ).astype(np.float32)
-        _INV_DEN_CACHE[key] = c
+    _cache_put(_INV_DEN_CACHE, key, c)
     return c
 
 
@@ -113,7 +125,7 @@ def _inv_dens_device(height: int, width: int, cfa: tuple[int, ...]):
     c = _INV_DEN_DEV_CACHE.get(key)
     if c is None:
         c = jnp.asarray(_inv_dens(height, width, cfa))
-        _INV_DEN_DEV_CACHE[key] = c
+    _cache_put(_INV_DEN_DEV_CACHE, key, c)
     return c
 
 
