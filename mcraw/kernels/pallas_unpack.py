@@ -889,6 +889,10 @@ def decode_modern_pallas_batch_v5(plans: list, interpret: bool = False):
 PAYLOAD_BUCKET_ROWS = 4096  # 2MB H2D buckets bound jit recompiles
 SUB_ROWS_STEP = 16  # content-span bucket steps (bound recompiles per geometry)
 ROWS_STEP = 512
+# The v6 device-prep permutation/prefix-sum matmuls are fp32-exact only
+# while word offsets stay below 2^24, i.e. payloads under 64 MiB; larger
+# frames must take the integer host-prep v5 path (pipeline._v6_eligible).
+V6_MAX_PAYLOAD = 1 << 26
 
 
 def _spans_from_lengths(
@@ -1202,7 +1206,7 @@ def prepare_modern_light(
     # The device-prep permutation matmuls are exact only while word offsets
     # stay below 2^24 (fp32 integer range); past that (payload >= 64 MiB)
     # callers must use the integer host-prep path (prepare_chunked_v5).
-    if n >= (1 << 26):
+    if n >= V6_MAX_PAYLOAD:
         raise DecodeError(
             "payload too large for the v6 device-prep path (>= 64 MiB); "
             "use the host-prep (v5) path"

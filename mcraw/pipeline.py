@@ -200,8 +200,14 @@ class Decoder:
             return False
         # The v6 device-prep matmuls are fp32-exact only below 2^24 word
         # offsets (64 MiB payloads); larger frames use the integer v5 path.
-        if len(payload) >= (1 << 26):
+        from .kernels import pallas_unpack as PK
+
+        if len(payload) >= PK.V6_MAX_PAYLOAD:
             return False
+        return self._accel_available()
+
+    @staticmethod
+    def _accel_available() -> bool:
         import jax
 
         return jax.devices()[0].platform != "cpu"
@@ -209,6 +215,7 @@ class Decoder:
     def _load_frame_v6(self, payload, window, meta, fm):
         """Device-prep fast path (modern codec): host runs just the serial
         scans, the jit program builds offsets/meta and decodes."""
+        import jax
         import jax.numpy as jnp
 
         from .kernels import pallas_unpack as PK
@@ -230,6 +237,7 @@ class Decoder:
                 width=fm.width,
                 rows=rows,
                 sub_rows=sub_rows,
+                interpret=jax.devices()[0].platform == "cpu",
             )
         return img, meta
 

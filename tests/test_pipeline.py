@@ -303,3 +303,51 @@ def test_decode_batch_v6_fast_path(rng, monkeypatch):
     )
     with pytest.raises(Exception):
         d2.decode_batch([1, 2])  # mixed codecs raise via the fallback
+
+
+def test_v6_payload_ceiling_fallback_end_to_end(rng, monkeypatch):
+    """Frames at/above the v6 device-prep payload ceiling (fp32 2^24
+    word-offset exactness -> 64 MiB) must fall back to the integer
+    host-prep v5 path END TO END through load_frame_device. The ceiling
+    is lowered so the oversized frame stays interpret-mode tractable;
+    the shipped boundary logic itself is exercised (only the platform
+    gate is patched on the forced-CPU mesh)."""
+    from mcraw.kernels import pallas_unpack as PK
+
+    monkeypatch.setattr(PK, "V6_MAX_PAYLOAD", 1 << 16)
+    monkeypatch.setattr(
+        Decoder, "_accel_available", staticmethod(lambda: True)
+    )
+
+    # 256x128 full-range noise: 512 blocks x 128 B = 64 KiB main data
+    # (+16B header + meta streams) -> over the patched ceiling.
+    big = rng.integers(0, 1 << 16, size=(128, 256), dtype=np.uint16)
+    small = rng.integers(0, 4096, size=(16, 128), dtype=np.uint16)
+    writer = E.ContainerWriter(example_container_metadata())
+    writer.add_frame(1, E.encode_modern(big), example_frame_metadata(256, 128))
+    writer.add_frame(2, E.encode_modern(small), example_frame_metadata(128, 16))
+    d = Decoder(writer.finish(), backend="jax", kernel="pallas")
+
+    taken = []
+    real_v6 = Decoder._load_frame_v6
+    monkeypatch.setattr(
+        Decoder,
+        "_load_frame_v6",
+        lambda self, *a, **k: taken.append("v6") or real_v6(self, *a, **k),
+    )
+
+    img, _ = d.load_frame_device(1)
+    assert taken == []  # oversized frame: v6 REJECTED, v5 host-prep ran
+    assert np.array_equal(np.asarray(img), big)
+
+    img2, _ = d.load_frame_device(2)
+    assert taken == ["v6"]  # under the ceiling: v6 engaged
+    assert np.array_equal(np.asarray(img2), small)
+
+    # prepare_modern_light itself refuses oversized payloads (the guard
+    # the pipeline's eligibility check keeps callers away from).
+    from mcraw.errors import DecodeError
+
+    payload = np.frombuffer(E.encode_modern(big), dtype=np.uint8)
+    with pytest.raises(DecodeError, match="too large"):
+        PK.prepare_modern_light(payload, 256, 128)
