@@ -1,18 +1,20 @@
 #!/usr/bin/env python3
-"""End-to-end streaming measurements on a real container file.
+"""End-to-end streaming measurements on real container files (both codecs).
 
 bench.py's headline number is device decode throughput with inputs staged in
-HBM. Sustained whole-clip streaming adds three more legs, each measured
-separately here because this build environment's TPU is behind a network
-tunnel whose host<->device link (~tens of MB/s) is ~1000x slower than a real
-TPU host's PCIe — the measured end-to-end stream rate is therefore
-tunnel-bound and reported as such, alongside the per-leg rates that
-determine sustained throughput on co-located hardware:
+HBM. Sustained whole-clip streaming adds more legs, each measured separately
+because this build environment's TPU is behind a network tunnel whose
+host<->device link is ~1000x slower than a real TPU host's PCIe — the
+measured end-to-end stream rate is therefore tunnel-bound and reported as
+such, alongside the per-leg rates that determine sustained throughput on
+co-located hardware:
 
-  host_prep_fps     threaded parse+plan+chunk rate (no device work)
+  host_prep_fps     threaded parse+scan rate (no device work)
   h2d_gbps          payload upload bandwidth through this link
   device_fps        decode rate with staged inputs (bench.py's method)
-  stream_fps        measured end-to-end on this hardware (tunnel-bound)
+  stream_fps        measured end-to-end, H2D DOUBLE-BUFFERED against device
+                    compute (device_put is async: uploads for frame i+1..k
+                    queue on the transfer engine while frame i decodes)
   sustained_model   min(host_prep_fps, device_fps, h2d-implied fps)
 
 Writes benchmarks/stream_results.json. Checksum-verified throughout.
@@ -26,6 +28,7 @@ import os
 import sys
 import tempfile
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -35,20 +38,26 @@ sys.path.insert(0, "/root/repo")
 H, W = 3072, 4096
 UNIQUE = 4
 FRAMES = 24  # enough to amortize; the tunnel makes big clips impractical
+OVERLAP_DEPTH = 3  # frames in flight on the transfer engine
 
 
-def make_clip(path):
+def make_clip(path, codec=7):
     from bench import make_frames
     from mcraw import encode as E
     from mcraw.metadata import example_container_metadata, example_frame_metadata
 
     imgs, payloads = make_frames()
+    if codec == 6:
+        payloads = [
+            np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+            for img in imgs
+        ]
     writer = E.ContainerWriter(example_container_metadata())
     for i in range(FRAMES):
         writer.add_frame(
             1000 + 33 * i,
             payloads[i % UNIQUE].tobytes(),
-            example_frame_metadata(W, H, 7),
+            example_frame_metadata(W, H, codec),
         )
     writer.add_audio(np.zeros(2048, np.int16), 0)
     with open(path, "wb") as f:
@@ -56,27 +65,58 @@ def make_clip(path):
     return imgs
 
 
-def main():
+def _bench_device(run, expected, iters=90, reps=3):
+    import jax
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(iters):
+            o = run(i)
+            acc = o if acc is None else acc + o
+        total = int(acc)
+        best = min(best, (time.perf_counter() - t0) / iters)
+        assert total == sum(
+            expected[i % len(expected)] for i in range(iters)
+        ) % (1 << 32), "burst checksum mismatch"
+    return best
+
+
+def _stream_overlapped(frames, prep_host, to_device, step, expected):
+    """Measured end-to-end: threaded host prep feeds async device_puts
+    OVERLAP_DEPTH frames ahead of the decode consuming them."""
+    acc = None
+    inflight = deque()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        t0 = time.perf_counter()
+        for light in pool.map(prep_host, frames):
+            inflight.append(to_device(light))  # async: queues the uploads
+            if len(inflight) > OVERLAP_DEPTH:
+                o = step(inflight.popleft())
+                acc = o if acc is None else acc + o
+        while inflight:
+            o = step(inflight.popleft())
+            acc = o if acc is None else acc + o
+        total = int(acc)
+        dt = time.perf_counter() - t0
+    assert total == sum(
+        expected[i % len(expected)] for i in range(len(frames))
+    ) % (1 << 32)
+    return len(frames) / dt
+
+
+def bench_modern(results, imgs, clip):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from mcraw.kernels import pallas_unpack as PK
     from mcraw.pipeline import Decoder
 
-    tmp = tempfile.mkdtemp(prefix="mcraw_stream_")
-    clip = os.path.join(tmp, "clip.mcraw")
-    imgs = make_clip(clip)
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
-    results = {"frames": FRAMES, "shape": [H, W],
-               "clip_gb": round(os.path.getsize(clip) / 1e9, 3)}
-
     d = Decoder(clip, backend="jax")
     frames = d.frames
 
-    # v6 path: host = serial scans only; offsets/meta built on-device.
     @functools.partial(
         jax.jit, static_argnames=("ty", "tx", "rows", "sub_rows")
     )
@@ -90,13 +130,6 @@ def main():
     def prep_host(ts):
         payload, window, meta = d._reader.frame_payload_window(ts)
         return PK.prepare_modern_light(payload, W, H, window=window)
-
-    def prep_device(ts):
-        p32, bits, refs, ty, tx, spans = prep_host(ts)
-        return (
-            jax.device_put(p32), jax.device_put(bits), jax.device_put(refs),
-            ty, tx, spans,
-        )
 
     # --- leg 1: host prep rate (threaded, no device) ---------------------
     for workers in (1, 4, 8):
@@ -114,7 +147,7 @@ def main():
     light = prep_host(frames[0])
     nbytes = light[0].nbytes + light[1].nbytes + light[2].nbytes
     dt = float("inf")
-    for _ in range(3):  # best-of-3 single transfers (tunnel load varies)
+    for _ in range(3):
         t0 = time.perf_counter()
         a = tuple(jax.device_put(x) for x in light[:3])
         jax.block_until_ready(a)
@@ -123,44 +156,38 @@ def main():
     results["h2d_fps_implied"] = round(1.0 / dt, 2)
     print(f"H2D: {nbytes/dt/1e9:.3f} GB/s -> {1.0/dt:.2f} frames/s", flush=True)
 
-    # --- leg 3: device rate with staged inputs (bench.py's method) -------
-    staged = [prep_device(ts) for ts in frames[:UNIQUE]]
+    # --- leg 3: device rate with staged inputs ---------------------------
+    lights = [prep_host(ts) for ts in frames[:UNIQUE]]
+    rows = max(l[5][0] for l in lights)
+    sub_rows = max(l[5][1] for l in lights)
+    geo = (lights[0][3], lights[0][4])
+    staged = [tuple(jax.device_put(x) for x in l[:3]) for l in lights]
     for a in staged:
-        jax.block_until_ready(a[:3])
-    rows = max(a[5][0] for a in staged)
-    sub_rows = max(a[5][1] for a in staged)
-    run = lambda i: step(*staged[i % UNIQUE][:3], ty=staged[0][3],
-                         tx=staged[0][4], rows=rows, sub_rows=sub_rows)
+        jax.block_until_ready(a)
+    run = lambda i: step(*staged[i % UNIQUE], ty=geo[0], tx=geo[1],
+                         rows=rows, sub_rows=sub_rows)
     for i in range(UNIQUE):
         assert int(jax.block_until_ready(run(i))) == expected[i]
-    iters = 90
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = None
-        for i in range(iters):
-            o = run(i)
-            acc = o if acc is None else acc + o
-        total = int(acc)
-        best = min(best, (time.perf_counter() - t0) / iters)
-        assert total == sum(expected[i % UNIQUE] for i in range(iters)) % (1 << 32)
+    best = _bench_device(run, expected)
     results["device_fps"] = round(1.0 / best, 1)
     print(f"device (staged): {1.0/best:.1f} fps", flush=True)
 
-    # --- leg 4: measured end-to-end stream on this hardware --------------
-    acc = None
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        t0 = time.perf_counter()
-        for a in pool.map(prep_device, frames):
-            o = step(*a[:3], ty=a[3], tx=a[4], rows=rows, sub_rows=sub_rows)
-            acc = o if acc is None else acc + o
-        total = int(acc)
-        dt = time.perf_counter() - t0
-    assert total == sum(expected[i % UNIQUE] for i in range(FRAMES)) % (1 << 32)
-    results["stream_fps_measured"] = round(FRAMES / dt, 2)
-    print(f"stream (this hardware, tunnel-bound): {FRAMES/dt:.2f} fps", flush=True)
+    # --- leg 4: measured end-to-end stream, H2D overlapped ----------------
+    def to_device(light):
+        return (
+            tuple(jax.device_put(x) for x in light[:3]),
+            light[3], light[4],
+        )
 
-    # --- model: what binds sustained throughput where ---------------------
+    def step_buf(buf):
+        (p32, bits, refs), ty, tx = buf
+        return step(p32, bits, refs, ty=ty, tx=tx,
+                    rows=rows, sub_rows=sub_rows)
+
+    fps = _stream_overlapped(frames, prep_host, to_device, step_buf, expected)
+    results["stream_fps_measured"] = round(fps, 2)
+    print(f"stream (overlapped, tunnel-bound): {fps:.2f} fps", flush=True)
+
     results["sustained_model"] = {
         "this_env": min(
             results["host_prep_fps_w8"],
@@ -175,8 +202,123 @@ def main():
             results["host_prep_fps_w8"], results["device_fps"]
         ),
     }
-    with open("/root/repo/benchmarks/stream_results.json", "w") as f:
-        json.dump(results, f, indent=1)
+
+
+def bench_legacy(results, imgs, clip):
+    import jax
+    import jax.numpy as jnp
+
+    from mcraw.kernels import pallas_legacy as PL
+    from mcraw.pipeline import Decoder
+
+    expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
+    d = Decoder(clip, backend="jax")
+    frames = d.frames
+
+    @functools.partial(jax.jit, static_argnames=("pw", "rows"))
+    def step(p32, offs, bits, refs, *, pw, rows):
+        im = PL.decode_legacy_device_v6.__wrapped__(
+            p32, offs, bits, refs, pw=pw, h=H, width=W, rows=rows,
+        )
+        return im.astype(jnp.uint32).sum()
+
+    def prep_host(ts):
+        payload, window, meta = d._reader.frame_payload_window(ts)
+        light = PL.prepare_legacy_light(payload, W, H, window=window)
+        assert light is not None
+        return light
+
+    # --- leg 1: host prep (serial header scan dominates; chunk-parallel
+    # over the trailing offset table when the file carries one) -----------
+    for workers in (1, 4, 8):
+        best = float("inf")
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(prep_host, frames[:2]))
+            for _ in range(3):
+                t0 = time.perf_counter()
+                list(pool.map(prep_host, frames))
+                best = min(best, time.perf_counter() - t0)
+        results[f"host_prep_fps_w{workers}"] = round(FRAMES / best, 1)
+        print(f"legacy host prep x{workers}: {FRAMES/best:.1f} fps", flush=True)
+
+    # --- leg 2: device rate with staged inputs ---------------------------
+    lights = [prep_host(ts) for ts in frames[:UNIQUE]]
+    pw = lights[0][4]
+    rows = max(l[5] for l in lights)
+    staged = [
+        tuple(
+            jax.device_put(np.asarray(x, dtype=np.int32))
+            for x in l[:4]
+        )
+        for l in lights
+    ]
+    for a in staged:
+        jax.block_until_ready(a)
+    run = lambda i: step(*staged[i % UNIQUE], pw=pw, rows=rows)
+    for i in range(UNIQUE):
+        assert int(jax.block_until_ready(run(i))) == expected[i]
+    best = _bench_device(run, expected)
+    results["device_fps"] = round(1.0 / best, 1)
+    print(f"legacy device (staged): {1.0/best:.1f} fps", flush=True)
+
+    # --- leg 3: measured end-to-end stream, H2D overlapped ----------------
+    def to_device(light):
+        return tuple(
+            jax.device_put(np.asarray(x, dtype=np.int32))
+            for x in light[:4]
+        )
+
+    def step_buf(buf):
+        return step(*buf, pw=pw, rows=rows)
+
+    fps = _stream_overlapped(frames, prep_host, to_device, step_buf, expected)
+    results["stream_fps_measured"] = round(fps, 2)
+    print(f"legacy stream (overlapped): {fps:.2f} fps", flush=True)
+
+    results["sustained_model"] = {
+        "this_env": min(
+            results["host_prep_fps_w8"], results["device_fps"]
+        ),
+        "colocated_est_fps": min(
+            results["host_prep_fps_w8"], results["device_fps"]
+        ),
+        "note": (
+            "host prep is the serial legacy header scan; the chunk table "
+            "splits it across cores on real hosts (this box has 1 CPU)"
+        ),
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    out_path = "/root/repo/benchmarks/stream_results.json"
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            try:
+                results = json.load(f)
+            except Exception:
+                results = {}
+    results["frames"] = FRAMES
+    results["shape"] = [H, W]
+
+    for codec, name, fn in ((7, "modern", bench_modern),
+                            (6, "legacy_4k", bench_legacy)):
+        if only and only != name:
+            continue
+        tmp = tempfile.mkdtemp(prefix="mcraw_stream_")
+        clip = os.path.join(tmp, "clip.mcraw")
+        imgs = make_clip(clip, codec=codec)
+        results.setdefault(name, {})
+        results[name]["clip_gb"] = round(os.path.getsize(clip) / 1e9, 3)
+        fn(results[name], imgs, clip)
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
     print(json.dumps(results))
 
 

@@ -93,6 +93,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+    if hasattr(lib, "mcraw_legacy_scan_range"):
+        lib.mcraw_legacy_scan_range.restype = ctypes.c_int64
+        lib.mcraw_legacy_scan_range.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
     _lib = lib
     return _lib
 
@@ -176,4 +184,89 @@ def legacy_scan(
     )
     if end < 0:
         raise DecodeError("legacy stream truncated")
+    return bits, refs, offs
+
+
+_SCAN_POOL = None
+
+
+def _scan_pool():
+    """Shared scan thread pool: create/shutdown per call measured ~11 ms,
+    more than the 4K serial scan itself."""
+    global _SCAN_POOL
+    if _SCAN_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SCAN_POOL = ThreadPoolExecutor(
+            max_workers=min(16, os.cpu_count() or 1),
+            thread_name_prefix="mcraw-scan",
+        )
+    return _SCAN_POOL
+
+
+def legacy_scan_parallel(
+    data: np.ndarray,
+    num_blocks: int,
+    chunk_starts,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Chunk-parallel legacy header walk over the trailing offset table.
+
+    The table (RawData_Legacy.cpp:452-469; parsed by
+    numpy_ref.legacy_chunk_offsets) names block-aligned payload positions,
+    so each [start, next_start) segment scans independently and the ordered
+    concatenation equals the serial walk. Each segment is validated to end
+    EXACTLY at the next boundary — a bogus table (block straddling a
+    boundary, short counts) returns None and callers fall back to the
+    serial scan. Threads release the GIL inside the ctypes call.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mcraw_legacy_scan_range"):
+        return None
+    n = len(data)
+    starts = sorted({int(s) for s in chunk_starts if 0 < s < n})
+    if not starts or num_blocks <= 0:
+        return None
+    bounds = [0] + starts + [n]
+    nseg = len(bounds) - 1
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def scan_seg(k):
+        s, e = bounds[k], bounds[k + 1]
+        limit = e if k < nseg - 1 else n
+        cap = min(num_blocks, max(1, (e - s) // 2 + 1))
+        bits = np.empty(cap, dtype=np.int32)
+        refs = np.empty(cap, dtype=np.uint16)
+        offs = np.empty(cap, dtype=np.int64)
+        end = ctypes.c_int64(0)
+        cnt = lib.mcraw_legacy_scan_range(
+            dptr, n, s, limit, cap,
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            refs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(end),
+        )
+        return int(cnt), int(end.value), bits, refs, offs
+
+    results = list(_scan_pool().map(scan_seg, range(nseg)))
+
+    # Walk segments in order; every segment consumed before num_blocks is
+    # reached must be exactly continuous with the next boundary.
+    parts = []
+    have = 0
+    for k, (cnt, end, bits, refs, offs) in enumerate(results):
+        take = min(cnt, num_blocks - have)
+        parts.append((bits[:take], refs[:take], offs[:take]))
+        have += take
+        if have == num_blocks:
+            break
+        # need more blocks from the next segment: this one must have ended
+        # exactly at the boundary (and not be the last)
+        if k == nseg - 1 or end != bounds[k + 1] or cnt != take:
+            return None
+    if have < num_blocks:
+        return None
+    bits = np.concatenate([p[0] for p in parts])
+    refs = np.concatenate([p[1] for p in parts])
+    offs = np.concatenate([p[2] for p in parts])
     return bits, refs, offs

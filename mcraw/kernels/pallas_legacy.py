@@ -300,8 +300,12 @@ def _legacy_kernel_v5(
     )  # (rows, 256)
 
     def pick(oh):
+        # HIGH (bf16_3x) is exact for one-hot x 16-bit halves — see the
+        # modern v5 kernel's pick for the derivation; halves MXU passes.
         p = jnp.dot(
-            oh, planes, precision=hi, preferred_element_type=jnp.float32
+            oh, planes,
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
         return p[:, 0:128] | (p[:, 128:256] << 16)
 
@@ -372,6 +376,311 @@ def _unpack_legacy_pallas_v5(
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
     )(base_rows, meta, payload2d)
+
+
+# -----------------------------------------------------------------------------
+# v6 = the v5 kernel fed by DEVICE-side meta layout: the host contributes
+# only the serial header scan (bits/refs/offs — the format's irreducible
+# chain) and a bucketed payload upload; the (nc, ., b) kernel metadata is
+# built inside the jit. The trick that makes this free: instead of the v5
+# meta's (24, b) lane-major layout (which costs host transposes or device
+# minor-dim matmuls), the v6 kernel takes offs/cls/refs as THREE (b, 8)
+# sublane-major blocks — reshape(nblk,) -> (nc, b, 8) is layout-free, tail
+# padding is a broadcast concat, and the kernel reads param p as a lane
+# slice [:, p:p+1]. Requires padded_width % 128 == 0 (no dummy lanes);
+# other widths keep the host-prep path.
+# -----------------------------------------------------------------------------
+
+
+def _legacy_kernel_v6(
+    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B)
+    offs_ref,  # (1, b, 8) int32 payload byte offsets (past headers)
+    cls_ref,  # (1, b, 8) int32 class indices
+    refs_ref,  # (1, b, 8) int32 references
+    payload_ref,  # HBM (P/512, 128) int32
+    out_ref,  # (b, 128) uint16 — finished pixel segments
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,
+    rows: int = None,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    base_row = base_ref[i]
+    b = offs_ref.shape[1]
+
+    def widen8(ref):
+        m = ref[0]  # (b, 8)
+        cols = [
+            jnp.broadcast_to(m[:, p : p + 1], (b, 16)) for p in range(8)
+        ]
+        return jnp.concatenate(cols, axis=1)  # (b, 128)
+
+    offs8 = widen8(offs_ref)
+    cls8 = widen8(cls_ref)
+    refs8 = widen8(refs_ref)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    pidx = (((lane >> 5) << 1) | (lane & 1)) * 16
+    rel_lane = jnp.take_along_axis(offs8, pidx, axis=1) - base_row * 512
+    cls_lane = jnp.take_along_axis(cls8, pidx, axis=1)
+    refs_lane = jnp.take_along_axis(refs8, pidx, axis=1)
+    cb = jnp.where(cls_lane >= 11, 16, cls_lane)
+
+    rel0 = offs_ref[0][:, 0:1] - base_row * 512  # (b, 1)
+    q = rel0 >> 9
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+
+    span_dma(i, slot).wait()
+    span = scratch_ref[slot]
+    span_be = (
+        ((span & 0xFF) << 24)
+        | ((span & 0xFF00) << 8)
+        | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
+        | jax.lax.shift_right_logical(span, 24)
+    )
+    hi = jax.lax.Precision.HIGHEST
+    planes = jnp.concatenate(
+        [
+            (span_be & 0xFFFF).astype(jnp.float32),
+            jax.lax.shift_right_logical(span_be, 16).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+    def pick(oh):
+        # HIGH (bf16_3x) is exact for one-hot x 16-bit halves — see the
+        # modern v5 kernel's pick for the derivation; halves MXU passes.
+        p = jnp.dot(
+            oh, planes,
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        return p[:, 0:128] | (p[:, 128:256] << 16)
+
+    row0 = pick((row_ids == q).astype(jnp.float32))
+    row1 = pick((row_ids == q + 1).astype(jnp.float32))
+
+    t0 = (rel0 >> 2) & 127
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    merged = jnp.where(lane128 >= t0, row0, row1)
+
+    k = (lane & 31) >> 1
+    bitp = ((rel_lane - (q << 9)) << 3) + k * cb
+    wd = jax.lax.shift_right_logical(bitp, 5)
+    sh = bitp & 31
+    g0 = jnp.take_along_axis(merged, wd & 127, axis=1)
+    g1 = jnp.take_along_axis(merged, (wd + 1) & 127, axis=1)
+    comb = (g0 << sh) | jax.lax.shift_right_logical(
+        jax.lax.shift_right_logical(g1, 31 - sh), 1
+    )
+    vals = jax.lax.shift_right_logical(comb, 32 - jnp.maximum(cb, 1))
+    vals = jnp.where(cb == 0, 0, vals)
+
+    out_ref[:] = ((vals + refs_lane) & 0xFFFF).astype(jnp.uint16)
+
+
+def _unpack_legacy_pallas_v6_raw(
+    payload2d: jnp.ndarray,  # (R, 128) int32
+    base_rows: jnp.ndarray,  # (num_chunks,) int32
+    offs: jnp.ndarray,  # (num_chunks, b, 8) int32
+    cls: jnp.ndarray,  # (num_chunks, b, 8) int32
+    refs: jnp.ndarray,  # (num_chunks, b, 8) int32
+    *,
+    num_chunks: int,
+    rows: int,
+    interpret: bool = False,
+):
+    b = offs.shape[1]
+    spec = pl.BlockSpec(
+        (1, b, 8), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[spec, spec, spec, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (b, 128), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_legacy_kernel_v6, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
+        interpret=interpret,
+    )(base_rows, offs, cls, refs, payload2d)
+
+
+def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int):
+    """Device-side legacy meta: (nblk,) scan outputs -> kernel blocks.
+
+    Pure reshapes + broadcast pads (no gathers, no matmuls, no minor-dim
+    transposes) — requires pw % 128 == 0 so kernel rows are exactly 8
+    consecutive blocks. Returns (base_rows, offs3, cls3, refs3)."""
+    idx = _legacy_indices(pw, h)
+    nc, nblk = idx["num_chunks"], idx["nblk"]
+    b = ROWS_PER_CHUNK_LEG
+    pad = nc * b * 8 - nblk
+    offs = offs.astype(jnp.int32)
+    cls = jnp.minimum(bits.astype(jnp.int32), 11)
+    refs = refs.astype(jnp.int32)
+    if pad:
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(offs[-1:], (pad,))]
+        )
+        cls = jnp.concatenate([cls, jnp.zeros(pad, jnp.int32)])
+        refs = jnp.concatenate([refs, jnp.zeros(pad, jnp.int32)])
+    offs3 = offs.reshape(nc, b, 8)
+    cls3 = cls.reshape(nc, b, 8)
+    refs3 = refs.reshape(nc, b, 8)
+    base_rows = jax.lax.shift_right_logical(offs3[:, 0, 0], 9)
+    return base_rows, offs3, cls3, refs3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pw", "h", "width", "rows", "interpret"),
+)
+def decode_legacy_device_v6(
+    p32: jnp.ndarray,  # (R*128,) int32 bucketed payload words
+    offs: jnp.ndarray,  # (nblk,) int32/int64 from the host scan
+    bits: jnp.ndarray,  # (nblk,) int32
+    refs: jnp.ndarray,  # (nblk,) uint16/int32
+    *,
+    pw: int,
+    h: int,
+    width: int,
+    rows: int,
+    interpret: bool = False,
+):
+    """Full legacy decode with on-device meta layout (host = scan only)."""
+    idx = _legacy_indices(pw, h)
+    nc, segs = idx["num_chunks"], idx["segs"]
+    base_rows, offs3, cls3, refs3 = _v6_legacy_build(
+        offs, bits, refs, pw=pw, h=h
+    )
+    out = _unpack_legacy_pallas_v6_raw(
+        p32.reshape(-1, 128), base_rows, offs3, cls3, refs3,
+        num_chunks=nc, rows=rows, interpret=interpret,
+    )
+    img = out[: h * segs].reshape(h, segs * 128)
+    return img[:, :width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pw", "h", "width", "rows", "interpret"),
+)
+def decode_legacy_device_v6_batch(
+    p32s: jnp.ndarray,  # (F, R*128) int32 per-frame bucketed words
+    offs: jnp.ndarray,  # (F, nblk)
+    bits: jnp.ndarray,  # (F, nblk)
+    refs: jnp.ndarray,  # (F, nblk)
+    *,
+    pw: int,
+    h: int,
+    width: int,
+    rows: int,
+    interpret: bool = False,
+):
+    """(F, H, W) legacy decode, device-side prep, ONE kernel launch."""
+    idx = _legacy_indices(pw, h)
+    nc, segs = idx["num_chunks"], idx["segs"]
+    f = p32s.shape[0]
+    frame_rows = p32s.shape[1] // 128
+    base, o3, c3, r3 = jax.vmap(
+        functools.partial(_v6_legacy_build, pw=pw, h=h)
+    )(offs, bits, refs)
+    shift = jnp.arange(f, dtype=jnp.int32) * frame_rows
+    base = (base + shift[:, None]).reshape(-1)
+    o3 = (o3 + (shift * 512)[:, None, None, None]).reshape(f * nc, -1, 8)
+    out = _unpack_legacy_pallas_v6_raw(
+        p32s.reshape(-1, 128), base,
+        o3, c3.reshape(f * nc, -1, 8), r3.reshape(f * nc, -1, 8),
+        num_chunks=f * nc, rows=rows, interpret=interpret,
+    )
+    rows_frame = out.shape[0] // f
+    out = out.reshape(f, rows_frame, 128)[:, : h * segs]
+    return out.reshape(f, h, segs * 128)[:, :, :width]
+
+
+LEGACY_PAYLOAD_BUCKET_ROWS = 4096  # 2 MB H2D buckets bound jit recompiles
+
+
+def prepare_legacy_light(
+    payload: np.ndarray,
+    width: int,
+    height: int,
+    window: np.ndarray | None = None,
+):
+    """Minimal host prep for the legacy v6 device-prep path.
+
+    Runs only the serial header scan (chunk-parallel over the trailing
+    offset table when present) + payload bucketing. Returns
+    (p32, offs, bits, refs, pw, rows) or None when the geometry needs the
+    host-prep path (padded_width not a multiple of 128)."""
+    from . import numpy_ref as R
+    from . import unpack as UU
+    from .native import legacy_scan, legacy_scan_parallel
+
+    payload = np.asarray(payload, dtype=np.uint8)
+    pw = R.legacy_padded_width(width)
+    if pw % 128 != 0:
+        return None
+    num_blocks = height * (pw // 32) * 2
+
+    scanned = None
+    if num_blocks >= UU.LEGACY_PARALLEL_MIN_BLOCKS:
+        chunks = R.legacy_chunk_offsets(payload)
+        if chunks:
+            scanned = legacy_scan_parallel(payload, num_blocks, chunks)
+    bits, refs, offs = scanned or legacy_scan(payload, num_blocks)
+
+    # Static content span for the kernel scratch (offsets are monotone, so
+    # each chunk's end is its last block's offset + <= 32 payload bytes).
+    idx = _legacy_indices(pw, height)
+    nc = idx["num_chunks"]
+    b = ROWS_PER_CHUNK_LEG
+    firsts = offs[:: b * 8]
+    lasts = np.minimum(
+        np.arange(1, nc + 1, dtype=np.int64) * b * 8, num_blocks
+    ) - 1
+    need = (
+        (offs[lasts] + 32 - (firsts >> 9 << 9)) + 511
+    ) // 512 + 2
+    rows_need = int(need.max()) if nc else 2
+    rows_worst = (b * 8 * 34) // 512 + 2
+    rows_worst += (-rows_worst) % 8
+    rows = min(
+        rows_worst, int(rows_need + (-rows_need) % LEGACY_ROWS_STEP)
+    )
+
+    n = len(payload)
+    bucket = LEGACY_PAYLOAD_BUCKET_ROWS * 512
+    span = (rows + 8) * 512
+    total = n + span
+    total += (-total) % bucket
+    p32 = UU.pad_or_window(payload, total, window).view("<i4")
+    return p32, offs.astype(np.int32), bits, refs, pw, rows
 
 
 # Host-prep cache: kernel-row block indices depend only on geometry.

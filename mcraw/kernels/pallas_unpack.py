@@ -520,9 +520,22 @@ def _unpack_kernel_v5(
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows), 1)
 
+        # Pick precision: HIGH (bf16_3x) is EXACT here and halves the MXU
+        # passes vs HIGHEST (bf16_6x). Argument: the one-hot operand is a
+        # single exact bf16 term (0.0/1.0 — its mid/lo split terms are 0),
+        # and any 16-bit integer-valued f32 splits exactly into hi+mid bf16
+        # terms (the remainder after the 8-bit-mantissa hi round is an
+        # integer < 2^8, itself exact in bf16). The 3 computed products
+        # a_hi*b_hi + a_hi*b_mid + a_mid*b_hi therefore reproduce a*b
+        # exactly, and f32 accumulation of values < 2^24 is exact. This
+        # does NOT hold for >16-bit values (a third b term appears whose
+        # a_hi*b_lo product the 3-pass form drops) — the desc matmul
+        # (19-bit descriptors) and the v6 prefix sums stay HIGHEST.
         def pick(oh):
             p = jnp.dot(
-                oh, planes, precision=hi, preferred_element_type=jnp.float32
+                oh, planes,
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
             return p[:, 0:128] | (p[:, 128:256] << 16)
 
@@ -668,6 +681,261 @@ def _unpack_image_pallas_v5(
         out_shape=out_shape,
         interpret=interpret,
     )(base_rows, meta, tables, payload2d)
+
+
+# -----------------------------------------------------------------------------
+# v7 = the v5 pair-row kernel restructured for Mosaic's software pipeliner:
+#   - the grid is 2D (chunk, subgroup) instead of 24 statically-unrolled
+#     subgroups inside one giant grid step — each step is a small body the
+#     compiler can schedule tightly (the unrolled v5 body measured a
+#     ~0.8 ms/frame fixed floor that no stage ablation could attribute to
+#     visible vector work: register pressure + scheduling of ~24x-duplicated
+#     code), with meta/out block copies overlapped across steps;
+#   - the f32 half planes are built ONCE per chunk into a dedicated VMEM
+#     scratch (subgroup windows overlap ~2x, so per-subgroup plane builds
+#     did ~2x redundant convert work, 24x the instruction issue);
+#   - per-subgroup picks slice the chunk planes at a dynamic row offset
+#     (ref-level pl.ds, which Mosaic allows, unlike value-level slices).
+# Same math, tables, prep layouts, and span invariants as v5 — the launcher
+# consumes prepare_chunked_v5 / _v6_build_meta outputs unchanged via
+# BlockSpec index maps.
+# -----------------------------------------------------------------------------
+
+
+def _unpack_kernel_v7(
+    base_ref,  # scalar prefetch: (num_chunks * S,) int32 subgroup rows
+    meta_ref,  # block (1, 8, sgp) int32 — this subgroup's pair metadata
+    tables_ref,  # (2*ncls, 384) int32 v5 descriptors
+    payload_ref,  # HBM (P32/128, 128) int32
+    out_ref,  # block (rows_per_sub, txp, 64) uint16 — this subgroup's rows
+    raw_ref,  # VMEM (2, rows, 128) int32 — double-buffered span DMA
+    planes_ref,  # VMEM (rows, 256) f32 — per-chunk 16-bit half planes
+    sems,
+    rows: int = None,
+    sub_rows: int = None,
+    txp: int = None,
+    tr_sub: int = None,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nci = pl.num_programs(0)
+    s = pl.num_programs(1)
+    slot = jax.lax.rem(i, 2)
+    ncls = len(T.MODERN_CLASSES)
+    rows_per_sub = tr_sub * 4
+    hi = jax.lax.Precision.HIGHEST
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk * s], rows), :],
+            raw_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        span_dma(0, 0).start()
+        # The planes scratch has 8 tail rows past the DMA span (the
+        # 8-aligned subgroup slices below can overhang by < 8 rows); zero
+        # them once so the one-hot matmuls never contract NaN garbage.
+        planes_ref[pl.ds(rows, 8), :] = jnp.zeros((8, 256), jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        @pl.when(i + 1 < nci)
+        def _():
+            span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+        span_dma(i, slot).wait()
+        local = raw_ref[slot]
+        # f32 16-bit half planes, chunk-wide (see the v5 exactness note:
+        # one-hot HIGHEST picks of values < 2^16 are fp32-exact).
+        planes_ref[pl.ds(0, rows), 0:128] = (local & 0xFFFF).astype(
+            jnp.float32
+        )
+        planes_ref[pl.ds(0, rows), 128:256] = jax.lax.shift_right_logical(
+            local, 16
+        ).astype(jnp.float32)
+
+    chunk_row0 = base_ref[i * s]
+    sub_row0 = base_ref[i * s + j]
+    meta = meta_ref[0]  # (8, sgp)
+    sgp = meta.shape[1]
+
+    offs_e = jnp.transpose(meta[0:1, :], (1, 0))
+    offs_o = jnp.transpose(meta[1:2, :], (1, 0))
+    cls_e = jnp.transpose(meta[2:3, :], (1, 0))
+    cls_o = jnp.transpose(meta[3:4, :], (1, 0))
+    refs_e = jnp.transpose(meta[4:5, :], (1, 0))
+    refs_o = jnp.transpose(meta[5:6, :], (1, 0))
+    rel_e = offs_e - sub_row0 * 128
+    rel_o = offs_o - sub_row0 * 128
+    q = rel_e >> 7
+
+    ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
+    oh2 = jnp.concatenate(
+        [
+            (ids == cls_e).astype(jnp.float32),
+            (ids == cls_o).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    desc = jnp.dot(
+        oh2,
+        tables_ref[:, :].astype(jnp.float32),
+        precision=hi,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (sgp, 384)
+
+    # Mosaic requires a provably 8-aligned sublane start for the f32
+    # vector load feeding the matmul: round the subgroup offset down and
+    # fold the remainder into the one-hot row index instead.
+    off = sub_row0 - chunk_row0
+    off8 = pl.multiple_of((off >> 3) << 3, 8)
+    delta = off - off8
+    planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows + 8), 1)
+
+    def pick(oh):
+        # HIGH is exact for one-hot x 16-bit halves (see the v5 kernel).
+        p = jnp.dot(
+            oh, planes,
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        return p[:, 0:128] | (p[:, 128:256] << 16)
+
+    row0 = pick((row_ids == q + delta).astype(jnp.float32))
+    row1 = pick((row_ids == q + delta + 1).astype(jnp.float32))
+
+    t0 = rel_e & 127
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    merged = jnp.where(lane_ids >= t0, row0, row1)
+
+    c_lane = lane_ids & 1
+    rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)
+    rel_base = rel_lane - (q << 7)
+
+    vals = None
+    for f in range(3):
+        d = desc[:, f * 128 : (f + 1) * 128]
+        widx = rel_base + (d & 31)
+        word = jnp.take_along_axis(merged, widx & 127, axis=1)
+        fv = jax.lax.shift_right_logical(
+            word << ((d >> 5) & 31), (d >> 10) & 31
+        )
+        if f > 0:  # slot 0 always has lsh == 0
+            fv = fv << ((d >> 15) & 15)
+        vals = fv if vals is None else vals | fv
+
+    cls_lane = jnp.where(c_lane == 1, cls_o, cls_e)
+    vals = jnp.where(cls_lane == 0, 0, vals)
+    refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
+    vals = (vals + refs_lane) & 0xFFFF
+
+    for r in range(rows_per_sub):
+        t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
+        band = (t_local * 2 + qr) * txp
+        out_ref[r] = vals[
+            band : band + txp, h * 64 : (h + 1) * 64
+        ].astype(jnp.uint16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "interpret"
+    ),
+)
+def _unpack_image_pallas_v7(
+    payload2d: jnp.ndarray,
+    base_rows: jnp.ndarray,  # (num_chunks * SUBGROUPS_V5,)
+    meta: jnp.ndarray,  # (num_chunks, 8, BP)
+    *,
+    num_chunks: int,
+    txp: int,
+    tr_sub: int,
+    rows: int | None = None,
+    sub_rows: int | None = None,
+    interpret: bool = False,
+):
+    """v7 launcher: same inputs/outputs as _unpack_image_pallas_v5 (drop-in),
+    2D (chunk, subgroup) grid."""
+    bp = meta.shape[2]
+    s = SUBGROUPS_V5
+    sgp = bp // s
+    if sub_rows is None:
+        sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+        sub_rows += (-sub_rows) % 8
+    rows_worst = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
+    rows_worst += (-rows_worst) % 8
+    if rows is None:
+        rows = rows_worst
+    else:
+        rows = min(rows_worst, rows + sub_rows)
+    rows_per_sub = tr_sub * 4
+    out_spec = pl.BlockSpec(
+        (rows_per_sub, txp, 64),
+        lambda i, j, base: (i * s + j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(
+        (num_chunks * s * rows_per_sub, txp, 64), jnp.uint16
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks, s),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, sgp),
+                lambda i, j, base: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, 128), jnp.int32),
+            # +8 tail rows: zeroed overhang for the 8-aligned slices.
+            pltpu.VMEM((rows + 8, 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tables = jnp.asarray(_MODERN_TABLES_V5)
+    return pl.pallas_call(
+        functools.partial(
+            _unpack_kernel_v7,
+            rows=rows,
+            sub_rows=sub_rows,
+            txp=txp,
+            tr_sub=tr_sub,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(base_rows, meta, tables, payload2d)
+
+
+def decode_modern_pallas_v7(
+    payload: np.ndarray, width: int, height: int, interpret: bool = False
+):
+    """Full modern decode via the v7 (2D-grid) kernel."""
+    plan = U.prepare_modern(payload, width, height)
+    payload2d, base_rows, meta, num_chunks, txp, tr_sub = prepare_chunked_v5(
+        plan
+    )
+    img3 = _unpack_image_pallas_v7(
+        jnp.asarray(payload2d),
+        jnp.asarray(base_rows),
+        jnp.asarray(meta),
+        num_chunks=num_chunks,
+        txp=txp,
+        tr_sub=tr_sub,
+        interpret=interpret,
+    )
+    img = img3.reshape(img3.shape[0], txp * 64)
+    return img[: plan.height, : plan.width]
 
 
 def v5_geometry(tiles_y: int, tiles_x: int) -> tuple[int, int]:

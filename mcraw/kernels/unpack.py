@@ -157,6 +157,11 @@ class LegacyPlan:
     height: int
 
 
+# Below this block count the serial scan is already < ~0.2 ms — thread
+# dispatch overhead would dominate any chunk-parallel win.
+LEGACY_PARALLEL_MIN_BLOCKS = 1 << 16
+
+
 def prepare_legacy(
     payload: np.ndarray,
     width: int,
@@ -167,9 +172,18 @@ def prepare_legacy(
     padded_width = R.legacy_padded_width(width)
     num_blocks = height * (padded_width // 32) * 2
 
-    from .native import legacy_scan  # native C++ or numpy fallback
+    from .native import legacy_scan, legacy_scan_parallel
 
-    bits, refs, offs = legacy_scan(payload, num_blocks)
+    # Chunk-parallel scan over the trailing offset table when present
+    # (RawData_Legacy.cpp:452-469 — the format affordance the reference
+    # parses and ignores; SURVEY.md §2.5 item 3). Falls back to the serial
+    # walk for small frames or unusable tables.
+    scanned = None
+    if num_blocks >= LEGACY_PARALLEL_MIN_BLOCKS:
+        chunks = R.legacy_chunk_offsets(payload)
+        if chunks:
+            scanned = legacy_scan_parallel(payload, num_blocks, chunks)
+    bits, refs, offs = scanned or legacy_scan(payload, num_blocks)
 
     n = len(payload)
     pad = T.LEGACY_MAX_LENGTH

@@ -285,6 +285,65 @@ def _v6_mesh_fn(mesh, *, ty, tx, height, width, rows, sub_rows, interpret):
     )
 
 
+def decode_frames_legacy_v6_mesh(
+    p32s,
+    offs,
+    bits,
+    refs,
+    *,
+    pw: int,
+    h: int,
+    width: int,
+    rows: int,
+    mesh: Mesh | None = None,
+    interpret: bool = False,
+):
+    """Legacy twin of decode_frames_v6_mesh: each shard lays out its own
+    frames' kernel metadata on device from the raw scan outputs (pure
+    reshapes — see pallas_legacy._v6_legacy_build) and runs one fused
+    launch. Host work per frame: the serial header scan + a payload-bucket
+    upload, so one host feeds a multi-chip mesh."""
+    from .kernels import pallas_legacy as PL
+
+    if mesh is None:
+        return PL.decode_legacy_device_v6_batch(
+            p32s, offs, bits, refs,
+            pw=pw, h=h, width=width, rows=rows, interpret=interpret,
+        )
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if p32s.shape[0] % n != 0:
+        raise ValueError(
+            f"batch of {p32s.shape[0]} not divisible by {n} devices"
+        )
+    sharding = NamedSharding(mesh, P(axis))
+    args = [jax.device_put(a, sharding) for a in (p32s, offs, bits, refs)]
+    fn = _legacy_v6_mesh_fn(
+        mesh, pw=pw, h=h, width=width, rows=rows, interpret=interpret
+    )
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=16)
+def _legacy_v6_mesh_fn(mesh, *, pw, h, width, rows, interpret):
+    from .kernels import pallas_legacy as PL
+
+    body = functools.partial(
+        PL.decode_legacy_device_v6_batch.__wrapped__,
+        pw=pw, h=h, width=width, rows=rows, interpret=interpret,
+    )
+    axis = mesh.axis_names[0]
+    return jax.jit(
+        jax.shard_map(
+            lambda a, b, c, d: body(a, b, c, d),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+
+
 def decode_frames_legacy_mesh(
     plans: list, mesh: Mesh | None, interpret: bool = False
 ):

@@ -180,6 +180,10 @@ class Decoder:
 
         if modern and self._v6_eligible(payload):
             return self._load_frame_v6(payload, window, meta, fm)
+        if not modern and self._use_pallas() and self._accel_available():
+            out = self._load_frame_legacy_v6(payload, window, meta, fm)
+            if out is not None:
+                return out
 
         with self._stage("parse"):
             from .kernels import unpack as U
@@ -237,6 +241,38 @@ class Decoder:
                 width=fm.width,
                 rows=rows,
                 sub_rows=sub_rows,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        return img, meta
+
+    def _load_frame_legacy_v6(self, payload, window, meta, fm):
+        """Legacy twin of _load_frame_v6: the host runs only the serial
+        header scan (chunk-parallel over the trailing offset table when
+        present), the jit program lays out kernel metadata and decodes.
+        Returns None for geometries the light prep refuses (padded width
+        not a multiple of 128) — callers fall back to the plan path."""
+        import jax
+        import jax.numpy as jnp
+
+        from .kernels import pallas_legacy as PL
+
+        with self._stage("parse"):
+            light = PL.prepare_legacy_light(
+                payload, fm.width, fm.height, window=window
+            )
+            if light is None:
+                return None
+            p32, offs, bits, refs, pw, rows = light
+        with self._stage("unpack"):
+            img = PL.decode_legacy_device_v6(
+                jnp.asarray(p32),
+                jnp.asarray(offs),
+                jnp.asarray(bits),
+                jnp.asarray(np.asarray(refs, dtype=np.int32)),
+                pw=pw,
+                h=fm.height,
+                width=fm.width,
+                rows=rows,
                 interpret=jax.devices()[0].platform == "cpu",
             )
         return img, meta
@@ -331,6 +367,9 @@ class Decoder:
         v6 = self._decode_batch_v6(timestamps, mesh)
         if v6 is not None:
             return v6
+        v6l = self._decode_batch_legacy_v6(timestamps, mesh)
+        if v6l is not None:
+            return v6l
         plans, metas, moderns = [], [], []
         for ts in timestamps:
             plan, meta, modern = self._plan(ts)
@@ -345,6 +384,83 @@ class Decoder:
             ),
             metas,
         )
+
+    def _decode_batch_legacy_v6(self, timestamps, mesh):
+        """Device-prep batch fast path for the LEGACY codec: host work per
+        frame is the serial header scan (chunk-parallel when the trailing
+        offset table exists) + a bucketed payload upload; kernel metadata
+        is laid out on device per shard (pure reshapes). Returns None when
+        ineligible (non-legacy frames, CPU platform, kernel='xla',
+        padded width not a multiple of 128, or mixed geometry)."""
+        from .kernels import pallas_legacy as PL
+
+        if not (self._use_pallas() and self._accel_available()):
+            return None
+        frames = []
+        geos = set()
+        for ts in timestamps:
+            with self._stage("parse"):
+                payload, window, meta = self._reader.frame_payload_window(ts)
+                fm = FrameMetadata(meta)
+                if fm.compression_type != COMPRESSION_TYPE_LEGACY:
+                    return None
+                frames.append((payload, window, meta, fm))
+                geos.add((fm.width, fm.height))
+        if len(geos) != 1:
+            return None
+
+        lights, metas = [], []
+        for payload, window, meta, fm in frames:
+            with self._stage("parse"):
+                light = PL.prepare_legacy_light(
+                    payload, fm.width, fm.height, window=window
+                )
+            if light is None:
+                return None
+            lights.append(light)
+            metas.append(meta)
+        pw = lights[0][4]
+        rows = max(l[5] for l in lights)
+        width, height = fm.width, fm.height
+
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel import decode_frames_legacy_v6_mesh
+
+        with self._stage("unpack"):
+            rmax = max(len(l[0]) for l in lights)
+            if mesh is None:
+                p32s = jnp.stack(
+                    [
+                        jnp.pad(jax.device_put(p), (0, rmax - len(p)))
+                        if len(p) < rmax
+                        else jax.device_put(p)
+                        for p, *_ in lights
+                    ]
+                )
+            else:
+                p32s = np.zeros((len(lights), rmax), dtype=np.int32)
+                for i, (p, *_) in enumerate(lights):
+                    p32s[i, : len(p)] = p
+            offs = np.stack([l[1] for l in lights])
+            bits = np.stack([l[2] for l in lights])
+            refs = np.stack(
+                [np.asarray(l[3], dtype=np.int32) for l in lights]
+            )
+            img = decode_frames_legacy_v6_mesh(
+                p32s,
+                jnp.asarray(offs),
+                jnp.asarray(bits),
+                jnp.asarray(refs),
+                pw=pw,
+                h=height,
+                width=width,
+                rows=rows,
+                mesh=mesh,
+                interpret=jax.devices()[0].platform == "cpu",
+            )
+        return img, metas
 
     def _decode_batch_v6(self, timestamps, mesh):
         """Device-prep batch fast path (modern codec on an accelerator).

@@ -193,4 +193,37 @@ int64_t mcraw_legacy_scan(const uint8_t* data, int64_t len, int64_t start,
   return offset;
 }
 
+// Bounded legacy header walk for CHUNK-PARALLEL scanning: the trailing
+// offset table (RawData_Legacy.cpp:452-469) names block-aligned payload
+// positions, so independent threads can each scan one [start, end_limit)
+// segment and the concatenation equals the serial scan. Scans until (a)
+// `max_blocks` blocks, (b) the next header would start at/after
+// `end_limit`, or (c) the reference's strict `>=` truncation bound fires.
+// Always returns the number of blocks emitted; the final stream offset is
+// written to *end_out so the caller can validate segment continuity
+// (a block straddling end_limit shows up as *end_out > end_limit).
+int64_t mcraw_legacy_scan_range(const uint8_t* data, int64_t len,
+                                int64_t start, int64_t end_limit,
+                                int64_t max_blocks, int32_t* bits_out,
+                                uint16_t* refs_out, int64_t* offs_out,
+                                int64_t* end_out) {
+  int64_t offset = start;
+  int64_t i = 0;
+  for (; i < max_blocks; ++i) {
+    if (offset >= end_limit) break;
+    if (offset + 2 >= len) break;
+    const uint8_t b0 = data[offset];
+    int bits = (b0 >> 4) & 0x0F;
+    if (bits > 16) bits = 16;
+    const int64_t blen = kLegacyBlockLength[bits];
+    if (offset + 2 + blen >= len) break;
+    refs_out[i] = (uint16_t)(((b0 & 0x0F) << 8) | data[offset + 1]);
+    bits_out[i] = bits;
+    offs_out[i] = offset + 2;
+    offset += 2 + blen;
+  }
+  *end_out = offset;
+  return i;
+}
+
 }  // extern "C"

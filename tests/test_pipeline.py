@@ -351,3 +351,87 @@ def test_v6_payload_ceiling_fallback_end_to_end(rng, monkeypatch):
     payload = np.frombuffer(E.encode_modern(big), dtype=np.uint8)
     with pytest.raises(DecodeError, match="too large"):
         PK.prepare_modern_light(payload, 256, 128)
+
+
+def test_legacy_v6_device_prep_paths(rng, monkeypatch):
+    """Legacy device-prep (v6) fast paths: single-frame, batch, and mesh —
+    host contributes only the serial header scan; kernel metadata is laid
+    out on device (pure reshapes). CPU-driven via the patched platform
+    gate + interpret-mode kernels."""
+    import jax
+    from jax.sharding import Mesh
+
+    monkeypatch.setattr(
+        Decoder, "_accel_available", staticmethod(lambda: True)
+    )
+    imgs = []
+    writer = E.ContainerWriter(example_container_metadata())
+    for t in range(4):
+        img = rng.integers(0, 4096, size=(16, 128), dtype=np.uint16)
+        imgs.append(img)
+        writer.add_frame(
+            t + 1, E.encode_legacy(img), example_frame_metadata(128, 16, 6)
+        )
+    d = Decoder(writer.finish(), backend="jax", kernel="pallas")
+
+    taken = []
+    real = Decoder._load_frame_legacy_v6
+    monkeypatch.setattr(
+        Decoder,
+        "_load_frame_legacy_v6",
+        lambda self, *a, **k: taken.append(1) or real(self, *a, **k),
+    )
+    img0, _ = d.load_frame_device(1)
+    assert taken and np.array_equal(np.asarray(img0), imgs[0])
+
+    out, metas = d.decode_batch([1, 2, 3, 4])
+    assert np.array_equal(np.asarray(out), np.stack(imgs))
+    assert len(metas) == 4
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("f",))
+    out2, _ = d.decode_batch([1, 2, 3, 4], mesh=mesh)
+    assert np.array_equal(np.asarray(out2), np.stack(imgs))
+
+
+def test_legacy_v6_unaligned_width_falls_back(rng, monkeypatch):
+    """padded_width % 128 != 0 refuses the light prep; the plan-based path
+    decodes (exactly) instead."""
+    monkeypatch.setattr(
+        Decoder, "_accel_available", staticmethod(lambda: True)
+    )
+    img = rng.integers(0, 1024, size=(8, 300), dtype=np.uint16)
+    writer = E.ContainerWriter(example_container_metadata())
+    writer.add_frame(1, E.encode_legacy(img), example_frame_metadata(300, 8, 6))
+    d = Decoder(writer.finish(), backend="jax", kernel="pallas")
+    out, _ = d.load_frame_device(1)
+    assert np.array_equal(np.asarray(out), img)
+
+
+def test_legacy_parallel_scan_matches_serial(rng):
+    """Chunk-parallel host scan over the trailing offset table ==
+    the serial walk, and bogus tables fall back cleanly."""
+    from mcraw.kernels import native as N
+    from mcraw.kernels import numpy_ref as R
+
+    img = rng.integers(0, 65536, size=(64, 640), dtype=np.uint16)
+    payload = np.frombuffer(
+        E.encode_legacy(img, chunk_rows=8), dtype=np.uint8
+    )
+    nblk = 64 * (R.legacy_padded_width(640) // 32) * 2
+    chunks = R.legacy_chunk_offsets(payload)
+    assert len(chunks) == 7
+    ser = N.legacy_scan(payload, nblk)
+    par = N.legacy_scan_parallel(payload, nblk, chunks)
+    if par is None:
+        pytest.skip("native extension unavailable")
+    for a, b in zip(ser, par):
+        assert np.array_equal(
+            np.asarray(a, np.int64), np.asarray(b, np.int64)
+        )
+    # table entries not on block boundaries -> refused
+    assert N.legacy_scan_parallel(payload, nblk, [3, 7]) is None
+    # decode through prepare_legacy still exact
+    from mcraw.kernels import unpack as U2
+
+    plan = U2.prepare_legacy(payload, 640, 64)
+    assert np.array_equal(np.asarray(plan.offsets, np.int64), ser[2])
