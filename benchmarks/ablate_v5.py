@@ -32,6 +32,8 @@ VARIANTS = [
     "rawout nopick fields0",  # floor without the slab-store layout
     "nometa nopick fields0",  # floor without the meta transposes
     "nometa",                 # full compute, no meta transposes
+    "skeleton",               # DMA + scalar reads + slab stores ONLY
+    "skeleton rawout",        # same, raw store layout
 ]
 
 
@@ -107,6 +109,8 @@ def main():
         "floor_rawout_ms": results["rawout nopick fields0"],
         "floor_nometa_ms": results["nometa nopick fields0"],
         "meta_transpose_ms": round(full - results["nometa"], 3),
+        "skeleton_ms": results["skeleton"],
+        "skeleton_rawout_ms": results["skeleton rawout"],
     }
     results["attribution"] = attrib
     print(json.dumps(attrib))

@@ -179,20 +179,30 @@ def develop_rgba_pallas(
     cfa: tuple,
     interpret: bool = False,
 ):
-    """(H, W) uint32 RGBA8888 preview, fully fused in one kernel."""
+    """(H, W) uint32 RGBA8888 preview, fully fused in one kernel.
+
+    Any width: non-128-multiples (e.g. the dominant phone full-res
+    4032x3024) are zero-padded on the right to the next lane multiple.
+    The padded columns behave exactly like the XLA path's zero padding —
+    they contribute 0 to their real neighbors' convs, and the true right
+    border's mask normalizer (column width-1) already encodes the missing
+    neighbor. Padded output columns are cropped."""
     BR = BAND_ROWS
     nb = -(-height // BR)
     hp = nb * BR
+    wp = width + (-width) % 128
     # One top halo row + bottom zero rows to hp+16: every band's aligned
     # (BR+16)-row DMA window is in range, and the (BR+2)-row compute halo
     # is zero-padded exactly like the XLA path.
-    raw_u16 = jnp.pad(raw_u16, ((1, hp + 15 - height), (0, 0)))
-    if hp != height:
+    raw_u16 = jnp.pad(
+        raw_u16, ((1, hp + 15 - height), (0, wp - width))
+    )
+    if hp != height or wp != width:
         inv2d = jnp.pad(
             inv2d.reshape(3, height, width),
-            ((0, 0), (0, hp - height), (0, 0)),
+            ((0, 0), (0, hp - height), (0, wp - width)),
             constant_values=1.0,
-        ).reshape(3 * hp, width)
+        ).reshape(3 * hp, wp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
@@ -202,23 +212,23 @@ def develop_rgba_pallas(
             pl.BlockSpec(memory_space=pl.ANY),  # inv
         ],
         out_specs=pl.BlockSpec(
-            (BR, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (BR, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BR + 16, width), jnp.uint16),
-            pltpu.VMEM((2, 3, BR, width), jnp.float32),
+            pltpu.VMEM((2, BR + 16, wp), jnp.uint16),
+            pltpu.VMEM((2, 3, BR, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _develop_kernel, H=hp, W=width, cfa=tuple(cfa)
+            _develop_kernel, H=hp, W=wp, cfa=tuple(cfa)
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * BR, width), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((nb * BR, wp), jnp.uint32),
         interpret=interpret,
     )(params, raw_u16, inv2d)
-    return out[:height]
+    return out[:height, :width]
 
 
 def pack_develop_params(

@@ -300,12 +300,8 @@ def _legacy_kernel_v5(
     )  # (rows, 256)
 
     def pick(oh):
-        # HIGH (bf16_3x) is exact for one-hot x 16-bit halves — see the
-        # modern v5 kernel's pick for the derivation; halves MXU passes.
         p = jnp.dot(
-            oh, planes,
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
+            oh, planes, precision=hi, preferred_element_type=jnp.float32
         ).astype(jnp.int32)
         return p[:, 0:128] | (p[:, 128:256] << 16)
 
@@ -464,12 +460,8 @@ def _legacy_kernel_v6(
     )
 
     def pick(oh):
-        # HIGH (bf16_3x) is exact for one-hot x 16-bit halves — see the
-        # modern v5 kernel's pick for the derivation; halves MXU passes.
         p = jnp.dot(
-            oh, planes,
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
+            oh, planes, precision=hi, preferred_element_type=jnp.float32
         ).astype(jnp.int32)
         return p[:, 0:128] | (p[:, 128:256] << 16)
 

@@ -459,6 +459,28 @@ def _unpack_kernel_v5(
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
 
+    if "skeleton" in ablate:
+        # (timing ablation: wrong results) True structural floor: the DMA
+        # pipeline + per-subgroup scalar reads + output stores with ALL
+        # vector compute removed — separates loop/DMA/store overhead from
+        # the subgroup math that the other flags peel off one at a time.
+        for j in range(SUBGROUPS_V5):
+            sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
+            v = jnp.full((sgp, 128), 1, jnp.int32) * (
+                scratch_ref[slot, 0, 0] ^ sub_row0
+            )
+            if "rawout" in ablate:
+                out_ref[pl.ds(j * sgp, sgp)] = v.astype(jnp.uint16)
+            else:
+                rows_per_sub = tr_sub * 4
+                for r in range(rows_per_sub):
+                    t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
+                    band = (t_local * 2 + qr) * txp
+                    out_ref[j * rows_per_sub + r] = v[
+                        band : band + txp, h * 64 : (h + 1) * 64
+                    ].astype(jnp.uint16)
+        return
+
     for j in range(SUBGROUPS_V5):
         sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
         local = scratch_ref[slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :]
@@ -520,22 +542,14 @@ def _unpack_kernel_v5(
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows), 1)
 
-        # Pick precision: HIGH (bf16_3x) is EXACT here and halves the MXU
-        # passes vs HIGHEST (bf16_6x). Argument: the one-hot operand is a
-        # single exact bf16 term (0.0/1.0 — its mid/lo split terms are 0),
-        # and any 16-bit integer-valued f32 splits exactly into hi+mid bf16
-        # terms (the remainder after the 8-bit-mantissa hi round is an
-        # integer < 2^8, itself exact in bf16). The 3 computed products
-        # a_hi*b_hi + a_hi*b_mid + a_mid*b_hi therefore reproduce a*b
-        # exactly, and f32 accumulation of values < 2^24 is exact. This
-        # does NOT hold for >16-bit values (a third b term appears whose
-        # a_hi*b_lo product the 3-pass form drops) — the desc matmul
-        # (19-bit descriptors) and the v6 prefix sums stay HIGHEST.
+        # Pick precision note: a 3-pass bf16 decomposition (HIGH) would be
+        # exact for one-hot x 16-bit-half operands (the one-hot is a
+        # single bf16 term, any 16-bit value splits into hi+mid terms),
+        # but Mosaic only lowers DEFAULT and HIGHEST dot precisions —
+        # Precision.HIGH raises NotImplementedError in the TPU lowering.
         def pick(oh):
             p = jnp.dot(
-                oh, planes,
-                precision=jax.lax.Precision.HIGH,
-                preferred_element_type=jnp.float32,
+                oh, planes, precision=hi, preferred_element_type=jnp.float32
             ).astype(jnp.int32)
             return p[:, 0:128] | (p[:, 128:256] << 16)
 
@@ -799,9 +813,7 @@ def _unpack_kernel_v7(
     def pick(oh):
         # HIGH is exact for one-hot x 16-bit halves (see the v5 kernel).
         p = jnp.dot(
-            oh, planes,
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
+            oh, planes, precision=hi, preferred_element_type=jnp.float32
         ).astype(jnp.int32)
         return p[:, 0:128] | (p[:, 128:256] << 16)
 

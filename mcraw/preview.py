@@ -248,7 +248,7 @@ def develop_rgba(
     (kernels/pallas_develop.py) — one pass over row bands instead of the
     XLA pipeline's HBM-crossing fusions (~3.7 -> ~1 ms at 4K). Matches
     `develop` to <= 1 LSB (conv fp add order differs). Requires
-    width % 128 == 0; callers fall back to `develop` otherwise."""
+    any width (lane-padded internally); only height <= 2 falls back."""
     from .kernels import pallas_develop as PD
 
     params = jnp.asarray(
@@ -269,8 +269,10 @@ def develop_rgba(
 
 
 def _fused_eligible(height: int, width: int) -> bool:
-    """The Pallas develop kernel assumes 128-lane-aligned widths."""
-    return width % 128 == 0 and height > 2
+    """The fused kernel handles any width (it lane-pads internally); only
+    degenerate heights (no interior rows for the halo bands) fall back to
+    the XLA pipeline."""
+    return height > 2
 
 
 def _frame_rgba(img, fm, cm, cfa, interpret: bool) -> jax.Array:

@@ -186,3 +186,46 @@ def test_preview_clip_playback():
         a = np.asarray(rgba)
         assert a.shape == (16, 128) and a.dtype == np.uint32
         assert np.all((a >> 24) == 0xFF)
+
+
+@pytest.mark.parametrize("shape", [(24, 4032), (24, 200), (16, 132)])
+def test_fused_rgba_unaligned_widths(shape):
+    """Fused develop at non-128-multiple widths (4032 = the dominant
+    phone full-res width) == XLA develop to <= 1 LSB: the kernel
+    lane-pads internally; padded columns contribute zero exactly like
+    the XLA zero-pad convention."""
+    import jax.numpy as jnp
+    from mcraw import preview as P
+
+    h, w = shape
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 1024, size=(h, w), dtype=np.uint16)
+    black = np.array([16, 20, 24, 28], np.float32)
+    white = np.float32(1023.0)
+    neutral = np.array([0.55, 1.0, 0.71], np.float32)
+    fwd = np.array(
+        [0.6, 0.2, 0.16, 0.25, 0.7, 0.05, 0.02, 0.18, 0.62], np.float32
+    ).reshape(3, 3)
+    cfa = (0, 1, 1, 2)
+
+    rgb = np.asarray(
+        P.develop(
+            jnp.asarray(raw), jnp.asarray(black), jnp.asarray(white),
+            jnp.asarray(neutral), jnp.asarray(fwd),
+            P._inv_dens_device(h, w, cfa),
+            height=h, width=w, cfa=cfa,
+        )
+    )
+    rgba = np.asarray(
+        P.develop_rgba(
+            jnp.asarray(raw), black, white, neutral, fwd,
+            height=h, width=w, cfa=cfa, interpret=True,
+        )
+    )
+    assert rgba.shape == (h, w)
+    got = np.stack(
+        [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF], axis=-1
+    ).astype(np.int64)
+    assert np.all((rgba >> 24) == 0xFF)
+    assert np.max(np.abs(got - rgb.astype(np.int64))) <= 1
+    assert P._fused_eligible(h, w)
