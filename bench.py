@@ -154,7 +154,27 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         best = min(best, (time.perf_counter() - t0) / ITERS)
         want = sum(expected[i % FRAMES] for i in range(ITERS)) % (1 << 32)
         assert total == want, "burst checksum mismatch"
-    return 1.0 / best
+
+    # Single-frame latency, net of the host<->device round trip: one
+    # synced decode minus a null sync (the tunnel RTT here is ~29 ms; on
+    # a co-located host the subtracted term is ~10 us, so the net number
+    # is the honest single-frame figure either way).
+    null = jax.device_put(jnp.uint32(1))
+    rtt = min(
+        _timed(lambda: int(null + jnp.uint32(0))) for _ in range(12)
+    )
+    lat = min(
+        _timed(lambda: int(jax.block_until_ready(run(0))))
+        for _ in range(12)
+    )
+    latency_ms = max(0.0, (lat - rtt)) * 1e3
+    return 1.0 / best, latency_ms
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def bench_reference_cpu(payloads):
@@ -199,14 +219,14 @@ def main():
 
 def _run(imgs, payloads):
     try:
-        fps = bench_tpu(imgs, payloads)
+        fps, latency_ms = bench_tpu(imgs, payloads)
         use_pallas = None
     except Exception as e:
         # Pallas path unavailable (e.g. Mosaic lowering change): fall back to
         # the pure-XLA decode so the bench always reports — but say so.
         print(f"warning: pallas path failed ({e!r}); falling back to XLA",
               file=sys.stderr)
-        fps = bench_tpu(imgs, payloads, use_pallas=False)
+        fps, latency_ms = bench_tpu(imgs, payloads, use_pallas=False)
         use_pallas = False
 
     # Full metric family (BASELINE.md line 22: "4K Bayer frames/sec/chip;
@@ -220,7 +240,7 @@ def _run(imgs, payloads):
     # content-dependent span-window optimization.
     try:
         imgs_w, payloads_w = make_frames(worst_case=True)
-        fps_worst = bench_tpu(imgs_w, payloads_w, use_pallas=use_pallas)
+        fps_worst, _ = bench_tpu(imgs_w, payloads_w, use_pallas=use_pallas)
     except Exception as e:
         print(f"warning: worst-case leg failed ({e!r})", file=sys.stderr)
         fps_worst = None
@@ -238,6 +258,7 @@ def _run(imgs, payloads):
                 "worst_case_fps": (
                     round(fps_worst, 1) if fps_worst else None
                 ),
+                "latency_ms_single_frame": round(latency_ms, 3),
             }
         )
     )

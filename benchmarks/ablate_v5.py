@@ -56,8 +56,9 @@ def main():
     rows, sub_rows = PK.prepare_modern_light(payloads[0], W, H)[5]
     args = [tuple(map(jax.device_put, c[:3])) for c in chunked]
 
+    variants = sys.argv[1:] or VARIANTS
     results = {}
-    for ab in VARIANTS:
+    for ab in variants:
         @functools.partial(
             jax.jit,
             static_argnames=(
@@ -98,6 +99,11 @@ def main():
         results[tag] = round(best * 1e3, 4)
         print(f"{tag}: {best*1e3:.3f} ms", flush=True)
 
+    if sys.argv[1:]:
+        print(json.dumps(results))
+        with open("/root/repo/benchmarks/ablate_v5_extra.json", "w") as f:
+            json.dump(results, f, indent=1)
+        return
     full = results["full"]
     attrib = {
         "field_pass3_ms": round(full - results["fields2"], 3),

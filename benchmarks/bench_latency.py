@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Single-frame latency attribution (VERDICT r1 task 4).
+
+Measures, on a real 4K clip:
+  rtt_ms                null-sync host<->device round trip (the tunnel
+                        costs ~29 ms here; a co-located host ~0.01 ms)
+  dispatch_ms_regular   Python+jit issue cost of load_frame_device
+                        (prep + trace-cache lookup + enqueue, no sync)
+  dispatch_ms_persistent same via the AOT FrameDecoder
+  latency_ms_regular    synced single-frame decode minus rtt
+  latency_ms_persistent same via FrameDecoder
+
+Writes benchmarks/latency_results.json.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+H, W = 3072, 4096
+
+
+def best_of(f, n=12):
+    b = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        f()
+        b = min(b, time.perf_counter() - t0)
+    return b
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    import tempfile, os
+    from bench import make_frames
+    from mcraw import encode as E
+    from mcraw.metadata import example_container_metadata, example_frame_metadata
+    from mcraw.pipeline import Decoder
+
+    imgs, payloads = make_frames()
+    writer = E.ContainerWriter(example_container_metadata())
+    for i in range(4):
+        writer.add_frame(
+            1000 + i, payloads[i].tobytes(), example_frame_metadata(W, H, 7)
+        )
+    tmp = tempfile.mkdtemp(prefix="mcraw_lat_")
+    clip = os.path.join(tmp, "clip.mcraw")
+    with open(clip, "wb") as f:
+        f.write(writer.finish())
+
+    d = Decoder(clip, backend="jax")
+    fd = d.make_frame_decoder()
+    ts = d.frames
+    expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
+
+    # warm/compile both paths + verify
+    for i in range(4):
+        img, _ = d.load_frame_device(ts[i])
+        assert int(np.asarray(img).astype(np.int64).sum() & 0xFFFFFFFF) == expected[i]
+        img, _ = fd(ts[i])
+        assert int(np.asarray(img).astype(np.int64).sum() & 0xFFFFFFFF) == expected[i]
+
+    results = {}
+    null = jax.device_put(jnp.uint32(1))
+    results["rtt_ms"] = round(
+        best_of(lambda: int(null + jnp.uint32(0))) * 1e3, 3
+    )
+
+    # dispatch-only: issue N decodes without syncing, then one sync.
+    def burst(f, n=20):
+        outs = [f(ts[i % 4])[0] for i in range(n)]
+        t0 = time.perf_counter()
+        outs2 = [f(ts[i % 4])[0] for i in range(n)]
+        dt = (time.perf_counter() - t0) / n
+        jax.block_until_ready(outs + outs2)
+        return dt
+
+    results["dispatch_ms_regular"] = round(
+        burst(d.load_frame_device) * 1e3, 3
+    )
+    results["dispatch_ms_persistent"] = round(burst(fd) * 1e3, 3)
+
+    def synced(f):
+        img, _ = f(ts[0])
+        jax.block_until_ready(img)
+
+    raw_reg = best_of(lambda: synced(d.load_frame_device))
+    raw_per = best_of(lambda: synced(fd))
+    results["latency_ms_regular_raw"] = round(raw_reg * 1e3, 3)
+    results["latency_ms_persistent_raw"] = round(raw_per * 1e3, 3)
+    results["latency_ms_regular"] = round(
+        max(0.0, raw_reg - results["rtt_ms"] / 1e3) * 1e3, 3
+    )
+    results["latency_ms_persistent"] = round(
+        max(0.0, raw_per - results["rtt_ms"] / 1e3) * 1e3, 3
+    )
+
+    with open("/root/repo/benchmarks/latency_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

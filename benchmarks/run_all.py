@@ -170,67 +170,103 @@ def main():
         results["configs"][f"modern_{name}"] = cfg
         print(json.dumps({f"modern_{name}": cfg}), flush=True)
 
-    # Legacy codec (XLA path + native scan)
-    h, w = 1080, 1920
-    img = make_frame(h, w, maxv=1023)
-    payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
-    want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
-    plan = U.prepare_legacy(payload, w, h)
-    cfg = {
-        "shape": [h, w],
-        "native_scan": native.have_native(),
-        "host_prep_ms": round(
-            timeit_host(lambda: U.prepare_legacy(payload, w, h)) * 1e3, 2
-        ),
-    }
-    a = tuple(map(jax.device_put, (plan.payload, plan.offsets, plan.cls, plan.refs)))
-
-    @jax.jit
-    def leg_sum(payload, offsets, cls, refs):
-        im = U.decode_legacy_device.__wrapped__(
-            payload, offsets, cls, refs,
-            padded_width=plan.padded_width, width=w, height=h,
+    # Legacy codec: XLA path, fused v5 kernel, v6 device-prep, native scan.
+    for lname, (h, w) in {
+        "legacy_1080p": (1080, 1920),
+        "legacy_4k": (3072, 4096),
+    }.items():
+        img = make_frame(h, w, maxv=1023)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
+        plan = U.prepare_legacy(payload, w, h)
+        cfg = {
+            "shape": [h, w],
+            "payload_mb": round(len(payload) / 1e6, 2),
+            "native_scan": native.have_native(),
+            "chunk_table_entries": len(
+                __import__(
+                    "mcraw.kernels.numpy_ref", fromlist=["x"]
+                ).legacy_chunk_offsets(payload)
+            ),
+            "host_prep_ms": round(
+                timeit_host(lambda: U.prepare_legacy(payload, w, h)) * 1e3, 2
+            ),
+        }
+        a = tuple(
+            map(jax.device_put,
+                (plan.payload, plan.offsets, plan.cls, plan.refs))
         )
-        return im.astype(jnp.uint32).sum()
 
-    run = lambda: leg_sum(*a)
-    dt = timeit_dev(run, want)
-    cfg["xla_ms"] = round(dt * 1e3, 3)
-    cfg["xla_fps"] = round(1 / dt, 1)
-
-    if on_tpu:
-        from mcraw.kernels import pallas_legacy as PL
-
-        payload2d, base_rows, meta, num_chunks, segs, lrows = (
-            PL.prepare_chunked_legacy_v5(plan)
-        )
-        pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
-
-        @functools.partial(
-            jax.jit, static_argnames=("nc", "segs", "lrows")
-        )
-        def leg_pk(payload2d, base_rows, meta, *, nc, segs, lrows):
-            out = PL._unpack_legacy_pallas_v5.__wrapped__(
-                payload2d, base_rows, meta, num_chunks=nc, rows=lrows
+        @functools.partial(jax.jit, static_argnames=("pw",))
+        def leg_sum(payload, offsets, cls, refs, *, pw):
+            im = U.decode_legacy_device.__wrapped__(
+                payload, offsets, cls, refs,
+                padded_width=pw, width=w, height=h,
             )
-            im = out[: h * segs].reshape(h, segs * 128)[:, :w]
             return im.astype(jnp.uint32).sum()
 
-        runp = lambda: leg_pk(*pa, nc=num_chunks, segs=segs, lrows=lrows)
-        dt = timeit_dev(runp, want, n=50)
-        cfg["pallas_ms"] = round(dt * 1e3, 3)
-        cfg["pallas_fps"] = round(1 / dt, 1)
-        cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
-    try:
-        from tools import ref_shim
+        run = lambda: leg_sum(*a, pw=plan.padded_width)
+        dt = timeit_dev(run, want, n=30)
+        cfg["xla_ms"] = round(dt * 1e3, 3)
+        cfg["xla_fps"] = round(1 / dt, 1)
 
-        if ref_shim.get_lib():
-            dt = timeit_host(lambda: ref_shim.ref_decode_legacy(payload, w, h), n=3)
-            cfg["ref_cpu_ms"] = round(dt * 1e3, 1)
-    except Exception:
-        pass
-    results["configs"]["legacy_1080p"] = cfg
-    print(json.dumps({"legacy_1080p": cfg}), flush=True)
+        if on_tpu:
+            from mcraw.kernels import pallas_legacy as PL
+
+            payload2d, base_rows, meta, num_chunks, segs, lrows = (
+                PL.prepare_chunked_legacy_v5(plan)
+            )
+            pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
+
+            @functools.partial(
+                jax.jit, static_argnames=("nc", "segs", "lrows")
+            )
+            def leg_pk(payload2d, base_rows, meta, *, nc, segs, lrows):
+                out = PL._unpack_legacy_pallas_v5.__wrapped__(
+                    payload2d, base_rows, meta, num_chunks=nc, rows=lrows
+                )
+                im = out[: h * segs].reshape(h, segs * 128)[:, :w]
+                return im.astype(jnp.uint32).sum()
+
+            runp = lambda: leg_pk(*pa, nc=num_chunks, segs=segs, lrows=lrows)
+            dt = timeit_dev(runp, want, n=50)
+            cfg["pallas_ms"] = round(dt * 1e3, 3)
+            cfg["pallas_fps"] = round(1 / dt, 1)
+            cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
+
+            # v6 device-prep path (host = scan only; meta laid out on chip)
+            light = PL.prepare_legacy_light(payload, w, h)
+            if light is not None:
+                p32l, offsl, bitsl, refsl, pwl, rowsl = light
+                va = tuple(
+                    jax.device_put(np.asarray(x, np.int32))
+                    for x in (p32l, offsl, bitsl, refsl)
+                )
+
+                @functools.partial(jax.jit, static_argnames=("pw", "lrows"))
+                def leg_v6(p32, offs, bits, refs, *, pw, lrows):
+                    im = PL.decode_legacy_device_v6.__wrapped__(
+                        p32, offs, bits, refs,
+                        pw=pw, h=h, width=w, rows=lrows,
+                    )
+                    return im.astype(jnp.uint32).sum()
+
+                runv6 = lambda: leg_v6(*va, pw=pwl, lrows=rowsl)
+                dt = timeit_dev(runv6, want, n=50)
+                cfg["v6_ms"] = round(dt * 1e3, 3)
+                cfg["v6_fps"] = round(1 / dt, 1)
+        try:
+            from tools import ref_shim
+
+            if ref_shim.get_lib():
+                dt = timeit_host(
+                    lambda: ref_shim.ref_decode_legacy(payload, w, h), n=3
+                )
+                cfg["ref_cpu_ms"] = round(dt * 1e3, 1)
+        except Exception:
+            pass
+        results["configs"][lname] = cfg
+        print(json.dumps({lname: cfg}), flush=True)
 
     # Fused decode -> develop preview (BASELINE config 5), 4K on-device.
     if on_tpu:
@@ -277,6 +313,35 @@ def main():
         }
         print(json.dumps({"preview_4k": results["configs"]["preview_4k"]}),
               flush=True)
+
+        # Fused develop at the dominant real phone geometry (4032x3024 —
+        # width NOT a lane multiple; the kernel pads internally).
+        h, w = 3024, 4032
+        img = make_frame(h, w)
+        raw = jax.device_put(img)
+        inv2d = preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+
+        @jax.jit
+        def dev_sum(raw, params, inv2d):
+            rgba = PD.develop_rgba_pallas.__wrapped__(
+                raw, params, inv2d, height=h, width=w, cfa=cfa
+            )
+            return rgba.astype(jnp.uint32).sum()
+
+        rund = lambda: dev_sum(raw, params, inv2d)
+        want_dev = int(jax.block_until_ready(rund()))  # self-consistency
+        dt = timeit_dev(rund, want_dev, n=60)
+        results["configs"]["develop_4032x3024"] = {
+            "shape": [h, w],
+            "develop_ms": round(dt * 1e3, 3),
+            "fps": round(1 / dt, 1),
+        }
+        print(
+            json.dumps(
+                {"develop_4032x3024": results["configs"]["develop_4032x3024"]}
+            ),
+            flush=True,
+        )
 
     out = Path(__file__).with_name("results.json")
     out.write_text(json.dumps(results, indent=2))

@@ -439,13 +439,14 @@ def _unpack_kernel_v5(
             sems.at[dst_slot],
         )
 
-    @pl.when(i == 0)
-    def _():
-        span_dma(0, 0).start()
+    if "nodma" not in ablate:
+        @pl.when(i == 0)
+        def _():
+            span_dma(0, 0).start()
 
-    @pl.when(i + 1 < n)
-    def _():
-        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+        @pl.when(i + 1 < n)
+        def _():
+            span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
     bp = meta_ref.shape[2]
     sgp = bp // SUBGROUPS_V5
@@ -455,7 +456,8 @@ def _unpack_kernel_v5(
     rows_per_sub = tr_sub * 4
     hi = jax.lax.Precision.HIGHEST
 
-    span_dma(i, slot).wait()
+    if "nodma" not in ablate:
+        span_dma(i, slot).wait()
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
 
@@ -464,12 +466,16 @@ def _unpack_kernel_v5(
         # pipeline + per-subgroup scalar reads + output stores with ALL
         # vector compute removed — separates loop/DMA/store overhead from
         # the subgroup math that the other flags peel off one at a time.
+        # Sub-flags: "nodma" removes the scratch dependency (measures the
+        # store side alone), "tinyout" stores only one row per subgroup
+        # (measures the DMA-in side alone).
         for j in range(SUBGROUPS_V5):
             sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
-            v = jnp.full((sgp, 128), 1, jnp.int32) * (
-                scratch_ref[slot, 0, 0] ^ sub_row0
-            )
-            if "rawout" in ablate:
+            src = 1 if "nodma" in ablate else scratch_ref[slot, 0, 0]
+            v = jnp.full((sgp, 128), 1, jnp.int32) * (src ^ sub_row0)
+            if "tinyout" in ablate:
+                out_ref[pl.ds(j, 1)] = v[0:1].astype(jnp.uint16)
+            elif "rawout" in ablate:
                 out_ref[pl.ds(j * sgp, sgp)] = v.astype(jnp.uint16)
             else:
                 rows_per_sub = tr_sub * 4

@@ -285,6 +285,61 @@ def _v6_mesh_fn(mesh, *, ty, tx, height, width, rows, sub_rows, interpret):
     )
 
 
+def decode_frame_sharded_legacy(
+    plan, mesh: Mesh, interpret: bool = False
+):
+    """Legacy twin of decode_frame_sharded: split ONE legacy frame across
+    the mesh (SURVEY.md §5 long-context analogue, closing the legacy half
+    of that surface).
+
+    The legacy v5 kernel's chunks are consecutive kernel rows = disjoint
+    image-row segments, so sharding the chunk axis shards the output rows:
+    device d runs the fused kernel over its nc/n chunks against the
+    replicated payload (its span DMAs touch only its own chunks' byte
+    ranges — the chunk-parallel affordance the trailing offset table
+    exists for, RawData_Legacy.cpp:452-469). No collectives; a consumer
+    reading the full image gathers over ICI. Returns the row-sharded
+    (H, W) array.
+    """
+    from .kernels import pallas_legacy as PL
+
+    payload2d, base_rows, meta, nc, segs, rows = (
+        PL.prepare_chunked_legacy_v5(plan)
+    )
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if nc % n != 0:
+        raise ValueError(f"{nc} chunks not divisible by {n} devices")
+    b = meta.shape[2]
+    h, w = plan.height, plan.width
+
+    def body(pay, base_l, meta_l):
+        return PL._unpack_legacy_pallas_v5.__wrapped__(
+            pay, base_l, meta_l,
+            num_chunks=nc // n, rows=rows, interpret=interpret,
+        )
+
+    sharded = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(payload2d, replicated),
+        jax.device_put(base_rows.reshape(n, nc // n), sharded),
+        jax.device_put(meta, sharded),
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            lambda pay, bl, m: body(pay, bl.reshape(-1), m),
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+    )
+    out = fn(*args)  # (nc*b, 128) row-sharded kernel rows
+    img = out[: h * segs].reshape(h, segs * 128)
+    return img[:, :w]
+
+
 def decode_frames_legacy_v6_mesh(
     p32s,
     offs,

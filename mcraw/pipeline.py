@@ -20,6 +20,7 @@ TPU surface:
 from __future__ import annotations
 
 import contextlib
+import functools
 from typing import Iterator
 
 import numpy as np
@@ -553,15 +554,29 @@ class Decoder:
         ((H, W) row-sharded device array, frame JSON)."""
         import jax
 
-        from .parallel import decode_frame_sharded
+        from .parallel import decode_frame_sharded, decode_frame_sharded_legacy
 
         plan, meta, modern = self._plan(timestamp)
-        if not modern:
-            raise IOException(
-                "intra-frame sharding is modern-codec only"
-            )
         interpret = jax.devices()[0].platform == "cpu"
-        return decode_frame_sharded(plan, mesh, interpret=interpret), meta
+        if modern:
+            return decode_frame_sharded(plan, mesh, interpret=interpret), meta
+        return decode_frame_sharded_legacy(plan, mesh, interpret=interpret), meta
+
+    def make_frame_decoder(self) -> "FrameDecoder":
+        """Persistent single-frame decode loop (the latency path).
+
+        The regular :meth:`load_frame_device` pays ~0.3 ms of Python/jit
+        dispatch per call (trace-cache lookup, argument canonicalization,
+        program construction). This returns a :class:`FrameDecoder` that
+        AOT-compiles ONE executable per (payload-bucket, span-bucket)
+        geometry key — the typical clip hits a single key — and calls it
+        directly with the payload buffer donated, so XLA reuses the input
+        HBM region across calls instead of churning the allocator. The
+        reference's unit of work is one loadFrame
+        (/root/reference/lib/Decoder.cpp:184-235); this is its
+        latency-honest TPU equivalent.
+        """
+        return FrameDecoder(self)
 
     def decode_batch_iter(
         self,
@@ -611,3 +626,65 @@ class Decoder:
             if chunk is None:
                 return
             yield chunk
+
+
+class FrameDecoder:
+    """AOT-compiled persistent single-frame decode loop (modern codec).
+
+    See :meth:`Decoder.make_frame_decoder`. Call with a timestamp; returns
+    (device image, frame metadata dict). One compiled executable per
+    (payload-bucket, span-bucket) key, cached for the object's lifetime.
+    """
+
+    def __init__(self, decoder: Decoder):
+        self._d = decoder
+        self._compiled: dict = {}
+
+    @property
+    def num_programs(self) -> int:
+        return len(self._compiled)
+
+    def __call__(self, timestamp: int):
+        import jax
+        import jax.numpy as jnp
+
+        from .kernels import pallas_unpack as PK
+
+        d = self._d
+        payload, window, meta = d._reader.frame_payload_window(timestamp)
+        fm = FrameMetadata(meta)
+        if fm.compression_type != COMPRESSION_TYPE:
+            raise IOException(
+                "FrameDecoder supports the modern codec; use "
+                "load_frame_device for legacy frames"
+            )
+        p32, bits, refs, ty, tx, (rows, sub_rows) = PK.prepare_modern_light(
+            payload, fm.width, fm.height, window=window
+        )
+        key = (
+            len(p32), bits.shape, ty, tx,
+            fm.height, fm.width, rows, sub_rows,
+        )
+        exe = self._compiled.get(key)
+        if exe is None:
+            fn = jax.jit(
+                functools.partial(
+                    PK.decode_modern_device_v6.__wrapped__,
+                    ty=ty, tx=tx, height=fm.height, width=fm.width,
+                    rows=rows, sub_rows=sub_rows,
+                    interpret=jax.devices()[0].platform == "cpu",
+                ),
+                # Donate the (dominant) payload buffer: XLA reuses its HBM
+                # region instead of churning the allocator every call.
+                donate_argnums=(0,),
+            )
+            exe = fn.lower(
+                jax.ShapeDtypeStruct(p32.shape, jnp.int32),
+                jax.ShapeDtypeStruct(bits.shape, bits.dtype),
+                jax.ShapeDtypeStruct(refs.shape, refs.dtype),
+            ).compile()
+            self._compiled[key] = exe
+        img = exe(
+            jax.device_put(p32), jax.device_put(bits), jax.device_put(refs)
+        )
+        return img, meta

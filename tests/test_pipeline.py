@@ -435,3 +435,54 @@ def test_legacy_parallel_scan_matches_serial(rng):
 
     plan = U2.prepare_legacy(payload, 640, 64)
     assert np.array_equal(np.asarray(plan.offsets, np.int64), ser[2])
+
+
+def test_frame_decoder_persistent_program(rng):
+    """FrameDecoder (the latency path): AOT-compiled persistent program,
+    one executable reused across same-geometry frames, exact output."""
+    blob, frames = make_clip(rng, num_frames=3)
+    d = Decoder(blob, backend="jax", kernel="pallas")
+    fd = d.make_frame_decoder()
+    for ts, img in zip(d.frames, frames):
+        out, meta = fd(ts)
+        assert np.array_equal(np.asarray(out), img)
+        assert meta["width"] == 128
+    assert fd.num_programs == 1  # one geometry -> one compiled program
+
+    # legacy frames are routed away with a clear error
+    blob6, _ = make_clip(rng, num_frames=1, codec=6)
+    d6 = Decoder(blob6, backend="jax", kernel="pallas")
+    fd6 = d6.make_frame_decoder()
+    with pytest.raises(IOException, match="modern codec"):
+        fd6(d6.frames[0])
+
+
+def test_single_legacy_frame_sharded_across_devices(rng, monkeypatch):
+    """Legacy twin of the long-context analogue: ONE legacy frame's chunk
+    axis split across mesh devices, output row-sharded (interpret on
+    CPU). Chunk size is shrunk so a test-sized frame spans 4 chunks."""
+    from jax.sharding import Mesh
+    from mcraw.parallel import decode_frame_sharded_legacy
+    from mcraw.kernels import unpack as U, pallas_legacy as PL
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setattr(PL, "ROWS_PER_CHUNK_LEG", 16)
+    h, w = 64, 256  # segs=2 -> 128 kernel rows = 8 chunks of 16
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+    plan = U.prepare_legacy(payload, w, h)
+    assert PL.prepare_chunked_legacy_v5(plan)[3] == 8
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    out = decode_frame_sharded_legacy(plan, mesh, interpret=True)
+    assert np.array_equal(np.asarray(out), img)
+
+    # Decoder-level surface routes legacy frames too now.
+    from mcraw.metadata import example_container_metadata, example_frame_metadata
+
+    writer = E.ContainerWriter(example_container_metadata())
+    writer.add_frame(1, E.encode_legacy(img), example_frame_metadata(w, h, 6))
+    d = Decoder(writer.finish(), backend="jax")
+    out2, meta = d.load_frame_sharded(1, mesh)
+    assert meta["compressionType"] == 6
+    assert np.array_equal(np.asarray(out2), img)
