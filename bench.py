@@ -62,6 +62,8 @@ def bench_tpu(imgs, payloads, use_pallas=None):
     import jax
     import jax.numpy as jnp
 
+    from mcraw.kernels.checksum import device_checksum
+
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -98,7 +100,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
                 rows=rows, sub_rows=sub_rows,
             )
             im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
-            return im.astype(jnp.uint32).sum()
+            return device_checksum(im)
 
         run = lambda i: step(
             *args[i % FRAMES],
@@ -120,7 +122,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
                 payload, offsets, cls, refs,
                 tiles_y=ty, tiles_x=tx, width=W, height=H,
             )
-            return im.astype(jnp.uint32).sum()
+            return device_checksum(im)
 
         run = lambda i: step(*args[i % FRAMES], ty=ty, tx=tx)
 

@@ -41,6 +41,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcraw.kernels.checksum import device_checksum
+
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
@@ -71,9 +73,9 @@ def main():
                 rows=rows, sub_rows=sub_rows, ablate=ablate,
             )
             if "rawout" in ablate:
-                return img3.astype(jnp.uint32).sum()
+                return device_checksum(img3)
             im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
-            return im.astype(jnp.uint32).sum()
+            return device_checksum(im)
 
         run = lambda i: step(
             *args[i % FRAMES], nc=nc, txp=txp, tr_sub=tr_sub,

@@ -110,6 +110,8 @@ def bench_modern(results, imgs, clip):
     import jax
     import jax.numpy as jnp
 
+    from mcraw.kernels.checksum import device_checksum
+
     from mcraw.kernels import pallas_unpack as PK
     from mcraw.pipeline import Decoder
 
@@ -125,7 +127,7 @@ def bench_modern(results, imgs, clip):
             p32, bits, refs, ty=ty, tx=tx, height=H, width=W,
             rows=rows, sub_rows=sub_rows,
         )
-        return im.astype(jnp.uint32).sum()
+        return device_checksum(im)
 
     def prep_host(ts):
         payload, window, meta = d._reader.frame_payload_window(ts)
@@ -209,6 +211,7 @@ def bench_legacy(results, imgs, clip):
     import jax.numpy as jnp
 
     from mcraw.kernels import pallas_legacy as PL
+    from mcraw.kernels.checksum import device_checksum
     from mcraw.pipeline import Decoder
 
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
@@ -220,7 +223,7 @@ def bench_legacy(results, imgs, clip):
         im = PL.decode_legacy_device_v6.__wrapped__(
             p32, offs, bits, refs, pw=pw, h=H, width=W, rows=rows,
         )
-        return im.astype(jnp.uint32).sum()
+        return device_checksum(im)
 
     def prep_host(ts):
         payload, window, meta = d._reader.frame_payload_window(ts)

@@ -19,6 +19,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcraw.kernels.checksum import device_checksum
+
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
@@ -51,7 +53,7 @@ def main():
                 rows=rows, sub_rows=sub_rows,
             )
             im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
-            return im.astype(jnp.uint32).sum()
+            return device_checksum(im)
 
         return lambda i: step(
             *args[i % len(args)],

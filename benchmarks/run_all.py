@@ -49,6 +49,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mcraw.kernels.checksum import device_checksum
+
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -117,7 +119,7 @@ def main():
                 payload, offsets, cls, refs, tiles_y=ty, tiles_x=tx,
                 width=w, height=h,
             )
-            return im.astype(jnp.uint32).sum()
+            return device_checksum(im)
 
         run = lambda: xla_sum(*a, ty=plan.tiles_y, tx=plan.tiles_x)
         dt = timeit_dev(run, want)
@@ -145,7 +147,7 @@ def main():
                     rows=rows, sub_rows=sub_rows,
                 )
                 im = img3.reshape(img3.shape[0], txp * 64)[:h, :w]
-                return im.astype(jnp.uint32).sum()
+                return device_checksum(im)
 
             runp = lambda: pk_sum(
                 *pa, nc=num_chunks, txp=txp, tr_sub=tr_sub,
@@ -203,7 +205,7 @@ def main():
                 payload, offsets, cls, refs,
                 padded_width=pw, width=w, height=h,
             )
-            return im.astype(jnp.uint32).sum()
+            return device_checksum(im)
 
         run = lambda: leg_sum(*a, pw=plan.padded_width)
         dt = timeit_dev(run, want, n=30)
@@ -226,7 +228,7 @@ def main():
                     payload2d, base_rows, meta, num_chunks=nc, rows=lrows
                 )
                 im = out[: h * segs].reshape(h, segs * 128)[:, :w]
-                return im.astype(jnp.uint32).sum()
+                return device_checksum(im)
 
             runp = lambda: leg_pk(*pa, nc=num_chunks, segs=segs, lrows=lrows)
             dt = timeit_dev(runp, want, n=50)
@@ -249,7 +251,7 @@ def main():
                         p32, offs, bits, refs,
                         pw=pw, h=h, width=w, rows=lrows,
                     )
-                    return im.astype(jnp.uint32).sum()
+                    return device_checksum(im)
 
                 runv6 = lambda: leg_v6(*va, pw=pwl, lrows=rowsl)
                 dt = timeit_dev(runv6, want, n=50)
@@ -301,7 +303,7 @@ def main():
             rgba = PD.develop_rgba_pallas.__wrapped__(
                 im, params, inv2d, height=h, width=w, cfa=cfa
             )
-            return rgba.astype(jnp.uint32).sum()
+            return device_checksum(rgba)
 
         runv = lambda: prev_sum(*pa, params, inv2d, ty=ty, tx=tx)
         want_prev = int(jax.block_until_ready(runv()))  # self-consistency
@@ -326,7 +328,7 @@ def main():
             rgba = PD.develop_rgba_pallas.__wrapped__(
                 raw, params, inv2d, height=h, width=w, cfa=cfa
             )
-            return rgba.astype(jnp.uint32).sum()
+            return device_checksum(rgba)
 
         rund = lambda: dev_sum(raw, params, inv2d)
         want_dev = int(jax.block_until_ready(rund()))  # self-consistency

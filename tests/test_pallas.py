@@ -375,3 +375,26 @@ def test_pallas_legacy_v6_device_prep(rng, shape):
         pw=pw, h=h, width=w, rows=rows, interpret=True,
     )
     assert np.array_equal(np.asarray(out), img)
+
+
+def test_device_checksum_exact(rng):
+    """The benchmark checksum kernel == int64 sum mod 2^32 (both the
+    Pallas fold in interpret mode and the XLA fallback paths)."""
+    import jax.numpy as jnp
+    from mcraw.kernels.checksum import device_checksum, _checksum_2d
+
+    for shape, dt in [
+        ((96, 128), np.uint16),
+        ((120, 256), np.uint16),
+        ((64, 256), np.uint32),
+        ((7, 128), np.uint16),   # falls back (height has no 8-divisor)
+        ((16, 100), np.uint16),  # falls back (width not lane-aligned)
+    ]:
+        x = rng.integers(0, np.iinfo(dt).max, size=shape, dtype=dt)
+        want = int(x.astype(np.int64).sum() & 0xFFFFFFFF)
+        got = int(device_checksum(jnp.asarray(x)))
+        assert got == want, (shape, dt)
+    # wrap-around: values that overflow uint32 partial sums
+    x = np.full((256, 256), 0xFFFF, dtype=np.uint16)
+    want = int(x.astype(np.int64).sum() & 0xFFFFFFFF)
+    assert int(_checksum_2d(jnp.asarray(x), interpret=True)) == want
