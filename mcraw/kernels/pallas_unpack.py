@@ -473,6 +473,13 @@ def _unpack_kernel_v5(
             sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
             src = 1 if "nodma" in ablate else scratch_ref[slot, 0, 0]
             v = jnp.full((sgp, 128), 1, jnp.int32) * (src ^ sub_row0)
+            if "smallout" in ablate:
+                # out block is (8, 128) per chunk: same loop + DMA-in,
+                # ~400x less VMEM->HBM out-copy traffic. The loop is
+                # statically unrolled, so plain Python j == 0 works.
+                if j == 0:
+                    out_ref[...] = v[0:8].astype(jnp.uint16)
+                continue
             if "tinyout" in ablate:
                 out_ref[pl.ds(j, 1)] = v[0:1].astype(jnp.uint16)
             elif "rawout" in ablate:
@@ -578,9 +585,16 @@ def _unpack_kernel_v5(
         rel_base = rel_lane - (q << 7)
 
         nfields = 3
-        if "fields" in ablate:
+        if "mergedout" in ablate:  # (timing ablation: wrong results) keep
+            # planes/oh/picks/merge live, drop desc + field passes — the
+            # complement of fields0 for splitting the compute complex.
+            nfields = 0
+        elif "fields" in ablate:
             nfields = int(ablate[ablate.index("fields") + 6])
-        vals = jnp.zeros((sgp, 128), jnp.int32) if nfields == 0 else None
+        if "mergedout" in ablate:
+            vals = merged
+        else:
+            vals = jnp.zeros((sgp, 128), jnp.int32) if nfields == 0 else None
         for f in range(nfields):
             d = desc[:, f * 128 : (f + 1) * 128]
             widx = rel_base + (d & 31)
@@ -653,7 +667,12 @@ def _unpack_image_pallas_v5(
         # base is the last real block) — so the window is span + sub_rows.
         rows = min(rows_worst, rows + sub_rows)
     rows_chunk = SUBGROUPS_V5 * tr_sub * 4
-    if "rawout" in ablate:  # timing ablation: raw (pair-row, 128) layout
+    if "smallout" in ablate:  # timing ablation: (8, 128) out per chunk
+        out_spec = pl.BlockSpec(
+            (8, 128), lambda i, base: (i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((num_chunks * 8, 128), jnp.uint16)
+    elif "rawout" in ablate:  # timing ablation: raw (pair-row, 128) layout
         out_spec = pl.BlockSpec(
             (SUBGROUPS_V5 * sgp, 128),
             lambda i, base: (i, 0),
