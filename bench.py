@@ -24,8 +24,15 @@ import numpy as np
 
 
 H, W = 3072, 4096
-FRAMES = 4
+FRAMES = 8  # 8 DISTINCT frames so the inline xN program can't be CSE'd
 ITERS = 90
+# Frames decoded inside ONE jit program (submission amortized). 32 is the
+# measured knee (benchmarks/probe_xn.json: x8 1.237 ms/frame, x32 1.167):
+# per-program overhead (args setup + result) stops mattering at 32. The 32
+# calls cycle over the 8 distinct staged frames but bind 96 DISTINCT jit
+# parameters, so XLA cannot CSE the pure pallas calls (trap #5).
+INLINE = 32
+ITERS_XN = 3  # xN bursts: 3 * 32 = 96 frames per burst
 
 
 def make_frames(h=None, w=None, worst_case=False):
@@ -81,7 +88,24 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         # v5: fused de-interleave — the kernel writes image rows directly.
         chunked = [PK.prepare_chunked_v5(pl) for pl in plans]
         num_chunks, txp, tr_sub = chunked[0][3:]
-        args = [tuple(map(jax.device_put, ch[:3])) for ch in chunked]
+        # Pad every frame's payload2d to a common row count: payload length
+        # is content-dependent, and identical shapes mean ONE compiled
+        # kernel serves all frames (and the x8 program below). Extra rows
+        # are never read — the kernel DMAs only [base_row, base_row+rows)
+        # windows, which lie within the original extent.
+        maxr = max(ch[0].shape[0] for ch in chunked)
+        padded = [
+            np.vstack(
+                [ch[0], np.zeros((maxr - ch[0].shape[0], 128), np.int32)]
+            )
+            if ch[0].shape[0] < maxr
+            else ch[0]
+            for ch in chunked
+        ]
+        args = [
+            tuple(map(jax.device_put, (p2d,) + ch[1:3]))
+            for p2d, ch in zip(padded, chunked)
+        ]
         # Content-aware span windows (plane/pick work scales with them).
         spans = [PK.prepare_modern_light(p, W, H)[5] for p in payloads]
         rows = max(s[0] for s in spans)
@@ -107,7 +131,44 @@ def bench_tpu(imgs, payloads, use_pallas=None):
             num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
             rows=rows, sub_rows=sub_rows,
         )
+
+        # Inline xN: decode INLINE distinct frames inside ONE jit program.
+        # Per-dispatch submission through this environment's network tunnel
+        # costs ~0.4-0.7 ms (CLAUDE.md timing trap #5) and under load can
+        # exceed the kernel's device time, capping the per-dispatch burst
+        # below device truth. Amortizing 8 submissions into one keeps the
+        # measured number tracking the device. The 8 frames are distinct
+        # payloads (different shapes/content), so XLA cannot CSE the pure
+        # pallas calls into one. Both methods are checksum-gated; the
+        # headline is the better of the two.
+        @functools.partial(
+            jax.jit,
+            static_argnames=("num_chunks", "txp", "tr_sub", "rows", "sub_rows"),
+        )
+        def step_x8(
+            flat, *, num_chunks, txp, tr_sub, rows, sub_rows
+        ):
+            acc = None
+            for k in range(INLINE):
+                payload2d, base_rows, meta = flat[3 * k : 3 * k + 3]
+                img3 = PK._unpack_image_pallas_v5.__wrapped__(
+                    payload2d, base_rows, meta,
+                    num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+                    rows=rows, sub_rows=sub_rows,
+                )
+                im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
+                o = device_checksum(im)
+                acc = o if acc is None else acc + o
+            return acc
+
+        flat_args = tuple(a for k in range(INLINE) for a in args[k % FRAMES])
+        run_x8 = lambda: step_x8(
+            flat_args,
+            num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+            rows=rows, sub_rows=sub_rows,
+        )
     else:
+        run_x8 = None
         args = [
             tuple(
                 map(jax.device_put, (p.payload, p.offsets, p.cls, p.refs))
@@ -157,18 +218,32 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         want = sum(expected[i % FRAMES] for i in range(ITERS)) % (1 << 32)
         assert total == want, "burst checksum mismatch"
 
-    # Single-frame latency, net of the host<->device round trip: one
-    # synced decode minus a null sync (the tunnel RTT here is ~29 ms; on
-    # a co-located host the subtracted term is ~10 us, so the net number
-    # is the honest single-frame figure either way).
+    if run_x8 is not None:
+        want_x8 = sum(expected[k % FRAMES] for k in range(INLINE)) % (1 << 32)
+        got = int(jax.block_until_ready(run_x8())) % (1 << 32)
+        assert got == want_x8, "xN inline checksum mismatch"
+        for _ in range(8):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(ITERS_XN):
+                o = run_x8()
+                acc = o if acc is None else acc + o
+            total = int(acc) % (1 << 32)
+            dt = (time.perf_counter() - t0) / (ITERS_XN * INLINE)
+            best = min(best, dt)
+            assert total == (want_x8 * ITERS_XN) % (1 << 32), \
+                "xN burst checksum mismatch"
+
+    # Single-frame latency, net of the host<->device round trip. The null
+    # baseline must mirror the measured path's structure exactly — one
+    # jitted-program dispatch + one scalar D2H force — or the subtraction
+    # under-corrects (the tunnel costs ~29 ms per round trip here; a
+    # mismatched baseline once left ~25 ms of RTT in the "net" number).
     null = jax.device_put(jnp.uint32(1))
-    rtt = min(
-        _timed(lambda: int(null + jnp.uint32(0))) for _ in range(12)
-    )
-    lat = min(
-        _timed(lambda: int(jax.block_until_ready(run(0))))
-        for _ in range(12)
-    )
+    null_step = jax.jit(lambda x: x + jnp.uint32(1))
+    int(null_step(null))  # warm the trivial program
+    rtt = min(_timed(lambda: int(null_step(null))) for _ in range(12))
+    lat = min(_timed(lambda: int(run(0))) for _ in range(12))
     latency_ms = max(0.0, (lat - rtt)) * 1e3
     return 1.0 / best, latency_ms
 

@@ -625,11 +625,183 @@ def _unpack_kernel_v5(
                 ].astype(jnp.uint16)
 
 
+def _unpack_kernel_v5b(
+    base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS_V5,) int32
+    meta_ref,  # (1, 8, BP) int32 pair metadata (kernel-row order)
+    tables_ref,  # (2*ncls, 384) int32 v5 descriptors
+    payload_ref,  # HBM (P32/128, 128) int32
+    out_ref,  # (rows_chunk, txp, 64) uint16 — image rows
+    scratch_ref,  # VMEM (2, rows, 128) int32
+    sems,
+    rows: int = None,
+    sub_rows: int = None,
+    txp: int = None,
+    tr_sub: int = None,
+    batch_sg: int = 8,
+):
+    """v5 restructured into two phases per group of `batch_sg` subgroups.
+
+    The v5 body unrolls 24 complete per-subgroup pipelines; the clean
+    inline-xN decomposition (benchmarks/probe_outcopy*.json) shows most of
+    its time is instruction issue/scheduling of that 24x-duplicated code,
+    not bandwidth. Here only the work that genuinely differs per subgroup
+    (the scratch window slice, plane build, and pick matmuls — small-K dots
+    that would waste MXU tiles if batched) stays per-subgroup; the merged
+    pair rows are then concatenated and the descriptor matmul, the three
+    funnel field passes, and the cls/refs epilogue run ONCE per group on
+    (batch_sg*sgp, 128) arrays — ~batch_sg x wider ops, same math, same
+    tables, identical outputs. `batch_sg` bounds the phase-2 live set
+    (each (bp,128) int32 intermediate is 64 KB per subgroup batched).
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+
+    def span_dma(chunk, dst_slot):
+        return pltpu.make_async_copy(
+            payload_ref.at[pl.ds(base_ref[chunk * SUBGROUPS_V5], rows), :],
+            scratch_ref.at[dst_slot],
+            sems.at[dst_slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        span_dma(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    bp = meta_ref.shape[2]
+    sgp = bp // SUBGROUPS_V5
+    chunk_row0 = base_ref[i * SUBGROUPS_V5]
+    meta = meta_ref[0]
+    ncls = len(T.MODERN_CLASSES)
+    rows_per_sub = tr_sub * 4
+    hi = jax.lax.Precision.HIGHEST
+
+    span_dma(i, slot).wait()
+
+    c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    assert SUBGROUPS_V5 % batch_sg == 0
+    for g0 in range(0, SUBGROUPS_V5, batch_sg):
+        gp = batch_sg * sgp  # pair rows in this group
+        gsl = slice(g0 * sgp, g0 * sgp + gp)
+
+        # --- phase 0: group-wide meta columns (6 transposes per GROUP
+        # instead of 6 per subgroup) -----------------------------------
+        offs_e = jnp.transpose(meta[0:1, gsl], (1, 0))  # (gp, 1)
+        offs_o = jnp.transpose(meta[1:2, gsl], (1, 0))
+        cls_e = jnp.transpose(meta[2:3, gsl], (1, 0))
+        cls_o = jnp.transpose(meta[3:4, gsl], (1, 0))
+        refs_e = jnp.transpose(meta[4:5, gsl], (1, 0))
+        refs_o = jnp.transpose(meta[5:6, gsl], (1, 0))
+        base_vec = jnp.concatenate(
+            [
+                jnp.full(
+                    (sgp, 1),
+                    base_ref[i * SUBGROUPS_V5 + g0 + j] * 128,
+                    jnp.int32,
+                )
+                for j in range(batch_sg)
+            ],
+            axis=0,
+        )  # (gp, 1) per-subgroup payload base, in words
+        rel_e = offs_e - base_vec
+        rel_o = offs_o - base_vec
+        q = rel_e >> 7
+        t0 = rel_e & 127
+
+        ids2 = jax.lax.broadcasted_iota(jnp.int32, (gp, ncls), 1)
+        oh2 = jnp.concatenate(
+            [
+                (ids2 == cls_e).astype(jnp.float32),
+                (ids2 == cls_o).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # (gp, 2*ncls)
+
+        # --- phase 1: per-subgroup picks -> merged pair rows ----------
+        merged_parts = []
+        for j in range(batch_sg):
+            sub_row0 = base_ref[i * SUBGROUPS_V5 + g0 + j]
+            local = scratch_ref[
+                slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :
+            ]
+            planes = jnp.concatenate(
+                [
+                    (local & 0xFFFF).astype(jnp.float32),
+                    jax.lax.shift_right_logical(local, 16).astype(
+                        jnp.float32
+                    ),
+                ],
+                axis=1,
+            )  # (sub_rows, 256)
+            qj = q[j * sgp : (j + 1) * sgp]  # (sgp, 1)
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (sgp, sub_rows), 1
+            )
+
+            def pick(oh):
+                p = jnp.dot(
+                    oh,
+                    planes,
+                    precision=hi,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+                return p[:, 0:128] | (p[:, 128:256] << 16)
+
+            row0 = pick((row_ids == qj).astype(jnp.float32))
+            row1 = pick((row_ids == qj + 1).astype(jnp.float32))
+            t0j = t0[j * sgp : (j + 1) * sgp]
+            merged_parts.append(jnp.where(lane_ids >= t0j, row0, row1))
+        merged = (
+            jnp.concatenate(merged_parts, axis=0)
+            if batch_sg > 1
+            else merged_parts[0]
+        )  # (gp, 128)
+
+        # --- phase 2: group-wide desc matmul + funnel fields + epilogue
+        rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (gp, 128)
+        rel_base = rel_lane - (q << 7)
+        vals = None
+        for f in range(3):
+            d = jnp.dot(
+                oh2,
+                tables_ref[:, f * 128 : (f + 1) * 128].astype(jnp.float32),
+                precision=hi,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # (gp, 128)
+            widx = rel_base + (d & 31)
+            word = jnp.take_along_axis(merged, widx & 127, axis=1)
+            fv = jax.lax.shift_right_logical(
+                word << ((d >> 5) & 31), (d >> 10) & 31
+            )
+            if f > 0:  # slot 0 always has lsh == 0
+                fv = fv << ((d >> 15) & 15)
+            vals = fv if vals is None else vals | fv
+
+        cls_lane = jnp.where(c_lane == 1, cls_o, cls_e)
+        vals = jnp.where(cls_lane == 0, 0, vals)
+        refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
+        vals = (vals + refs_lane) & 0xFFFF  # (gp, 128) finished pixels
+
+        for j in range(batch_sg):
+            for r in range(rows_per_sub):
+                t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
+                band = j * sgp + (t_local * 2 + qr) * txp
+                out_ref[(g0 + j) * rows_per_sub + r] = vals[
+                    band : band + txp, h * 64 : (h + 1) * 64
+                ].astype(jnp.uint16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "ablate",
-        "interpret"
+        "interpret", "variant", "batch_sg",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -644,6 +816,8 @@ def _unpack_image_pallas_v5(
     sub_rows: int | None = None,  # content-aware subgroup span (None = worst)
     ablate: str = "",
     interpret: bool = False,
+    variant: str = "v5",  # "v5" | "v5b" (two-phase batched subgroups)
+    batch_sg: int = 8,  # v5b only: subgroups per phase-2 batch
 ):
     """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
     bp = meta.shape[2]
@@ -707,15 +881,27 @@ def _unpack_image_pallas_v5(
         ],
     )
     tables = jnp.asarray(_MODERN_TABLES_V5)
-    return pl.pallas_call(
-        functools.partial(
+    if variant == "v5b":
+        assert not ablate, "ablate flags are v5-only"
+        kern = functools.partial(
+            _unpack_kernel_v5b,
+            rows=rows,
+            sub_rows=sub_rows,
+            txp=txp,
+            tr_sub=tr_sub,
+            batch_sg=batch_sg,
+        )
+    else:
+        kern = functools.partial(
             _unpack_kernel_v5,
             rows=rows,
             sub_rows=sub_rows,
             txp=txp,
             tr_sub=tr_sub,
             ablate=ablate,
-        ),
+        )
+    return pl.pallas_call(
+        kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -1115,7 +1301,8 @@ def prepare_chunked_v5(plan: U.ModernPlan):
 
 
 def decode_modern_pallas_v5(
-    payload: np.ndarray, width: int, height: int, interpret: bool = False
+    payload: np.ndarray, width: int, height: int, interpret: bool = False,
+    variant: str = "v5", batch_sg: int = 8,
 ):
     """Full modern decode, fused de-interleave (no XLA epilogue)."""
     plan = U.prepare_modern(payload, width, height)
@@ -1130,6 +1317,8 @@ def decode_modern_pallas_v5(
         txp=txp,
         tr_sub=tr_sub,
         interpret=interpret,
+        variant=variant,
+        batch_sg=batch_sg,
     )
     img = img3.reshape(img3.shape[0], txp * 64)
     return img[: plan.height, : plan.width]
