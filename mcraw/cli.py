@@ -242,7 +242,16 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=_cmd_encode)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except BrokenPipeError:
+        # stdout consumer (e.g. `| head`) closed early — standard CLI
+        # convention: exit quietly without a traceback.
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
 
 
 if __name__ == "__main__":
