@@ -83,27 +83,37 @@ def _bench_device(run, expected, iters=90, reps=3):
     return best
 
 
-def _stream_overlapped(frames, prep_host, to_device, step, expected):
+def _stream_overlapped(frames, prep_host, to_device, step, expected, reps=3):
     """Measured end-to-end: threaded host prep feeds async device_puts
-    OVERLAP_DEPTH frames ahead of the decode consuming them."""
-    acc = None
-    inflight = deque()
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        t0 = time.perf_counter()
-        for light in pool.map(prep_host, frames):
-            inflight.append(to_device(light))  # async: queues the uploads
-            if len(inflight) > OVERLAP_DEPTH:
+    OVERLAP_DEPTH frames ahead of the decode consuming them.
+
+    Best-of-reps: this leg is tunnel-H2D-bound, and the shared tunnel's
+    bandwidth drifts 2x+ WITHIN a process (benchmarks/probe_stream.json:
+    identical seq_async legs measured 2.34 then 1.66 fps minutes apart,
+    with puts-only at 4.42 — every interleaving pattern lands within
+    drift of the upload bound). A single-shot measurement here once read
+    0.84 fps and looked like an overlap regression; it was the tunnel."""
+    best = float("inf")
+    for _ in range(reps):
+        acc = None
+        inflight = deque()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            t0 = time.perf_counter()
+            for light in pool.map(prep_host, frames):
+                inflight.append(to_device(light))  # async: queues uploads
+                if len(inflight) > OVERLAP_DEPTH:
+                    o = step(inflight.popleft())
+                    acc = o if acc is None else acc + o
+            while inflight:
                 o = step(inflight.popleft())
                 acc = o if acc is None else acc + o
-        while inflight:
-            o = step(inflight.popleft())
-            acc = o if acc is None else acc + o
-        total = int(acc)
-        dt = time.perf_counter() - t0
-    assert total == sum(
-        expected[i % len(expected)] for i in range(len(frames))
-    ) % (1 << 32)
-    return len(frames) / dt
+            total = int(acc)
+            dt = time.perf_counter() - t0
+        assert total == sum(
+            expected[i % len(expected)] for i in range(len(frames))
+        ) % (1 << 32)
+        best = min(best, dt)
+    return len(frames) / best
 
 
 def bench_modern(results, imgs, clip):
@@ -115,7 +125,13 @@ def bench_modern(results, imgs, clip):
     from mcraw.kernels import pallas_unpack as PK
     from mcraw.pipeline import Decoder
 
-    expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
+    # Clip content cycles imgs[i % UNIQUE]; keep len(expected) == UNIQUE so
+    # the i % len(expected) sums below match (bench.make_frames may return
+    # more distinct frames than the clip uses — it went 4 -> 8 for the
+    # inline-x32 leg and silently broke this invariant once).
+    expected = [
+        int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs[:UNIQUE]
+    ]
     d = Decoder(clip, backend="jax")
     frames = d.frames
 
@@ -214,7 +230,10 @@ def bench_legacy(results, imgs, clip):
     from mcraw.kernels.checksum import device_checksum
     from mcraw.pipeline import Decoder
 
-    expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
+    # len(expected) == UNIQUE: see the matching note in bench_modern.
+    expected = [
+        int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs[:UNIQUE]
+    ]
     d = Decoder(clip, backend="jax")
     frames = d.frames
 
@@ -307,6 +326,12 @@ def main():
                 results = json.load(f)
             except Exception:
                 results = {}
+    # Keep only the per-codec sections (+ the run parameters): earlier
+    # format revisions wrote modern's legs at the root, and the merge-on-load
+    # above would preserve those stale keys forever.
+    results = {
+        k: v for k, v in results.items() if k in ("modern", "legacy_4k")
+    }
     results["frames"] = FRAMES
     results["shape"] = [H, W]
 
