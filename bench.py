@@ -110,18 +110,24 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         spans = [PK.prepare_modern_light(p, W, H)[5] for p in payloads]
         rows = max(s[0] for s in spans)
         sub_rows = max(s[1] for s in spans)
+        # Static field-pass count: max over the frames' present classes
+        # (typical content needs 2 of the 3 funnel passes, 16-bit 1).
+        nf = max(s[2] for s in spans)
 
         @functools.partial(
             jax.jit,
-            static_argnames=("num_chunks", "txp", "tr_sub", "rows", "sub_rows"),
+            static_argnames=(
+                "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nf"
+            ),
         )
         def step(
-            payload2d, base_rows, meta, *, num_chunks, txp, tr_sub, rows, sub_rows
+            payload2d, base_rows, meta, *, num_chunks, txp, tr_sub, rows,
+            sub_rows, nf
         ):
             img3 = PK._unpack_image_pallas_v5.__wrapped__(
                 payload2d, base_rows, meta,
                 num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
-                rows=rows, sub_rows=sub_rows,
+                rows=rows, sub_rows=sub_rows, nfields=nf,
             )
             im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
             return device_checksum(im)
@@ -129,7 +135,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         run = lambda i: step(
             *args[i % FRAMES],
             num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
-            rows=rows, sub_rows=sub_rows,
+            rows=rows, sub_rows=sub_rows, nf=nf,
         )
 
         # Inline xN: decode INLINE distinct frames inside ONE jit program.
@@ -143,10 +149,12 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         # headline is the better of the two.
         @functools.partial(
             jax.jit,
-            static_argnames=("num_chunks", "txp", "tr_sub", "rows", "sub_rows"),
+            static_argnames=(
+                "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nf"
+            ),
         )
         def step_x8(
-            flat, *, num_chunks, txp, tr_sub, rows, sub_rows
+            flat, *, num_chunks, txp, tr_sub, rows, sub_rows, nf
         ):
             acc = None
             for k in range(INLINE):
@@ -154,7 +162,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
                     payload2d, base_rows, meta,
                     num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
-                    rows=rows, sub_rows=sub_rows,
+                    rows=rows, sub_rows=sub_rows, nfields=nf,
                 )
                 im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
                 o = device_checksum(im)
@@ -165,7 +173,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         run_x8 = lambda: step_x8(
             flat_args,
             num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
-            rows=rows, sub_rows=sub_rows,
+            rows=rows, sub_rows=sub_rows, nf=nf,
         )
     else:
         run_x8 = None

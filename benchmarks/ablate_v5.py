@@ -55,7 +55,7 @@ def main():
     plans = [U.prepare_modern(p, W, H) for p in payloads]
     chunked = [PK.prepare_chunked_v5(pl) for pl in plans]
     nc, txp, tr_sub = chunked[0][3:]
-    rows, sub_rows = PK.prepare_modern_light(payloads[0], W, H)[5]
+    rows, sub_rows = PK.prepare_modern_light(payloads[0], W, H)[5][:2]
     args = [tuple(map(jax.device_put, c[:3])) for c in chunked]
 
     variants = sys.argv[1:] or VARIANTS

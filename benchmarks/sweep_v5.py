@@ -74,13 +74,25 @@ def main():
             nc, txp, tr_sub = ch[0][3:]
             assert tr_sub == tr, (tr_sub, tr)
             args = [tuple(map(jax.device_put, c[:3])) for c in ch]
+            # Content-aware spans + static field count (the production
+            # config): the per-(sub, tr) geometry cache is keyed on the
+            # monkeypatched tunables, so these recompute per config.
+            lights = [PK.prepare_modern_light(p, W, H) for p in payloads]
+            rows = max(l[5][0] for l in lights)
+            sub_rows = max(l[5][1] for l in lights)
+            nf = max(l[5][2] for l in lights)
 
             @functools.partial(
-                jax.jit, static_argnames=("nc", "txp", "tr_sub", "tag")
+                jax.jit,
+                static_argnames=(
+                    "nc", "txp", "tr_sub", "rows", "sub_rows", "nf", "tag"
+                ),
             )
-            def step(p2d, br, meta, *, nc, txp, tr_sub, tag):
+            def step(p2d, br, meta, *, nc, txp, tr_sub, rows, sub_rows,
+                     nf, tag):
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
-                    p2d, br, meta, num_chunks=nc, txp=txp, tr_sub=tr_sub
+                    p2d, br, meta, num_chunks=nc, txp=txp, tr_sub=tr_sub,
+                    rows=rows, sub_rows=sub_rows, nfields=nf,
                 )
                 im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
                 return im.astype(jnp.uint32).sum()
@@ -88,7 +100,8 @@ def main():
             tag = f"sub{sub}_tr{tr}"
             time_run(
                 lambda i: step(
-                    *args[i % FRAMES], nc=nc, txp=txp, tr_sub=tr_sub, tag=tag
+                    *args[i % FRAMES], nc=nc, txp=txp, tr_sub=tr_sub,
+                    rows=rows, sub_rows=sub_rows, nf=nf, tag=tag
                 ),
                 tag,
             )

@@ -413,6 +413,33 @@ def _packed_field_tables_v5() -> np.ndarray:
 
 _MODERN_TABLES_V5 = _packed_field_tables_v5()
 
+# Word-level field passes needed per MODERN_CLASSES index: only classes 5
+# and 6 need all 3 funnel passes; classes 3 and 10 need 2; the rest 1
+# (class 0 has none — its lanes are zeroed regardless). The kernel's field
+# loop is static on the max over classes PRESENT in a frame, so typical
+# content (blocks at 8-16 bits -> classes 8/10/16) runs 2 passes and
+# incompressible 16-bit content just 1.
+_NF_OF_CLASS = (
+    (np.asarray(T.MODERN_WNB) > 0).sum(axis=2).max(axis=1).astype(np.int32)
+)
+_NF_OF_BITS = _NF_OF_CLASS.take(np.asarray(T.MODERN_CLASS_INDEX))
+
+
+def v5_required_fields(bits: np.ndarray) -> int:
+    """Static field-pass count for a frame from its raw bits stream
+    (values clipped at 16 like the codec dispatch, RawData.cpp:424-458)."""
+    if len(bits) == 0:
+        return 1
+    return max(1, int(_NF_OF_BITS.take(np.asarray(bits), mode="clip").max()))
+
+
+def v5_required_fields_cls(cls: np.ndarray) -> int:
+    """Same as v5_required_fields but from MODERN_CLASSES indices
+    (ModernPlan.cls)."""
+    if len(cls) == 0:
+        return 1
+    return max(1, int(_NF_OF_CLASS.take(np.asarray(cls)).max()))
+
 
 def _unpack_kernel_v5(
     base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS_V5,) int32 subgroup rows
@@ -421,11 +448,13 @@ def _unpack_kernel_v5(
     payload_ref,  # HBM (P32/128, 128) int32
     out_ref,  # (rows_chunk, txp, 64) uint16 — image rows
     scratch_ref,  # VMEM (2, rows, 128) int32
+    planes_ref,  # VMEM (rows + 8, 256) f32 — per-chunk 16-bit half planes
     sems,
     rows: int = None,
     sub_rows: int = None,
     txp: int = None,
     tr_sub: int = None,
+    nfields: int = 3,  # static word-field passes (max over classes PRESENT)
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     i = pl.program_id(0)
@@ -494,24 +523,43 @@ def _unpack_kernel_v5(
                     ].astype(jnp.uint16)
         return
 
+    # Chunk-wide 16-bit half planes, built ONCE per chunk (subgroup scratch
+    # windows overlap ~2x, so per-subgroup plane builds did ~2x redundant
+    # convert work and 24x the instruction issue). The 8 tail rows past the
+    # DMA span are zeroed once so the 8-aligned subgroup slices below never
+    # contract garbage.
+    @pl.when(i == 0)
+    def _():
+        planes_ref[pl.ds(rows, 8), :] = jnp.zeros((8, 256), jnp.float32)
+
+    local_all = scratch_ref[slot]  # (rows, 128)
+    planes_ref[pl.ds(0, rows), 0:128] = (local_all & 0xFFFF).astype(
+        jnp.float32
+    )
+    planes_ref[pl.ds(0, rows), 128:256] = jax.lax.shift_right_logical(
+        local_all, 16
+    ).astype(jnp.float32)
+
     for j in range(SUBGROUPS_V5):
         sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
-        local = scratch_ref[slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :]
         sl = slice(j * sgp, (j + 1) * sgp)
         if "nometa" in ablate:  # (timing ablation: wrong results; measures
-            # the 6 lane->sublane meta transposes)
+            # the per-subgroup lane->sublane meta transpose)
             col = jax.lax.broadcasted_iota(jnp.int32, (sgp, 1), 0)
             offs_e = col + sub_row0 * 128
             offs_o = offs_e
             cls_e = cls_o = col & 7
             refs_e = refs_o = col & 0xFFF
         else:
-            offs_e = jnp.transpose(meta[0:1, sl], (1, 0))
-            offs_o = jnp.transpose(meta[1:2, sl], (1, 0))
-            cls_e = jnp.transpose(meta[2:3, sl], (1, 0))
-            cls_o = jnp.transpose(meta[3:4, sl], (1, 0))
-            refs_e = jnp.transpose(meta[4:5, sl], (1, 0))
-            refs_o = jnp.transpose(meta[5:6, sl], (1, 0))
+            # ONE (8, sgp) -> (sgp, 8) transpose per subgroup instead of six
+            # (1, sgp) -> (sgp, 1) ones; columns then slice out for free.
+            mt = jnp.transpose(meta[:, sl], (1, 0))  # (sgp, 8)
+            offs_e = mt[:, 0:1]
+            offs_o = mt[:, 1:2]
+            cls_e = mt[:, 2:3]
+            cls_o = mt[:, 3:4]
+            refs_e = mt[:, 4:5]
+            refs_o = mt[:, 5:6]
         rel_e = offs_e - sub_row0 * 128
         rel_o = offs_o - sub_row0 * 128
         q = rel_e >> 7
@@ -520,6 +568,14 @@ def _unpack_kernel_v5(
         # pick both parities' table rows in ONE matmul (tables_ref is laid
         # out [even rows; odd rows]); exact (descriptors < 2^19 per the
         # _packed_field_tables_v5 assert, fp32 HIGHEST matmul < 2^24).
+        nf = nfields
+        if "mergedout" in ablate:  # (timing ablation: wrong results) keep
+            # planes/oh/picks/merge live, drop desc + field passes — the
+            # complement of fields0 for splitting the compute complex.
+            nf = 0
+        elif "fields" in ablate:
+            nf = int(ablate[ablate.index("fields") + 6])
+
         ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
         oh2 = jnp.concatenate(
             [
@@ -528,32 +584,34 @@ def _unpack_kernel_v5(
             ],
             axis=1,
         )  # (sgp, 2*ncls)
+        dw = max(nf, 1) * 128  # descriptor columns actually consumed
         if "nodesc" in ablate:  # (timing ablation: wrong results;
             # data-dependent so Mosaic keeps a real vector value)
             desc = (
-                jax.lax.broadcasted_iota(jnp.int32, (sgp, 384), 1) + cls_e
+                jax.lax.broadcasted_iota(jnp.int32, (sgp, dw), 1) + cls_e
             ) & 31
         else:
             desc = jnp.dot(
                 oh2,
-                tables_ref[:, :].astype(jnp.float32),
+                tables_ref[:, :dw].astype(jnp.float32),
                 precision=hi,
                 preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)  # (sgp, 384)
+            ).astype(jnp.int32)  # (sgp, nf*128)
 
-        # Two 16-bit half planes (f32-exact < 2^24 under a one-hot HIGHEST
-        # matmul): half the plane-build, convert, and reassembly cost of
-        # byte planes. Measured faster than 4 bf16 byte planes despite the
-        # 6-pass HIGHEST dot (VPU is the bottleneck, not the MXU).
-        planes = jnp.concatenate(
-            [
-                (local & 0xFFFF).astype(jnp.float32),
-                jax.lax.shift_right_logical(local, 16).astype(jnp.float32),
-            ],
-            axis=1,
-        )  # (sub_rows, 256)
+        # Pick operands are the chunk-wide f32 16-bit half planes (f32-exact
+        # < 2^24 under a one-hot HIGHEST matmul): half the plane-build,
+        # convert, and reassembly cost of byte planes. Measured faster than
+        # 4 bf16 byte planes despite the 6-pass HIGHEST dot (VPU is the
+        # bottleneck, not the MXU). Mosaic requires a provably 8-aligned
+        # sublane start for the f32 load feeding the matmul: round the
+        # subgroup offset down and fold the remainder into the one-hot
+        # row index instead.
+        off = sub_row0 - chunk_row0
+        off8 = pl.multiple_of((off >> 3) << 3, 8)
+        delta = off - off8
+        planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
 
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows), 1)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows + 8), 1)
 
         # Pick precision note: a 3-pass bf16 decomposition (HIGH) would be
         # exact for one-hot x 16-bit-half operands (the one-hot is a
@@ -567,8 +625,8 @@ def _unpack_kernel_v5(
             return p[:, 0:128] | (p[:, 128:256] << 16)
 
         # A pair spans <= 64 words, so rows q, q+1 always cover both windows.
-        row0 = pick((row_ids == q).astype(jnp.float32))
-        row1 = pick((row_ids == q + 1).astype(jnp.float32))
+        row0 = pick((row_ids == q + delta).astype(jnp.float32))
+        row1 = pick((row_ids == q + delta + 1).astype(jnp.float32))
 
         # Merged-row trick: the pair window is [t, t+64) with t = rel_e&127,
         # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
@@ -579,23 +637,16 @@ def _unpack_kernel_v5(
         merged = jnp.where(lane_ids >= t0, row0, row1)
         if "nopick" in ablate:  # (timing ablation: wrong results; the
             # scalar read keeps the span DMA live)
-            merged = (rel_e ^ local[0, 0]) + lane_ids
+            merged = (rel_e ^ scratch_ref[slot, 0, 0]) + lane_ids
 
         rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (sgp, 128)
         rel_base = rel_lane - (q << 7)
 
-        nfields = 3
-        if "mergedout" in ablate:  # (timing ablation: wrong results) keep
-            # planes/oh/picks/merge live, drop desc + field passes — the
-            # complement of fields0 for splitting the compute complex.
-            nfields = 0
-        elif "fields" in ablate:
-            nfields = int(ablate[ablate.index("fields") + 6])
         if "mergedout" in ablate:
             vals = merged
         else:
-            vals = jnp.zeros((sgp, 128), jnp.int32) if nfields == 0 else None
-        for f in range(nfields):
+            vals = jnp.zeros((sgp, 128), jnp.int32) if nf == 0 else None
+        for f in range(nf):
             d = desc[:, f * 128 : (f + 1) * 128]
             widx = rel_base + (d & 31)
             word = jnp.take_along_axis(merged, widx & 127, axis=1)
@@ -800,8 +851,8 @@ def _unpack_kernel_v5b(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "ablate",
-        "interpret", "variant", "batch_sg",
+        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
+        "ablate", "interpret", "variant", "batch_sg",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -814,6 +865,8 @@ def _unpack_image_pallas_v5(
     tr_sub: int,
     rows: int | None = None,  # content-aware chunk-DMA span (None = worst)
     sub_rows: int | None = None,  # content-aware subgroup span (None = worst)
+    nfields: int = 3,  # static field-pass count: max word-fields over the
+    # classes PRESENT in the frame (v5_required_fields); 3 is always safe
     ablate: str = "",
     interpret: bool = False,
     variant: str = "v5",  # "v5" | "v5b" (two-phase batched subgroups)
@@ -875,10 +928,19 @@ def _unpack_image_pallas_v5(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((2, rows, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, rows, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if variant == "v5b"
+            else [
+                pltpu.VMEM((2, rows, 128), jnp.int32),
+                # +8 tail rows: zeroed overhang for the 8-aligned slices.
+                pltpu.VMEM((rows + 8, 256), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
     )
     tables = jnp.asarray(_MODERN_TABLES_V5)
     if variant == "v5b":
@@ -898,6 +960,7 @@ def _unpack_image_pallas_v5(
             sub_rows=sub_rows,
             txp=txp,
             tr_sub=tr_sub,
+            nfields=nfields,
             ablate=ablate,
         )
     return pl.pallas_call(
@@ -1316,6 +1379,7 @@ def decode_modern_pallas_v5(
         num_chunks=num_chunks,
         txp=txp,
         tr_sub=tr_sub,
+        nfields=v5_required_fields_cls(plan.cls),
         interpret=interpret,
         variant=variant,
         batch_sg=batch_sg,
@@ -1556,7 +1620,8 @@ def _v6_build_meta(bits: jnp.ndarray, refs: jnp.ndarray, *, ty: int, tx: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ty", "tx", "height", "width", "rows", "sub_rows", "interpret"
+        "ty", "tx", "height", "width", "rows", "sub_rows", "nfields",
+        "interpret",
     ),
 )
 def decode_modern_device_v6(
@@ -1570,6 +1635,7 @@ def decode_modern_device_v6(
     width: int,
     rows: int | None = None,  # bucketed content spans (v5_content_spans)
     sub_rows: int | None = None,
+    nfields: int = 3,  # v5_required_fields of the frame (3 always safe)
     interpret: bool = False,
 ):
     """Full modern decode with on-device prep + the fused v5 kernel."""
@@ -1590,6 +1656,7 @@ def decode_modern_device_v6(
         tr_sub=tr_sub,
         rows=rows,
         sub_rows=sub_rows,
+        nfields=nfields,
         interpret=interpret,
     )
     img = img3.reshape(img3.shape[0], txp * 64)
@@ -1599,7 +1666,8 @@ def decode_modern_device_v6(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ty", "tx", "height", "width", "rows", "sub_rows", "interpret"
+        "ty", "tx", "height", "width", "rows", "sub_rows", "nfields",
+        "interpret",
     ),
 )
 def decode_modern_device_v6_batch(
@@ -1613,6 +1681,7 @@ def decode_modern_device_v6_batch(
     width: int,
     rows: int | None = None,  # max of per-frame v5_content_spans buckets
     sub_rows: int | None = None,
+    nfields: int = 3,  # max v5_required_fields over the batch (3 safe)
     interpret: bool = False,
 ):
     """(F, H, W) modern decode with per-frame DEVICE-side prep + ONE fused
@@ -1640,6 +1709,7 @@ def decode_modern_device_v6_batch(
         tr_sub=tr_sub,
         rows=rows,
         sub_rows=sub_rows,
+        nfields=nfields,
         interpret=interpret,
     )
     rows_frame = img3.shape[0] // f
@@ -1658,8 +1728,9 @@ def prepare_modern_light(
     Runs only the format's serial scans + validation; returns
     (p32, bits, refs, ty, tx, spans) where p32 is the payload as int32
     words, bucketed to PAYLOAD_BUCKET_ROWS (zero-copy from `window` when it
-    covers the bucket) and spans = bucketed (rows, sub_rows) content spans
-    for the kernel's static window sizes.
+    covers the bucket) and spans = (rows, sub_rows, nfields): the bucketed
+    content spans for the kernel's static window sizes plus the static
+    field-pass count (v5_required_fields) for this frame's classes.
     """
     from . import numpy_ref as R
     from .native import decode_metadata_stream, length_segments
@@ -1691,6 +1762,7 @@ def prepare_modern_light(
         lengths = T.MODERN_BLOCK_LENGTH.take(bits, mode="clip")
         total = int(lengths.sum(dtype=np.int64))
         spans = _spans_from_lengths(lengths, ty, tx)
+    spans = spans + (v5_required_fields(bits),)
     if 16 + total > n:
         raise DecodeError("main data truncated")
 

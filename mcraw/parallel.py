@@ -225,6 +225,7 @@ def decode_frames_v6_mesh(
     width: int,
     rows: int | None = None,
     sub_rows: int | None = None,
+    nfields: int = 3,
     mesh: Mesh | None = None,
     interpret: bool = False,
 ):
@@ -247,7 +248,8 @@ def decode_frames_v6_mesh(
         return PK.decode_modern_device_v6_batch(
             p32s, bits, refs,
             ty=ty, tx=tx, height=height, width=width,
-            rows=rows, sub_rows=sub_rows, interpret=interpret,
+            rows=rows, sub_rows=sub_rows, nfields=nfields,
+            interpret=interpret,
         )
     axis = mesh.axis_names[0]
     n = mesh.devices.size
@@ -257,13 +259,15 @@ def decode_frames_v6_mesh(
     args = [jax.device_put(a, sharding) for a in (p32s, bits, refs)]
     fn = _v6_mesh_fn(
         mesh, ty=ty, tx=tx, height=height, width=width,
-        rows=rows, sub_rows=sub_rows, interpret=interpret,
+        rows=rows, sub_rows=sub_rows, nfields=nfields, interpret=interpret,
     )
     return fn(*args)
 
 
 @functools.lru_cache(maxsize=16)
-def _v6_mesh_fn(mesh, *, ty, tx, height, width, rows, sub_rows, interpret):
+def _v6_mesh_fn(
+    mesh, *, ty, tx, height, width, rows, sub_rows, nfields, interpret
+):
     """Memoized jitted shard_map v6 decoder — one trace/lower per
     (mesh, geometry, span-bucket) key instead of per call."""
     from .kernels import pallas_unpack as PK
@@ -271,7 +275,7 @@ def _v6_mesh_fn(mesh, *, ty, tx, height, width, rows, sub_rows, interpret):
     body = functools.partial(
         PK.decode_modern_device_v6_batch.__wrapped__,
         ty=ty, tx=tx, height=height, width=width,
-        rows=rows, sub_rows=sub_rows, interpret=interpret,
+        rows=rows, sub_rows=sub_rows, nfields=nfields, interpret=interpret,
     )
     axis = mesh.axis_names[0]
     return jax.jit(

@@ -226,7 +226,7 @@ class Decoder:
         from .kernels import pallas_unpack as PK
 
         with self._stage("parse"):
-            p32, bits, refs, ty, tx, (rows, sub_rows) = (
+            p32, bits, refs, ty, tx, (rows, sub_rows, nf) = (
                 PK.prepare_modern_light(
                     payload, fm.width, fm.height, window=window
                 )
@@ -242,6 +242,7 @@ class Decoder:
                 width=fm.width,
                 rows=rows,
                 sub_rows=sub_rows,
+                nfields=nf,
                 interpret=jax.devices()[0].platform == "cpu",
             )
         return img, meta
@@ -304,6 +305,7 @@ class Decoder:
                     num_chunks=num_chunks,
                     txp=txp,
                     tr_sub=tr_sub,
+                    nfields=PK.v5_required_fields_cls(plan.cls),
                     interpret=interpret,
                 )
                 img = img3.reshape(img3.shape[0], txp * 64)[
@@ -542,6 +544,7 @@ class Decoder:
                 width=width,
                 rows=max(l[3][0] for l in lights),
                 sub_rows=max(l[3][1] for l in lights),
+                nfields=max(l[3][2] for l in lights),
                 mesh=mesh,
                 interpret=jax.devices()[0].platform == "cpu",
             )
@@ -658,12 +661,14 @@ class FrameDecoder:
                 "FrameDecoder supports the modern codec; use "
                 "load_frame_device for legacy frames"
             )
-        p32, bits, refs, ty, tx, (rows, sub_rows) = PK.prepare_modern_light(
-            payload, fm.width, fm.height, window=window
+        p32, bits, refs, ty, tx, (rows, sub_rows, nf) = (
+            PK.prepare_modern_light(
+                payload, fm.width, fm.height, window=window
+            )
         )
         key = (
             len(p32), bits.shape, ty, tx,
-            fm.height, fm.width, rows, sub_rows,
+            fm.height, fm.width, rows, sub_rows, nf,
         )
         exe = self._compiled.get(key)
         if exe is None:
@@ -671,7 +676,7 @@ class FrameDecoder:
                 functools.partial(
                     PK.decode_modern_device_v6.__wrapped__,
                     ty=ty, tx=tx, height=fm.height, width=fm.width,
-                    rows=rows, sub_rows=sub_rows,
+                    rows=rows, sub_rows=sub_rows, nfields=nf,
                     interpret=jax.devices()[0].platform == "cpu",
                 ),
                 # Donate the (dominant) payload buffer: XLA reuses its HBM

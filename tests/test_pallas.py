@@ -256,7 +256,7 @@ def test_v6_spans_adversarial_mixes(rng):
         img[dense : dense + 4] = rng.integers(0, 1 << 16, size=(4, w))
         img[dense + 4 :][:2] = 0
         payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-        p32, bits, refs, ty, tx, (rows, sub_rows) = PK.prepare_modern_light(
+        p32, bits, refs, ty, tx, (rows, sub_rows, _nf) = PK.prepare_modern_light(
             payload, w, h
         )
         out = np.asarray(
@@ -398,3 +398,60 @@ def test_device_checksum_exact(rng):
     x = np.full((256, 256), 0xFFFF, dtype=np.uint16)
     want = int(x.astype(np.int64).sum() & 0xFFFFFFFF)
     assert int(_checksum_2d(jnp.asarray(x), interpret=True)) == want
+
+
+class TestRequiredFields:
+    """Static field-pass count (v5_required_fields): the kernel's funnel
+    loop runs only max-fields-over-present-classes passes; exactness per
+    content class is what makes the cut safe."""
+
+    def test_counts_per_content(self, rng):
+        # 16-bit blocks (class 16): 1 pass; 9/10-bit (class 10): 2;
+        # 5/6-bit (classes 5/6): 3.
+        assert PK.v5_required_fields(np.array([12, 16], np.uint16)) == 1
+        assert PK.v5_required_fields(np.array([9, 10], np.uint16)) == 2
+        assert PK.v5_required_fields(np.array([5], np.uint16)) == 3
+        assert PK.v5_required_fields(np.array([6], np.uint16)) == 3
+        assert PK.v5_required_fields(np.array([0], np.uint16)) == 1
+        # bits > 16 clip to the 16-bit class (RawData.cpp:424-458)
+        assert PK.v5_required_fields(np.array([40], np.uint16)) == 1
+
+    @pytest.mark.parametrize(
+        "lo,hi,nf_max",
+        [
+            (1 << 14, 1 << 16, 1),  # forces 16-bit blocks everywhere
+            (1 << 8, 1 << 10, 2),  # 9/10-bit blocks
+            (0, 64, 3),  # small classes incl. 5/6
+        ],
+    )
+    def test_decode_exact_with_reduced_passes(self, rng, lo, hi, nf_max):
+        h, w = 16, 256
+        img = rng.integers(lo, hi, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        from mcraw.kernels import unpack as U
+
+        plan = U.prepare_modern(payload, w, h)
+        nf = PK.v5_required_fields_cls(plan.cls)
+        assert nf <= nf_max
+        # decode_modern_pallas_v5 derives the same nf internally
+        out = np.asarray(
+            PK.decode_modern_pallas_v5(payload, w, h, interpret=True)
+        )
+        assert np.array_equal(out, img)
+
+    def test_v6_path_with_nfields(self, rng):
+        h, w = 16, 256
+        img = rng.integers(0, 1 << 10, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        p32, bits, refs, ty, tx, (rows, sub_rows, nf) = (
+            PK.prepare_modern_light(payload, w, h)
+        )
+        assert nf == PK.v5_required_fields(bits)
+        out = np.asarray(
+            PK.decode_modern_device_v6(
+                np.asarray(p32), bits, refs, ty=ty, tx=tx,
+                height=h, width=w, rows=rows, sub_rows=sub_rows,
+                nfields=nf, interpret=True,
+            )
+        )
+        assert np.array_equal(out, img)
