@@ -41,6 +41,7 @@ def main():
     lights = [PK.prepare_modern_light(p, W, H) for p in payloads]
     rows = max(l[5][0] for l in lights)
     sub_rows = max(l[5][1] for l in lights)
+    nf = max(l[5][2] for l in lights)
 
     N = 8
 
@@ -56,7 +57,7 @@ def main():
                 a = flat_args[3 * k : 3 * k + 3]
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
                     *a, num_chunks=nc, txp=txp, tr_sub=tr_sub,
-                    rows=rows, sub_rows=sub_rows, ablate=ablate,
+                    rows=rows, sub_rows=sub_rows, nfields=nf, ablate=ablate,
                 )
                 if not ablate:
                     x = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
