@@ -490,6 +490,17 @@ def _unpack_kernel_v5(
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
 
+    if "empty" in ablate:
+        # (timing ablation: wrong results) Pure grid + block-pipeline cost:
+        # no DMA, no subgroup loop, one tiny store per step so the program
+        # is not elided. Separates launch/step overhead from the loop body.
+        out_ref[0] = jnp.full(
+            (out_ref.shape[1], out_ref.shape[2]), i, jnp.uint16
+        ) if len(out_ref.shape) == 3 else jnp.full(
+            (out_ref.shape[1],), i, jnp.uint16
+        )
+        return
+
     if "skeleton" in ablate:
         # (timing ablation: wrong results) True structural floor: the DMA
         # pipeline + per-subgroup scalar reads + output stores with ALL
@@ -500,8 +511,13 @@ def _unpack_kernel_v5(
         # (measures the DMA-in side alone).
         for j in range(SUBGROUPS_V5):
             sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
-            src = 1 if "nodma" in ablate else scratch_ref[slot, 0, 0]
-            v = jnp.full((sgp, 128), 1, jnp.int32) * (src ^ sub_row0)
+            if "noscalar" in ablate:
+                # No scalar->vector crossing at all: tests whether the
+                # per-subgroup scalar broadcast latency IS the floor.
+                v = jax.lax.broadcasted_iota(jnp.int32, (sgp, 128), 1) + j
+            else:
+                src = 1 if "nodma" in ablate else scratch_ref[slot, 0, 0]
+                v = jnp.full((sgp, 128), 1, jnp.int32) * (src ^ sub_row0)
             if "smallout" in ablate:
                 # out block is (8, 128) per chunk: same loop + DMA-in,
                 # ~400x less VMEM->HBM out-copy traffic. The loop is
@@ -541,28 +557,32 @@ def _unpack_kernel_v5(
     ).astype(jnp.float32)
 
     for j in range(SUBGROUPS_V5):
-        sub_row0 = base_ref[i * SUBGROUPS_V5 + j]
+        # Scalars feed ONLY ref-level slices (scalar unit); all per-pair
+        # values arrive pre-computed in the meta rows (prep knows every
+        # subgroup base, so rel/t0/q are laid out there — no per-subgroup
+        # scalar->vector broadcast, which has crossing latency on TPU).
+        off = base_ref[i * SUBGROUPS_V5 + j] - chunk_row0
+        off8 = pl.multiple_of((off >> 3) << 3, 8)
         sl = slice(j * sgp, (j + 1) * sgp)
         if "nometa" in ablate:  # (timing ablation: wrong results; measures
             # the per-subgroup lane->sublane meta transpose)
             col = jax.lax.broadcasted_iota(jnp.int32, (sgp, 1), 0)
-            offs_e = col + sub_row0 * 128
-            offs_o = offs_e
+            t0_e = col & 127
+            rb_o = (col & 127) + 64
             cls_e = cls_o = col & 7
             refs_e = refs_o = col & 0xFFF
+            q8 = col & 7
         else:
             # ONE (8, sgp) -> (sgp, 8) transpose per subgroup instead of six
             # (1, sgp) -> (sgp, 1) ones; columns then slice out for free.
             mt = jnp.transpose(meta[:, sl], (1, 0))  # (sgp, 8)
-            offs_e = mt[:, 0:1]
-            offs_o = mt[:, 1:2]
+            t0_e = mt[:, 0:1]  # rel_e & 127 == even-lane funnel base
+            rb_o = mt[:, 1:2]  # rel_o - (q << 7): odd-lane funnel base
             cls_e = mt[:, 2:3]
             cls_o = mt[:, 3:4]
             refs_e = mt[:, 4:5]
             refs_o = mt[:, 5:6]
-        rel_e = offs_e - sub_row0 * 128
-        rel_o = offs_o - sub_row0 * 128
-        q = rel_e >> 7
+            q8 = mt[:, 6:7]  # (rel_e >> 7) + (off - off8): pick row index
 
         # Per-lane field descriptors: the concatenated even/odd one-hot rows
         # pick both parities' table rows in ONE matmul (tables_ref is laid
@@ -603,12 +623,9 @@ def _unpack_kernel_v5(
         # convert, and reassembly cost of byte planes. Measured faster than
         # 4 bf16 byte planes despite the 6-pass HIGHEST dot (VPU is the
         # bottleneck, not the MXU). Mosaic requires a provably 8-aligned
-        # sublane start for the f32 load feeding the matmul: round the
-        # subgroup offset down and fold the remainder into the one-hot
-        # row index instead.
-        off = sub_row0 - chunk_row0
-        off8 = pl.multiple_of((off >> 3) << 3, 8)
-        delta = off - off8
+        # sublane start for the f32 load feeding the matmul: the subgroup
+        # offset is rounded down to off8 and the remainder is already folded
+        # into the q8 meta row by prep.
         planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows + 8), 1)
@@ -624,23 +641,22 @@ def _unpack_kernel_v5(
             ).astype(jnp.int32)
             return p[:, 0:128] | (p[:, 128:256] << 16)
 
-        # A pair spans <= 64 words, so rows q, q+1 always cover both windows.
-        row0 = pick((row_ids == q + delta).astype(jnp.float32))
-        row1 = pick((row_ids == q + delta + 1).astype(jnp.float32))
+        # A pair spans <= 64 words, so rows q8, q8+1 always cover both
+        # windows of the off8-based plane slice.
+        row0 = pick((row_ids == q8).astype(jnp.float32))
+        row1 = pick((row_ids == q8 + 1).astype(jnp.float32))
 
-        # Merged-row trick: the pair window is [t, t+64) with t = rel_e&127,
+        # Merged-row trick: the pair window is [t, t+64) with t = t0_e,
         # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
         # One select builds a single 128-lane source; every field then needs
         # ONE gather at (widx & 127) instead of two + a per-field select.
-        t0 = rel_e & 127
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        merged = jnp.where(lane_ids >= t0, row0, row1)
+        merged = jnp.where(lane_ids >= t0_e, row0, row1)
         if "nopick" in ablate:  # (timing ablation: wrong results; the
             # scalar read keeps the span DMA live)
-            merged = (rel_e ^ scratch_ref[slot, 0, 0]) + lane_ids
+            merged = (t0_e ^ scratch_ref[slot, 0, 0]) + lane_ids
 
-        rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (sgp, 128)
-        rel_base = rel_lane - (q << 7)
+        rel_base = jnp.where(c_lane == 1, rb_o, t0_e)  # (sgp, 128)
 
         if "mergedout" in ablate:
             vals = merged
@@ -676,183 +692,11 @@ def _unpack_kernel_v5(
                 ].astype(jnp.uint16)
 
 
-def _unpack_kernel_v5b(
-    base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS_V5,) int32
-    meta_ref,  # (1, 8, BP) int32 pair metadata (kernel-row order)
-    tables_ref,  # (2*ncls, 384) int32 v5 descriptors
-    payload_ref,  # HBM (P32/128, 128) int32
-    out_ref,  # (rows_chunk, txp, 64) uint16 — image rows
-    scratch_ref,  # VMEM (2, rows, 128) int32
-    sems,
-    rows: int = None,
-    sub_rows: int = None,
-    txp: int = None,
-    tr_sub: int = None,
-    batch_sg: int = 8,
-):
-    """v5 restructured into two phases per group of `batch_sg` subgroups.
-
-    The v5 body unrolls 24 complete per-subgroup pipelines; the clean
-    inline-xN decomposition (benchmarks/probe_outcopy*.json) shows most of
-    its time is instruction issue/scheduling of that 24x-duplicated code,
-    not bandwidth. Here only the work that genuinely differs per subgroup
-    (the scratch window slice, plane build, and pick matmuls — small-K dots
-    that would waste MXU tiles if batched) stays per-subgroup; the merged
-    pair rows are then concatenated and the descriptor matmul, the three
-    funnel field passes, and the cls/refs epilogue run ONCE per group on
-    (batch_sg*sgp, 128) arrays — ~batch_sg x wider ops, same math, same
-    tables, identical outputs. `batch_sg` bounds the phase-2 live set
-    (each (bp,128) int32 intermediate is 64 KB per subgroup batched).
-    """
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    slot = jax.lax.rem(i, 2)
-
-    def span_dma(chunk, dst_slot):
-        return pltpu.make_async_copy(
-            payload_ref.at[pl.ds(base_ref[chunk * SUBGROUPS_V5], rows), :],
-            scratch_ref.at[dst_slot],
-            sems.at[dst_slot],
-        )
-
-    @pl.when(i == 0)
-    def _():
-        span_dma(0, 0).start()
-
-    @pl.when(i + 1 < n)
-    def _():
-        span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-    bp = meta_ref.shape[2]
-    sgp = bp // SUBGROUPS_V5
-    chunk_row0 = base_ref[i * SUBGROUPS_V5]
-    meta = meta_ref[0]
-    ncls = len(T.MODERN_CLASSES)
-    rows_per_sub = tr_sub * 4
-    hi = jax.lax.Precision.HIGHEST
-
-    span_dma(i, slot).wait()
-
-    c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-
-    assert SUBGROUPS_V5 % batch_sg == 0
-    for g0 in range(0, SUBGROUPS_V5, batch_sg):
-        gp = batch_sg * sgp  # pair rows in this group
-        gsl = slice(g0 * sgp, g0 * sgp + gp)
-
-        # --- phase 0: group-wide meta columns (6 transposes per GROUP
-        # instead of 6 per subgroup) -----------------------------------
-        offs_e = jnp.transpose(meta[0:1, gsl], (1, 0))  # (gp, 1)
-        offs_o = jnp.transpose(meta[1:2, gsl], (1, 0))
-        cls_e = jnp.transpose(meta[2:3, gsl], (1, 0))
-        cls_o = jnp.transpose(meta[3:4, gsl], (1, 0))
-        refs_e = jnp.transpose(meta[4:5, gsl], (1, 0))
-        refs_o = jnp.transpose(meta[5:6, gsl], (1, 0))
-        base_vec = jnp.concatenate(
-            [
-                jnp.full(
-                    (sgp, 1),
-                    base_ref[i * SUBGROUPS_V5 + g0 + j] * 128,
-                    jnp.int32,
-                )
-                for j in range(batch_sg)
-            ],
-            axis=0,
-        )  # (gp, 1) per-subgroup payload base, in words
-        rel_e = offs_e - base_vec
-        rel_o = offs_o - base_vec
-        q = rel_e >> 7
-        t0 = rel_e & 127
-
-        ids2 = jax.lax.broadcasted_iota(jnp.int32, (gp, ncls), 1)
-        oh2 = jnp.concatenate(
-            [
-                (ids2 == cls_e).astype(jnp.float32),
-                (ids2 == cls_o).astype(jnp.float32),
-            ],
-            axis=1,
-        )  # (gp, 2*ncls)
-
-        # --- phase 1: per-subgroup picks -> merged pair rows ----------
-        merged_parts = []
-        for j in range(batch_sg):
-            sub_row0 = base_ref[i * SUBGROUPS_V5 + g0 + j]
-            local = scratch_ref[
-                slot, pl.ds(sub_row0 - chunk_row0, sub_rows), :
-            ]
-            planes = jnp.concatenate(
-                [
-                    (local & 0xFFFF).astype(jnp.float32),
-                    jax.lax.shift_right_logical(local, 16).astype(
-                        jnp.float32
-                    ),
-                ],
-                axis=1,
-            )  # (sub_rows, 256)
-            qj = q[j * sgp : (j + 1) * sgp]  # (sgp, 1)
-            row_ids = jax.lax.broadcasted_iota(
-                jnp.int32, (sgp, sub_rows), 1
-            )
-
-            def pick(oh):
-                p = jnp.dot(
-                    oh,
-                    planes,
-                    precision=hi,
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.int32)
-                return p[:, 0:128] | (p[:, 128:256] << 16)
-
-            row0 = pick((row_ids == qj).astype(jnp.float32))
-            row1 = pick((row_ids == qj + 1).astype(jnp.float32))
-            t0j = t0[j * sgp : (j + 1) * sgp]
-            merged_parts.append(jnp.where(lane_ids >= t0j, row0, row1))
-        merged = (
-            jnp.concatenate(merged_parts, axis=0)
-            if batch_sg > 1
-            else merged_parts[0]
-        )  # (gp, 128)
-
-        # --- phase 2: group-wide desc matmul + funnel fields + epilogue
-        rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)  # (gp, 128)
-        rel_base = rel_lane - (q << 7)
-        vals = None
-        for f in range(3):
-            d = jnp.dot(
-                oh2,
-                tables_ref[:, f * 128 : (f + 1) * 128].astype(jnp.float32),
-                precision=hi,
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)  # (gp, 128)
-            widx = rel_base + (d & 31)
-            word = jnp.take_along_axis(merged, widx & 127, axis=1)
-            fv = jax.lax.shift_right_logical(
-                word << ((d >> 5) & 31), (d >> 10) & 31
-            )
-            if f > 0:  # slot 0 always has lsh == 0
-                fv = fv << ((d >> 15) & 15)
-            vals = fv if vals is None else vals | fv
-
-        cls_lane = jnp.where(c_lane == 1, cls_o, cls_e)
-        vals = jnp.where(cls_lane == 0, 0, vals)
-        refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
-        vals = (vals + refs_lane) & 0xFFFF  # (gp, 128) finished pixels
-
-        for j in range(batch_sg):
-            for r in range(rows_per_sub):
-                t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
-                band = j * sgp + (t_local * 2 + qr) * txp
-                out_ref[(g0 + j) * rows_per_sub + r] = vals[
-                    band : band + txp, h * 64 : (h + 1) * 64
-                ].astype(jnp.uint16)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
-        "ablate", "interpret", "variant", "batch_sg",
+        "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -869,8 +713,6 @@ def _unpack_image_pallas_v5(
     # classes PRESENT in the frame (v5_required_fields); 3 is always safe
     ablate: str = "",
     interpret: bool = False,
-    variant: str = "v5",  # "v5" | "v5b" (two-phase batched subgroups)
-    batch_sg: int = 8,  # v5b only: subgroups per phase-2 batch
 ):
     """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
     bp = meta.shape[2]
@@ -928,259 +770,6 @@ def _unpack_image_pallas_v5(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
-        scratch_shapes=(
-            [
-                pltpu.VMEM((2, rows, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ]
-            if variant == "v5b"
-            else [
-                pltpu.VMEM((2, rows, 128), jnp.int32),
-                # +8 tail rows: zeroed overhang for the 8-aligned slices.
-                pltpu.VMEM((rows + 8, 256), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ]
-        ),
-    )
-    tables = jnp.asarray(_MODERN_TABLES_V5)
-    if variant == "v5b":
-        assert not ablate, "ablate flags are v5-only"
-        kern = functools.partial(
-            _unpack_kernel_v5b,
-            rows=rows,
-            sub_rows=sub_rows,
-            txp=txp,
-            tr_sub=tr_sub,
-            batch_sg=batch_sg,
-        )
-    else:
-        kern = functools.partial(
-            _unpack_kernel_v5,
-            rows=rows,
-            sub_rows=sub_rows,
-            txp=txp,
-            tr_sub=tr_sub,
-            nfields=nfields,
-            ablate=ablate,
-        )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(base_rows, meta, tables, payload2d)
-
-
-# -----------------------------------------------------------------------------
-# v7 = the v5 pair-row kernel restructured for Mosaic's software pipeliner:
-#   - the grid is 2D (chunk, subgroup) instead of 24 statically-unrolled
-#     subgroups inside one giant grid step — each step is a small body the
-#     compiler can schedule tightly (the unrolled v5 body measured a
-#     ~0.8 ms/frame fixed floor that no stage ablation could attribute to
-#     visible vector work: register pressure + scheduling of ~24x-duplicated
-#     code), with meta/out block copies overlapped across steps;
-#   - the f32 half planes are built ONCE per chunk into a dedicated VMEM
-#     scratch (subgroup windows overlap ~2x, so per-subgroup plane builds
-#     did ~2x redundant convert work, 24x the instruction issue);
-#   - per-subgroup picks slice the chunk planes at a dynamic row offset
-#     (ref-level pl.ds, which Mosaic allows, unlike value-level slices).
-# Same math, tables, prep layouts, and span invariants as v5 — the launcher
-# consumes prepare_chunked_v5 / _v6_build_meta outputs unchanged via
-# BlockSpec index maps.
-# -----------------------------------------------------------------------------
-
-
-def _unpack_kernel_v7(
-    base_ref,  # scalar prefetch: (num_chunks * S,) int32 subgroup rows
-    meta_ref,  # block (1, 8, sgp) int32 — this subgroup's pair metadata
-    tables_ref,  # (2*ncls, 384) int32 v5 descriptors
-    payload_ref,  # HBM (P32/128, 128) int32
-    out_ref,  # block (rows_per_sub, txp, 64) uint16 — this subgroup's rows
-    raw_ref,  # VMEM (2, rows, 128) int32 — double-buffered span DMA
-    planes_ref,  # VMEM (rows, 256) f32 — per-chunk 16-bit half planes
-    sems,
-    rows: int = None,
-    sub_rows: int = None,
-    txp: int = None,
-    tr_sub: int = None,
-):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    nci = pl.num_programs(0)
-    s = pl.num_programs(1)
-    slot = jax.lax.rem(i, 2)
-    ncls = len(T.MODERN_CLASSES)
-    rows_per_sub = tr_sub * 4
-    hi = jax.lax.Precision.HIGHEST
-
-    def span_dma(chunk, dst_slot):
-        return pltpu.make_async_copy(
-            payload_ref.at[pl.ds(base_ref[chunk * s], rows), :],
-            raw_ref.at[dst_slot],
-            sems.at[dst_slot],
-        )
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        span_dma(0, 0).start()
-        # The planes scratch has 8 tail rows past the DMA span (the
-        # 8-aligned subgroup slices below can overhang by < 8 rows); zero
-        # them once so the one-hot matmuls never contract NaN garbage.
-        planes_ref[pl.ds(rows, 8), :] = jnp.zeros((8, 256), jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        @pl.when(i + 1 < nci)
-        def _():
-            span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-        span_dma(i, slot).wait()
-        local = raw_ref[slot]
-        # f32 16-bit half planes, chunk-wide (see the v5 exactness note:
-        # one-hot HIGHEST picks of values < 2^16 are fp32-exact).
-        planes_ref[pl.ds(0, rows), 0:128] = (local & 0xFFFF).astype(
-            jnp.float32
-        )
-        planes_ref[pl.ds(0, rows), 128:256] = jax.lax.shift_right_logical(
-            local, 16
-        ).astype(jnp.float32)
-
-    chunk_row0 = base_ref[i * s]
-    sub_row0 = base_ref[i * s + j]
-    meta = meta_ref[0]  # (8, sgp)
-    sgp = meta.shape[1]
-
-    offs_e = jnp.transpose(meta[0:1, :], (1, 0))
-    offs_o = jnp.transpose(meta[1:2, :], (1, 0))
-    cls_e = jnp.transpose(meta[2:3, :], (1, 0))
-    cls_o = jnp.transpose(meta[3:4, :], (1, 0))
-    refs_e = jnp.transpose(meta[4:5, :], (1, 0))
-    refs_o = jnp.transpose(meta[5:6, :], (1, 0))
-    rel_e = offs_e - sub_row0 * 128
-    rel_o = offs_o - sub_row0 * 128
-    q = rel_e >> 7
-
-    ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
-    oh2 = jnp.concatenate(
-        [
-            (ids == cls_e).astype(jnp.float32),
-            (ids == cls_o).astype(jnp.float32),
-        ],
-        axis=1,
-    )
-    desc = jnp.dot(
-        oh2,
-        tables_ref[:, :].astype(jnp.float32),
-        precision=hi,
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # (sgp, 384)
-
-    # Mosaic requires a provably 8-aligned sublane start for the f32
-    # vector load feeding the matmul: round the subgroup offset down and
-    # fold the remainder into the one-hot row index instead.
-    off = sub_row0 - chunk_row0
-    off8 = pl.multiple_of((off >> 3) << 3, 8)
-    delta = off - off8
-    planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows + 8), 1)
-
-    def pick(oh):
-        # HIGH is exact for one-hot x 16-bit halves (see the v5 kernel).
-        p = jnp.dot(
-            oh, planes, precision=hi, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        return p[:, 0:128] | (p[:, 128:256] << 16)
-
-    row0 = pick((row_ids == q + delta).astype(jnp.float32))
-    row1 = pick((row_ids == q + delta + 1).astype(jnp.float32))
-
-    t0 = rel_e & 127
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    merged = jnp.where(lane_ids >= t0, row0, row1)
-
-    c_lane = lane_ids & 1
-    rel_lane = jnp.where(c_lane == 1, rel_o, rel_e)
-    rel_base = rel_lane - (q << 7)
-
-    vals = None
-    for f in range(3):
-        d = desc[:, f * 128 : (f + 1) * 128]
-        widx = rel_base + (d & 31)
-        word = jnp.take_along_axis(merged, widx & 127, axis=1)
-        fv = jax.lax.shift_right_logical(
-            word << ((d >> 5) & 31), (d >> 10) & 31
-        )
-        if f > 0:  # slot 0 always has lsh == 0
-            fv = fv << ((d >> 15) & 15)
-        vals = fv if vals is None else vals | fv
-
-    cls_lane = jnp.where(c_lane == 1, cls_o, cls_e)
-    vals = jnp.where(cls_lane == 0, 0, vals)
-    refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
-    vals = (vals + refs_lane) & 0xFFFF
-
-    for r in range(rows_per_sub):
-        t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
-        band = (t_local * 2 + qr) * txp
-        out_ref[r] = vals[
-            band : band + txp, h * 64 : (h + 1) * 64
-        ].astype(jnp.uint16)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "interpret"
-    ),
-)
-def _unpack_image_pallas_v7(
-    payload2d: jnp.ndarray,
-    base_rows: jnp.ndarray,  # (num_chunks * SUBGROUPS_V5,)
-    meta: jnp.ndarray,  # (num_chunks, 8, BP)
-    *,
-    num_chunks: int,
-    txp: int,
-    tr_sub: int,
-    rows: int | None = None,
-    sub_rows: int | None = None,
-    interpret: bool = False,
-):
-    """v7 launcher: same inputs/outputs as _unpack_image_pallas_v5 (drop-in),
-    2D (chunk, subgroup) grid."""
-    bp = meta.shape[2]
-    s = SUBGROUPS_V5
-    sgp = bp // s
-    if sub_rows is None:
-        sub_rows = (sgp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
-        sub_rows += (-sub_rows) % 8
-    rows_worst = (bp * 2 * _MAX_WORDS_PER_BLOCK) // 128 + 2
-    rows_worst += (-rows_worst) % 8
-    if rows is None:
-        rows = rows_worst
-    else:
-        rows = min(rows_worst, rows + sub_rows)
-    rows_per_sub = tr_sub * 4
-    out_spec = pl.BlockSpec(
-        (rows_per_sub, txp, 64),
-        lambda i, j, base: (i * s + j, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_shape = jax.ShapeDtypeStruct(
-        (num_chunks * s * rows_per_sub, txp, 64), jnp.uint16
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks, s),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, sgp),
-                lambda i, j, base: (i, 0, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, rows, 128), jnp.int32),
             # +8 tail rows: zeroed overhang for the 8-aligned slices.
@@ -1189,39 +778,21 @@ def _unpack_image_pallas_v7(
         ],
     )
     tables = jnp.asarray(_MODERN_TABLES_V5)
+    kern = functools.partial(
+        _unpack_kernel_v5,
+        rows=rows,
+        sub_rows=sub_rows,
+        txp=txp,
+        tr_sub=tr_sub,
+        nfields=nfields,
+        ablate=ablate,
+    )
     return pl.pallas_call(
-        functools.partial(
-            _unpack_kernel_v7,
-            rows=rows,
-            sub_rows=sub_rows,
-            txp=txp,
-            tr_sub=tr_sub,
-        ),
+        kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(base_rows, meta, tables, payload2d)
-
-
-def decode_modern_pallas_v7(
-    payload: np.ndarray, width: int, height: int, interpret: bool = False
-):
-    """Full modern decode via the v7 (2D-grid) kernel."""
-    plan = U.prepare_modern(payload, width, height)
-    payload2d, base_rows, meta, num_chunks, txp, tr_sub = prepare_chunked_v5(
-        plan
-    )
-    img3 = _unpack_image_pallas_v7(
-        jnp.asarray(payload2d),
-        jnp.asarray(base_rows),
-        jnp.asarray(meta),
-        num_chunks=num_chunks,
-        txp=txp,
-        tr_sub=tr_sub,
-        interpret=interpret,
-    )
-    img = img3.reshape(img3.shape[0], txp * 64)
-    return img[: plan.height, : plan.width]
 
 
 def v5_geometry(tiles_y: int, tiles_x: int) -> tuple[int, int]:
@@ -1338,17 +909,35 @@ def prepare_chunked_v5(plan: U.ModernPlan):
     refs = np.zeros(nblk + 2, dtype=np.int32)
     refs[:n] = plan.refs
 
+    base_rows = (offs_w.take(c["base_idx"]) // 128).astype(np.int32)
+
     meta = np.empty((num_chunks, 8, bp), dtype=np.int32)
     flat = (num_chunks, bp)
-    meta[:, 0] = offs_w.take(c["off_e"]).reshape(flat)
-    meta[:, 1] = offs_w.take(c["off_o"]).reshape(flat)
+    offe = offs_w.take(c["off_e"]).reshape(flat)
+    offo = offs_w.take(c["off_o"]).reshape(flat)
     meta[:, 2] = cls.take(c["meta_e"]).reshape(flat)
     meta[:, 3] = cls.take(c["meta_o"]).reshape(flat)
     meta[:, 4] = refs.take(c["meta_e"]).reshape(flat)
     meta[:, 5] = refs.take(c["meta_o"]).reshape(flat)
-    meta[:, 6:8] = 0
-
-    base_rows = (offs_w.take(c["base_idx"]) // 128).astype(np.int32)
+    # Rel-meta rows (see _unpack_kernel_v5): every per-pair value the kernel
+    # needs is precomputed here against the subgroup/chunk bases so the
+    # kernel's vector path never touches a scalar (scalar->vector broadcast
+    # latency) and batched launches need no meta rebase at all.
+    sgp = bp // SUBGROUPS_V5
+    base = base_rows.reshape(num_chunks, SUBGROUPS_V5).astype(np.int64)
+    rel_e = offe.reshape(num_chunks, SUBGROUPS_V5, sgp) - (
+        base[:, :, None] * 128
+    )
+    rel_o = offo.reshape(num_chunks, SUBGROUPS_V5, sgp) - (
+        base[:, :, None] * 128
+    )
+    q = rel_e >> 7
+    off = base - base[:, :1]
+    delta = off - ((off >> 3) << 3)  # remainder of the 8-aligned slice
+    meta[:, 0] = (rel_e & 127).reshape(flat)
+    meta[:, 1] = (rel_o - (q << 7)).reshape(flat)
+    meta[:, 6] = (q + delta[:, :, None]).reshape(flat)
+    meta[:, 7] = 0
 
     pay = plan.payload
     rows_needed = int(base_rows[-SUBGROUPS_V5]) + c["span_rows"]
@@ -1364,8 +953,7 @@ def prepare_chunked_v5(plan: U.ModernPlan):
 
 
 def decode_modern_pallas_v5(
-    payload: np.ndarray, width: int, height: int, interpret: bool = False,
-    variant: str = "v5", batch_sg: int = 8,
+    payload: np.ndarray, width: int, height: int, interpret: bool = False
 ):
     """Full modern decode, fused de-interleave (no XLA epilogue)."""
     plan = U.prepare_modern(payload, width, height)
@@ -1381,8 +969,6 @@ def decode_modern_pallas_v5(
         tr_sub=tr_sub,
         nfields=v5_required_fields_cls(plan.cls),
         interpret=interpret,
-        variant=variant,
-        batch_sg=batch_sg,
     )
     img = img3.reshape(img3.shape[0], txp * 64)
     return img[: plan.height, : plan.width]
@@ -1404,12 +990,8 @@ def stack_chunked_v5(plans: list) -> tuple:
     base_rows = np.concatenate(
         [c[1] + rs for c, rs in zip(chunked, row_starts)]
     ).astype(np.int32)
-    metas = []
-    for c, rs in zip(chunked, row_starts):
-        m = c[2].copy()
-        m[:, 0:2] += rs * 128  # word offsets shift with the payload rows
-        metas.append(m)
-    meta = np.concatenate(metas, axis=0)
+    # Rel-meta is frame-local by construction — only base_rows shift.
+    meta = np.concatenate([c[2] for c in chunked], axis=0)
     return payload2d, base_rows, meta, nc * len(plans), txp, tr_sub
 
 
@@ -1599,21 +1181,34 @@ def _v6_build_meta(bits: jnp.ndarray, refs: jnp.ndarray, *, ty: int, tx: int):
         ).astype(jnp.int32)
         return y.reshape(nc, bp)
 
+    base_rows = offs_w[jnp.asarray(geo["base_idx"], dtype=jnp.int32)] >> 7
+
+    # Rel-meta rows (mirrors prepare_chunked_v5): per-pair funnel bases and
+    # pick-row indices against the subgroup/chunk bases, so the kernel's
+    # vector path is scalar-free and batch launches need no meta rebase.
+    s_ = SUBGROUPS_V5
+    sgp = bp // s_
+    o_e = bands(offs_w, "perm_off_0").reshape(nc, s_, sgp)
+    o_o = bands(offs_w, "perm_off_1").reshape(nc, s_, sgp)
+    base = base_rows.reshape(nc, s_)
+    rel_e = o_e - base[:, :, None] * 128
+    rel_o = o_o - base[:, :, None] * 128
+    q = rel_e >> 7
+    off = base - base[:, :1]
+    delta = off - ((off >> 3) << 3)
     meta = jnp.stack(
         [
-            bands(offs_w, "perm_off_0"),
-            bands(offs_w, "perm_off_1"),
+            (rel_e & 127).reshape(nc, bp),
+            (rel_o - (q << 7)).reshape(nc, bp),
             bands(cls, "perm_meta_0"),
             bands(cls, "perm_meta_1"),
             bands(ref32, "perm_meta_0"),
             bands(ref32, "perm_meta_1"),
-            jnp.zeros((nc, bp), jnp.int32),
+            (q + delta[:, :, None]).reshape(nc, bp),
             jnp.zeros((nc, bp), jnp.int32),
         ],
         axis=1,
     )  # (nc, 8, bp)
-
-    base_rows = offs_w[jnp.asarray(geo["base_idx"], dtype=jnp.int32)] >> 7
     return meta, base_rows
 
 
@@ -1696,8 +1291,8 @@ def decode_modern_device_v6_batch(
     metas, bases = jax.vmap(
         functools.partial(_v6_build_meta, ty=ty, tx=tx)
     )(bits, refs)  # (F, nc, 8, bp), (F, nc*SUBGROUPS_V5)
+    # Rel-meta is frame-local — only the DMA bases shift per frame.
     shift = jnp.arange(f, dtype=jnp.int32) * frame_rows
-    metas = metas.at[:, :, 0:2, :].add((shift * 128)[:, None, None, None])
     bases = (bases + shift[:, None]).reshape(-1)
     meta2 = metas.reshape(f * nc, 8, metas.shape[3])
     img3 = _unpack_image_pallas_v5.__wrapped__(

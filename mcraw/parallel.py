@@ -124,10 +124,8 @@ def decode_frames_pallas_mesh(
         pay2 = pay.reshape(fl * rows, 128)
         shift = jnp.arange(fl, dtype=jnp.int32) * rows
         base2 = (base_l + shift[:, None]).reshape(-1)
-        meta2 = meta_l.at[:, :, 0:2, :].add(
-            (shift * 128)[:, None, None, None]
-        )
-        meta2 = meta2.reshape(fl * nc, 8, meta_l.shape[3])
+        # Rel-meta is frame-local — no rebase, just flatten the frame axis.
+        meta2 = meta_l.reshape(fl * nc, 8, meta_l.shape[3])
         img3 = PK._unpack_image_pallas_v5.__wrapped__(
             pay2, base2, meta2,
             num_chunks=fl * nc, txp=txp, tr_sub=tr_sub, interpret=interpret,

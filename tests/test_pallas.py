@@ -333,30 +333,6 @@ def test_pallas_true_multichunk_v4(rng):
     assert np.array_equal(out, img)
 
 
-@pytest.mark.parametrize("shape", [(16, 128), (8, 100), (48, 448)])
-def test_pallas_v7_2d_grid(rng, shape):
-    """v7 (2D chunk x subgroup grid, per-chunk planes) == v5 semantics."""
-    h, w = shape
-    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
-    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-    out = np.asarray(PK.decode_modern_pallas_v7(payload, w, h, interpret=True))
-    assert np.array_equal(out, img)
-
-
-def test_pallas_v7_mixed_classes(rng):
-    h, w = 16, 640
-    img = np.zeros((h, w), dtype=np.uint16)
-    for i, b in enumerate(range(0, 17, 2)):
-        lo = 0 if b == 0 else 1 << (b - 1)
-        img[:, i * 64 : (i + 1) * 64] = rng.integers(
-            lo, (1 << b) if b else 1, size=(h, 64)
-        )
-    img[:, 576:] = rng.integers(0, 128, size=(h, 64))
-    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
-    out = np.asarray(PK.decode_modern_pallas_v7(payload, w, h, interpret=True))
-    assert np.array_equal(out, img)
-
-
 @pytest.mark.parametrize("shape", [(16, 128), (32, 256)])
 def test_pallas_legacy_v6_device_prep(rng, shape):
     """Legacy v6: host scan only; meta layout on device (pure reshapes)."""
