@@ -455,6 +455,8 @@ def _unpack_kernel_v5(
     txp: int = None,
     tr_sub: int = None,
     nfields: int = 3,  # static word-field passes (max over classes PRESENT)
+    flat_out: bool = True,  # 2D out block: 2 full-sublane stores per subgroup
+    chunk_mt: bool = False,  # one chunk-wide meta transpose vs 24 per-subgroup
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     i = pl.program_id(0)
@@ -526,9 +528,24 @@ def _unpack_kernel_v5(
                     out_ref[...] = v[0:8].astype(jnp.uint16)
                 continue
             if "tinyout" in ablate:
-                out_ref[pl.ds(j, 1)] = v[0:1].astype(jnp.uint16)
+                if flat_out:
+                    out_ref[pl.ds(j, 1)] = v[0:1, 0:64].astype(jnp.uint16)
+                else:
+                    out_ref[pl.ds(j, 1)] = v[0:1].astype(jnp.uint16)
             elif "rawout" in ablate:
                 out_ref[pl.ds(j * sgp, sgp)] = v.astype(jnp.uint16)
+            elif flat_out:
+                rows_per_sub = tr_sub * 4
+                vu = v.astype(jnp.uint16)
+                for t_local in range(tr_sub):
+                    band = t_local * 2 * txp
+                    r0 = (j * rows_per_sub + t_local * 4) * txp
+                    out_ref[pl.ds(r0, 2 * txp)] = vu[
+                        band : band + 2 * txp, 0:64
+                    ]
+                    out_ref[pl.ds(r0 + 2 * txp, 2 * txp)] = vu[
+                        band : band + 2 * txp, 64:128
+                    ]
             else:
                 rows_per_sub = tr_sub * 4
                 for r in range(rows_per_sub):
@@ -556,6 +573,12 @@ def _unpack_kernel_v5(
         local_all, 16
     ).astype(jnp.float32)
 
+    mt_all = (
+        jnp.transpose(meta, (1, 0))  # (BP, 8): one lane->sublane relayout
+        if chunk_mt and "nometa" not in ablate
+        else None
+    )
+
     for j in range(SUBGROUPS_V5):
         # Scalars feed ONLY ref-level slices (scalar unit); all per-pair
         # values arrive pre-computed in the meta rows (prep knows every
@@ -575,7 +598,13 @@ def _unpack_kernel_v5(
         else:
             # ONE (8, sgp) -> (sgp, 8) transpose per subgroup instead of six
             # (1, sgp) -> (sgp, 1) ones; columns then slice out for free.
-            mt = jnp.transpose(meta[:, sl], (1, 0))  # (sgp, 8)
+            # chunk_mt amortizes further: one (8, BP) -> (BP, 8) relayout
+            # per chunk, subgroups then take static sublane slices.
+            mt = (
+                mt_all[sl]
+                if mt_all is not None
+                else jnp.transpose(meta[:, sl], (1, 0))
+            )  # (sgp, 8)
             t0_e = mt[:, 0:1]  # rel_e & 127 == even-lane funnel base
             rb_o = mt[:, 1:2]  # rel_o - (q << 7): odd-lane funnel base
             cls_e = mt[:, 2:3]
@@ -636,22 +665,27 @@ def _unpack_kernel_v5(
         # but Mosaic only lowers DEFAULT and HIGHEST dot precisions —
         # Precision.HIGH raises NotImplementedError in the TPU lowering.
         def pick(oh):
-            p = jnp.dot(
+            return jnp.dot(
                 oh, planes, precision=hi, preferred_element_type=jnp.float32
-            ).astype(jnp.int32)
-            return p[:, 0:128] | (p[:, 128:256] << 16)
+            )
 
         # A pair spans <= 64 words, so rows q8, q8+1 always cover both
         # windows of the off8-based plane slice.
-        row0 = pick((row_ids == q8).astype(jnp.float32))
-        row1 = pick((row_ids == q8 + 1).astype(jnp.float32))
+        p0 = pick((row_ids == q8).astype(jnp.float32))
+        p1 = pick((row_ids == q8 + 1).astype(jnp.float32))
 
         # Merged-row trick: the pair window is [t, t+64) with t = t0_e,
         # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
         # One select builds a single 128-lane source; every field then needs
         # ONE gather at (widx & 127) instead of two + a per-field select.
+        # The select runs in f32 256-half-plane space BEFORE the int32
+        # convert + halves-combine, so convert/shift/or happen once, not
+        # twice (f32 select of exact integers < 2^24 stays exact). Column c
+        # of the 256-wide half planes belongs to word lane c & 127.
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        merged = jnp.where(lane_ids >= t0_e, row0, row1)
+        lane256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1) & 127
+        pm = jnp.where(lane256 >= t0_e, p0, p1).astype(jnp.int32)
+        merged = pm[:, 0:128] | (pm[:, 128:256] << 16)
         if "nopick" in ablate:  # (timing ablation: wrong results; the
             # scalar read keeps the span DMA live)
             merged = (t0_e ^ scratch_ref[slot, 0, 0]) + lane_ids
@@ -674,15 +708,36 @@ def _unpack_kernel_v5(
             vals = fv if vals is None else vals | fv
 
         # Class 0 has no fields (its funnel slots are all-zero descriptors
-        # that pass word bits through) — zero those lanes explicitly.
-        cls_lane = jnp.where(c_lane == 1, cls_o, cls_e)
-        vals = jnp.where(cls_lane == 0, 0, vals)
+        # that pass word bits through) — zero those lanes. A lane's slot-0
+        # descriptor is 0 iff its class is 0 (every other class has a
+        # slot-0 field with nb > 0, so rsh2 = 32-nb != 0), so testing the
+        # descriptor directly saves building a cls lane-select.
+        vals = jnp.where(desc[:, 0:128] == 0, 0, vals)
 
         refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
-        vals = (vals + refs_lane) & 0xFFFF  # (sgp, 128) finished pixels
+        # No & 0xFFFF: the uint16 store cast below truncates mod 2^16.
+        vals = vals + refs_lane  # (sgp, 128) finished pixels
 
         if "rawout" in ablate:  # (timing ablation: raw pair-row layout)
             out_ref[pl.ds(j * sgp, sgp)] = vals.astype(jnp.uint16)
+        elif flat_out:
+            # The 3D (rows_chunk, txp, 64) out block is row-major-identical
+            # to 2D (rows_chunk*txp, 64): out image rows 4j+2h+qr for
+            # qr=0,1 occupy CONTIGUOUS 2D rows, and their values are
+            # contiguous vals sublane bands [t*2*txp, (t+1)*2*txp) at lane
+            # half h. So per (t_local, h): ONE full-sublane (2*txp, 64)
+            # store instead of two 64-lane sliced ones — halves the
+            # statically-unrolled store count at identical HBM bytes.
+            u16 = vals.astype(jnp.uint16)
+            for t_local in range(tr_sub):
+                band = t_local * 2 * txp
+                r0 = (j * rows_per_sub + t_local * 4) * txp
+                out_ref[pl.ds(r0, 2 * txp)] = u16[
+                    band : band + 2 * txp, 0:64
+                ]
+                out_ref[pl.ds(r0 + 2 * txp, 2 * txp)] = u16[
+                    band : band + 2 * txp, 64:128
+                ]
         else:
             for r in range(rows_per_sub):
                 t_local, h, qr = r >> 2, (r >> 1) & 1, r & 1
@@ -696,7 +751,7 @@ def _unpack_kernel_v5(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
-        "ablate", "interpret",
+        "flat_out", "chunk_mt", "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -711,6 +766,8 @@ def _unpack_image_pallas_v5(
     sub_rows: int | None = None,  # content-aware subgroup span (None = worst)
     nfields: int = 3,  # static field-pass count: max word-fields over the
     # classes PRESENT in the frame (v5_required_fields); 3 is always safe
+    flat_out: bool = True,  # 2D out block, 2 stores/subgroup (see kernel)
+    chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
     ablate: str = "",
     interpret: bool = False,
 ):
@@ -750,6 +807,18 @@ def _unpack_image_pallas_v5(
         out_shape = jax.ShapeDtypeStruct(
             (num_chunks * SUBGROUPS_V5 * sgp, 128), jnp.uint16
         )
+    elif flat_out:
+        # Row-major-identical to the 3D (rows_chunk, txp, 64) block; the
+        # flat shape lets the kernel write 2*txp-sublane slabs (two image
+        # rows) per store. Reshaped back to 3D below — free on HBM.
+        out_spec = pl.BlockSpec(
+            (rows_chunk * txp, 64),
+            lambda i, base: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (num_chunks * rows_chunk * txp, 64), jnp.uint16
+        )
     else:
         out_spec = pl.BlockSpec(
             (rows_chunk, txp, 64),
@@ -785,14 +854,19 @@ def _unpack_image_pallas_v5(
         txp=txp,
         tr_sub=tr_sub,
         nfields=nfields,
+        flat_out=flat_out,
+        chunk_mt=chunk_mt,
         ablate=ablate,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(base_rows, meta, tables, payload2d)
+    if flat_out and "smallout" not in ablate and "rawout" not in ablate:
+        out = out.reshape(num_chunks * rows_chunk, txp, 64)
+    return out
 
 
 def v5_geometry(tiles_y: int, tiles_x: int) -> tuple[int, int]:
