@@ -32,7 +32,15 @@ ITERS = 90
 # calls cycle over the 8 distinct staged frames but bind 96 DISTINCT jit
 # parameters, so XLA cannot CSE the pure pallas calls (trap #5).
 INLINE = 32
-ITERS_XN = 3  # xN bursts: 3 * 32 = 96 frames per burst
+# xN bursts chained per scalar force: a burst issues ITERS_XN async
+# dispatches of the x32 program and forces ONE scalar D2H at the end. The
+# tunnel's scalar round trip is ~29 ms, so per-frame it adds RTT/(N*32):
+# at 96 frames that was 0.30 ms/frame — 40% ON TOP of the ~0.75 ms device
+# time (benchmarks/probe_store2_null_empty_flat.json: a no-decode harness
+# of chained tiny checksums measures 0.31 ms/frame, identical to an
+# empty-grid kernel). 24 bursts -> 768 frames -> <0.04 ms/frame of
+# harness; dispatch submissions overlap device execution (async queue).
+ITERS_XN = 24
 
 
 def make_frames(h=None, w=None, worst_case=False):

@@ -74,11 +74,14 @@ def main():
     }
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def timeit_dev_inline(call, args, want_one, n_inline=8, iters=12, reps=4):
+    def timeit_dev_inline(call, args, want_one, n_inline=8, iters=60, reps=4):
         """Device-truth timing per CLAUDE.md trap #5: n_inline calls of
         `call` (a traceable fn) inlined in ONE jit program, the same staged
         buffers bound as DISTINCT jit parameters so XLA cannot CSE the pure
-        pallas calls; checksums chain into one forced scalar."""
+        pallas calls; checksums chain into one forced scalar. iters*n_inline
+        frames share that ONE ~29 ms scalar D2H round trip (trap #7: at 96
+        frames the RTT alone added 0.30 ms/frame — 40% on top of the 4K
+        kernel's ~0.75 ms device time); 480 frames cut it to <0.07."""
         na = len(args)
         flat = list(args) * n_inline
 
