@@ -65,21 +65,42 @@ def make_clip(path, codec=7):
     return imgs
 
 
-def _bench_device(run, expected, iters=90, reps=3):
+def _bench_device_xn(call, argsets, expected, n_inline=8, iters=60, reps=3):
+    """Device-truth timing (CLAUDE.md traps #5 + #7): n_inline calls of the
+    traceable `call` inlined in ONE jit program, the staged buffers bound
+    as DISTINCT jit parameters (no CSE of the pure pallas calls); iters
+    async dispatches chain into one scalar force, so the tunnel's ~29 ms
+    D2H round trip amortizes over iters*n_inline frames instead of
+    inflating each by ~0.3 ms."""
     import jax
+    import jax.numpy as jnp
 
+    na = len(argsets[0])
+    flat = [x for k in range(n_inline) for x in argsets[k % len(argsets)]]
+
+    def xn(*flat_args):
+        acc = jnp.uint32(0)
+        for k in range(n_inline):
+            acc = acc + call(flat_args[na * k : na * k + na]) + jnp.uint32(k)
+        return acc
+
+    fn = jax.jit(xn)
+    want = (
+        sum(expected[k % len(expected)] for k in range(n_inline))
+        + n_inline * (n_inline - 1) // 2
+    ) % (1 << 32)
+    assert int(jax.block_until_ready(fn(*flat))) % (1 << 32) == want, \
+        "xn checksum mismatch"
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         acc = None
-        for i in range(iters):
-            o = run(i)
+        for _ in range(iters):
+            o = fn(*flat)
             acc = o if acc is None else acc + o
-        total = int(acc)
-        best = min(best, (time.perf_counter() - t0) / iters)
-        assert total == sum(
-            expected[i % len(expected)] for i in range(iters)
-        ) % (1 << 32), "burst checksum mismatch"
+        total = int(acc) % (1 << 32)
+        best = min(best, (time.perf_counter() - t0) / (iters * n_inline))
+        assert total == (want * iters) % (1 << 32), "burst checksum mismatch"
     return best
 
 
@@ -186,7 +207,11 @@ def bench_modern(results, imgs, clip):
                          rows=rows, sub_rows=sub_rows)
     for i in range(UNIQUE):
         assert int(jax.block_until_ready(run(i))) == expected[i]
-    best = _bench_device(run, expected)
+    best = _bench_device_xn(
+        lambda a: step(*a, ty=geo[0], tx=geo[1], rows=rows,
+                       sub_rows=sub_rows),
+        staged, expected,
+    )
     results["device_fps"] = round(1.0 / best, 1)
     print(f"device (staged): {1.0/best:.1f} fps", flush=True)
 
@@ -279,7 +304,9 @@ def bench_legacy(results, imgs, clip):
     run = lambda i: step(*staged[i % UNIQUE], pw=pw, rows=rows)
     for i in range(UNIQUE):
         assert int(jax.block_until_ready(run(i))) == expected[i]
-    best = _bench_device(run, expected)
+    best = _bench_device_xn(
+        lambda a: step(*a, pw=pw, rows=rows), staged, expected
+    )
     results["device_fps"] = round(1.0 / best, 1)
     print(f"legacy device (staged): {1.0/best:.1f} fps", flush=True)
 

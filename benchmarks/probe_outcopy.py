@@ -78,7 +78,7 @@ def main():
             assert got == want, "full checksum"
         return fn, flat
 
-    def timeit(fn, flat, iters=12, reps=4):
+    def timeit(fn, flat, iters=60, reps=4):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

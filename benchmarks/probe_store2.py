@@ -71,7 +71,7 @@ def main():
             assert got == want, f"checksum {kw}"
         return fn, flat
 
-    def timeit(fn, flat, iters=12):
+    def timeit(fn, flat, iters=60):
         t0 = time.perf_counter()
         acc = None
         for _ in range(iters):
