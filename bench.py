@@ -47,6 +47,18 @@ def make_frames(h=None, w=None, worst_case=False):
     from mcraw import encode as E
 
     h, w = h or H, w or W
+    # Disk cache: frames are deterministic (fixed seed), and encoding 8 4K
+    # frames costs minutes of host CPU per probe/bench launch.
+    import os
+    cache = f"/root/.cache/mcraw_bench_frames_{h}x{w}_{int(worst_case)}_{FRAMES}.npz"
+    try:
+        z = np.load(cache)
+        return (
+            [z[f"img{k}"] for k in range(FRAMES)],
+            [z[f"pay{k}"] for k in range(FRAMES)],
+        )
+    except Exception:
+        pass
     rng = np.random.default_rng(11)
     imgs, payloads = [], []
     for k in range(FRAMES):
@@ -70,6 +82,18 @@ def make_frames(h=None, w=None, worst_case=False):
             )
         imgs.append(img)
         payloads.append(np.frombuffer(E.encode_modern(img), dtype=np.uint8))
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = cache + ".tmp"
+        np.savez(
+            tmp,
+            **{f"img{k}": imgs[k] for k in range(FRAMES)},
+            **{f"pay{k}": payloads[k] for k in range(FRAMES)},
+        )
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   cache)
+    except Exception:
+        pass
     return imgs, payloads
 
 

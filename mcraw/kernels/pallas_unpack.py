@@ -441,6 +441,17 @@ def v5_required_fields_cls(cls: np.ndarray) -> int:
     return max(1, int(_NF_OF_CLASS.take(np.asarray(cls)).max()))
 
 
+def v5_required_fields_mask(mask: int) -> int:
+    """v5_required_fields from a clamped-bits presence mask (bit b set <=>
+    some block encodes at b bits), as produced by the native
+    length_segments2 walk — no pass over the bits stream needed."""
+    nf = 1
+    for b in range(17):
+        if mask & (1 << b):
+            nf = max(nf, int(_NF_OF_BITS[b]))
+    return nf
+
+
 def _unpack_kernel_v5(
     base_ref,  # scalar prefetch: (num_chunks * SUBGROUPS_V5,) int32 subgroup rows
     meta_ref,  # (1, 8, BP) int32 pair metadata (kernel-row order)
@@ -1402,7 +1413,7 @@ def prepare_modern_light(
     field-pass count (v5_required_fields) for this frame's classes.
     """
     from . import numpy_ref as R
-    from .native import decode_metadata_stream, length_segments
+    from .native import decode_metadata_stream, length_segments2
     from ..errors import DecodeError
 
     payload = np.asarray(payload, dtype=np.uint8)
@@ -1422,16 +1433,18 @@ def prepare_modern_light(
         raise DecodeError("metadata streams shorter than block count")
     bits, refs = bits[:nblk], refs[:nblk]
     geo = _v5_indices(ty, tx)
-    native_seg = length_segments(bits, geo["tr_sub"] * 4 * tx)
+    native_seg = length_segments2(bits, geo["tr_sub"] * 4 * tx)
     if native_seg is not None:
-        total, seg = native_seg
+        total, seg, mask = native_seg
         spans = _spans_from_segments(seg, ty, tx)
+        nf = v5_required_fields_mask(mask)
     else:
         # mode='clip' == the codec's bits<=16 clamp (RawData.cpp:424-458).
         lengths = T.MODERN_BLOCK_LENGTH.take(bits, mode="clip")
         total = int(lengths.sum(dtype=np.int64))
         spans = _spans_from_lengths(lengths, ty, tx)
-    spans = spans + (v5_required_fields(bits),)
+        nf = v5_required_fields(bits)
+    spans = spans + (nf,)
     if 16 + total > n:
         raise DecodeError("main data truncated")
 

@@ -170,6 +170,33 @@ int64_t mcraw_length_segments(const uint16_t* bits, int64_t n, int64_t stride,
   return total;
 }
 
+// Same walk, but also reports which clamped bits values occur as a 17-bit
+// presence mask (bit b set <=> some block encodes at b bits). The caller
+// derives the v5 kernel's static field-pass count from the mask without a
+// second NumPy pass over the bits stream.
+int64_t mcraw_length_segments2(const uint16_t* bits, int64_t n,
+                               int64_t stride, int64_t* seg_out,
+                               uint32_t* mask_out) {
+  int64_t total = 0;
+  uint32_t mask = 0;
+  const int64_t nseg = stride > 0 ? (n + stride - 1) / stride : 0;
+  for (int64_t s = 0; s < nseg; ++s) {
+    int64_t end = (s + 1) * stride;
+    if (end > n) end = n;
+    int64_t acc = 0;
+    for (int64_t i = s * stride; i < end; ++i) {
+      int b = bits[i];
+      if (b > 16) b = 16;
+      mask |= 1u << b;
+      acc += kModernBlockLength[b];
+    }
+    seg_out[s] = acc;
+    total += acc;
+  }
+  if (mask_out) *mask_out = mask;
+  return total;
+}
+
 // Walk the legacy inline-header chain for `num_blocks` blocks starting at
 // `start`. Emits per-block clamped bits, 12-bit references, and payload
 // offsets (just past each 2-byte header). Truncation semantics follow the
