@@ -205,7 +205,21 @@ int64_t mcraw_legacy_scan(const uint8_t* data, int64_t len, int64_t start,
                           int64_t num_blocks, int32_t* bits_out,
                           uint16_t* refs_out, int64_t* offs_out) {
   int64_t offset = start;
-  for (int64_t i = 0; i < num_blocks; ++i) {
+  int64_t i = 0;
+  // Fast path: while offset < len - 34, BOTH truncation checks are false
+  // for any bits value (2-byte header + 32-byte max block, strict >=), so
+  // the serial chain runs branch-light at ~2 loads + LUT + add per block.
+  const int64_t safe = len - 34;
+  while (i < num_blocks && offset < safe) {
+    const uint8_t b0 = data[offset];
+    const int bits = b0 >> 4;  // 4-bit field: the >16 clamp cannot fire
+    refs_out[i] = (uint16_t)(((b0 & 0x0F) << 8) | data[offset + 1]);
+    bits_out[i] = bits;
+    offs_out[i] = offset + 2;
+    offset += 2 + kLegacyBlockLength[bits];
+    ++i;
+  }
+  for (; i < num_blocks; ++i) {
     if (offset + 2 >= len) return -1;
     const uint8_t b0 = data[offset];
     int bits = (b0 >> 4) & 0x0F;
@@ -236,6 +250,18 @@ int64_t mcraw_legacy_scan_range(const uint8_t* data, int64_t len,
                                 int64_t* end_out) {
   int64_t offset = start;
   int64_t i = 0;
+  // Fast path (see mcraw_legacy_scan): below min(end_limit, len - 34)
+  // neither truncation check can fire for any bits value.
+  const int64_t safe = end_limit < len - 34 ? end_limit : len - 34;
+  while (i < max_blocks && offset < safe) {
+    const uint8_t b0 = data[offset];
+    const int bits = b0 >> 4;
+    refs_out[i] = (uint16_t)(((b0 & 0x0F) << 8) | data[offset + 1]);
+    bits_out[i] = bits;
+    offs_out[i] = offset + 2;
+    offset += 2 + kLegacyBlockLength[bits];
+    ++i;
+  }
   for (; i < max_blocks; ++i) {
     if (offset >= end_limit) break;
     if (offset + 2 >= len) break;
