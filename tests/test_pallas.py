@@ -121,6 +121,27 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
     assert np.array_equal(out, img)
 
 
+@pytest.mark.parametrize("flat_out,chunk_mt", [(False, False), (True, True)])
+def test_pallas_v5_store_variants(rng, flat_out, chunk_mt):
+    """The legacy 3D-out store path and the chunk-wide meta transpose stay
+    exact: they are the A/B baselines for the flat-2D default
+    (benchmarks/probe_store2.py) and must not rot."""
+    h, w = 24, 384  # tr_sub > 1 geometry exercises multi-band stores
+    img = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+    from mcraw.kernels import unpack as U
+
+    plan = U.prepare_modern(payload, w, h)
+    p2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
+    img3 = PK._unpack_image_pallas_v5(
+        np.asarray(p2d), np.asarray(base_rows), np.asarray(meta),
+        num_chunks=nc, txp=txp, tr_sub=tr_sub,
+        flat_out=flat_out, chunk_mt=chunk_mt, interpret=True,
+    )
+    got = np.asarray(img3).reshape(img3.shape[0], txp * 64)[:h, :w]
+    assert np.array_equal(got, img)
+
+
 def test_pallas_v5_mixed_classes(rng):
     h, w = 16, 640
     img = np.zeros((h, w), dtype=np.uint16)
