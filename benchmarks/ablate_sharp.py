@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Sharp device-time decomposition of the v5 kernel (post trap-#7).
+
+Every earlier attribution (ablate_v5.json, probe_outcopy*.json) carries
+~0.3-0.4 ms/frame of harness: per-dispatch tunnel submission (trap #5)
+plus the chained-acc scalar force's RTT share (trap #7). This harness is
+the clean pattern from probe_store2.py generalized to the full stage
+ladder:
+
+  - inline-xN jit programs with N DISTINCT parameter sets (XLA CSEs
+    identical pure pallas custom-calls — trap #5),
+  - fold-checksum consumers so no stage is elided (trap #3),
+  - ONE scalar force per iters-block (iters*N frames amortize the ~29 ms
+    RTT to < 0.07 ms/frame — trap #7),
+  - a "null" calibration leg (the harness's own cost) subtracted out,
+  - variants interleaved across repeat rounds (trap #6: cross-run tunnel
+    load swings; only within-process interleaved A/B is meaningful).
+
+Usage: python benchmarks/ablate_sharp.py [variant ...]
+Variants: null empty skel-smallout skeleton full fields0 fields1 fields2
+          mergedout nodesc nopick nometa rawout legacy3d chunkmt wide wide1
+Default ladder decomposes: grid/pipeline cost (empty), loop+DMA
+(skel-smallout), + stores (skeleton), + compute (fields0..full), and the
+store-layout A/Bs (flat=full vs wide/wide1).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+H, W = 3072, 4096
+N = 8
+ITERS = 60
+
+VARIANTS = {
+    # name: (ablate string, extra kw)
+    "full": ("", {}),
+    "empty": ("empty", {}),
+    "skel-smallout": ("skeleton smallout", {}),
+    "skeleton": ("skeleton", {}),
+    "skel-nodma": ("skeleton nodma", {}),
+    "fields0": ("fields0", {}),
+    "fields1": ("fields1", {}),
+    "fields2": ("fields2", {}),
+    "mergedout": ("mergedout", {}),
+    "nodesc": ("nodesc", {}),
+    "nopick": ("nopick", {}),
+    "nometa": ("nometa", {}),
+    "rawout": ("rawout", {}),
+    "legacy3d": ("", {"flat_out": False}),
+    "chunkmt": ("", {"chunk_mt": True}),
+    "wide": ("", {"wide_store": 1}),
+    "wide1": ("", {"wide_store": 2}),
+}
+
+DEFAULT = [
+    "null", "empty", "skel-smallout", "skeleton",
+    "fields0", "fields1", "full", "wide", "wide1",
+]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from bench import make_frames
+    from mcraw.kernels import unpack as U
+    from mcraw.kernels import pallas_unpack as PK
+    from mcraw.kernels.checksum import device_checksum
+
+    imgs, payloads = make_frames()
+    expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
+    plans = [U.prepare_modern(p, W, H) for p in payloads]
+    chunked = [PK.prepare_chunked_v5(pl) for pl in plans]
+    nc, txp, tr_sub = chunked[0][3:]
+    lights = [PK.prepare_modern_light(p, W, H) for p in payloads]
+    rows = max(l[5][0] for l in lights)
+    sub_rows = max(l[5][1] for l in lights)
+    nf = max(l[5][2] for l in lights)
+
+    def make_xn(ablate, kw, check):
+        argsets = [
+            tuple(map(jax.device_put, chunked[k % 4][:3])) for k in range(N)
+        ]
+        flat = [x for a in argsets for x in a]
+
+        def xn(*flat_args):
+            acc = jnp.uint32(0)
+            for k in range(N):
+                a = flat_args[3 * k : 3 * k + 3]
+                img3 = PK._unpack_image_pallas_v5.__wrapped__(
+                    *a, num_chunks=nc, txp=txp, tr_sub=tr_sub,
+                    rows=rows, sub_rows=sub_rows, nfields=nf,
+                    ablate=ablate, **kw,
+                )
+                if check:
+                    x = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
+                else:
+                    x = img3.reshape(img3.shape[0], -1)
+                acc = (
+                    acc + device_checksum(x, interpret=False) + jnp.uint32(k)
+                )
+            return acc
+
+        fn = jax.jit(xn)
+        got = int(jax.block_until_ready(fn(*flat)))
+        if check:
+            want = (
+                sum(expected[k % 4] for k in range(N)) + N * (N - 1) // 2
+            ) % (1 << 32)
+            assert got == want, f"checksum {ablate} {kw}"
+        return fn, flat
+
+    def make_null():
+        staged = [
+            jax.device_put(np.full((8, 128), k + 1, np.uint16))
+            for k in range(N)
+        ]
+
+        def xn(*arrs):
+            acc = jnp.uint32(0)
+            for k, a in enumerate(arrs):
+                acc = acc + device_checksum(a, interpret=False) + jnp.uint32(k)
+            return acc
+
+        fn = jax.jit(xn)
+        int(jax.block_until_ready(fn(*staged)))
+        return fn, staged
+
+    def timeit(fn, flat):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(ITERS):
+            o = fn(*flat)
+            acc = o if acc is None else acc + o
+        int(acc)
+        return (time.perf_counter() - t0) / (ITERS * N) * 1e3
+
+    names = sys.argv[1:] or DEFAULT
+    fns = {}
+    for v in names:
+        if v == "null":
+            fns[v] = make_null()
+        else:
+            ab, kw = VARIANTS[v]
+            fns[v] = make_xn(ab, kw, check=(ab == ""))
+        print(f"{v} compiled", flush=True)
+
+    results = {v: [] for v in names}
+    for _ in range(5):  # interleaved rounds
+        for v in names:
+            results[v].append(round(timeit(*fns[v]), 4))
+        print(results, flush=True)
+
+    null_ms = min(results["null"]) if "null" in results else 0.0
+    summary = {
+        v: {
+            "best_ms": min(r),
+            "net_ms": round(min(r) - null_ms, 4),
+            "raw": r,
+        }
+        for v, r in results.items()
+    }
+    summary["_meta"] = {
+        "null_ms": null_ms, "iters": ITERS, "inline_n": N,
+        "geometry": [H, W], "nfields": nf, "rows": rows,
+        "sub_rows": sub_rows,
+    }
+    print(json.dumps(summary))
+    tag = "_".join(names)[:48].replace(" ", "-")
+    with open(f"/root/repo/benchmarks/ablate_sharp_{tag}.json", "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,8 @@ def main():
         "legacy": dict(flat_out=False),
         "chunkmt": dict(flat_out=True, chunk_mt=True),
         "empty": dict(flat_out=True, ablate="empty smallout"),
+        "wide": dict(flat_out=True, wide_store=1),
+        "wide1": dict(flat_out=True, wide_store=2),
     }
     names = sys.argv[1:] or ["flat", "legacy"]
     fns = {

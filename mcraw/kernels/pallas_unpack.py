@@ -468,6 +468,10 @@ def _unpack_kernel_v5(
     nfields: int = 3,  # static word-field passes (max over classes PRESENT)
     flat_out: bool = True,  # 2D out block: 2 full-sublane stores per subgroup
     chunk_mt: bool = False,  # one chunk-wide meta transpose vs 24 per-subgroup
+    wide_store: int = 0,  # 128-lane out block: (2*txp,64)->(txp,128) reshape
+    # per store so every vreg row is fully used (flat_out's 64-lane stores
+    # write half-masked vregs); 1 = two (txp,128) stores per tile-row,
+    # 2 = one concatenated (2*txp,128) store. Row-major-identical layout.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     i = pl.program_id(0)
@@ -731,6 +735,24 @@ def _unpack_kernel_v5(
 
         if "rawout" in ablate:  # (timing ablation: raw pair-row layout)
             out_ref[pl.ds(j * sgp, sgp)] = vals.astype(jnp.uint16)
+        elif wide_store:
+            # (2*txp, 64) row-major == (txp, 128): the reshape interleaves
+            # adjacent sublanes into lane halves, so each store writes full
+            # 128-lane vreg rows (flat_out's 64-lane stores mask half of
+            # every vreg). Same HBM bytes, half the vreg rows per store.
+            u16 = vals.astype(jnp.uint16)
+            for t_local in range(tr_sub):
+                band = t_local * 2 * txp
+                r0 = (j * rows_per_sub + t_local * 4) * txp
+                w0 = u16[band : band + 2 * txp, 0:64].reshape(txp, 128)
+                w1 = u16[band : band + 2 * txp, 64:128].reshape(txp, 128)
+                if wide_store == 2:
+                    out_ref[pl.ds(r0 // 2, 2 * txp)] = jnp.concatenate(
+                        [w0, w1], axis=0
+                    )
+                else:
+                    out_ref[pl.ds(r0 // 2, txp)] = w0
+                    out_ref[pl.ds(r0 // 2 + txp, txp)] = w1
         elif flat_out:
             # The 3D (rows_chunk, txp, 64) out block is row-major-identical
             # to 2D (rows_chunk*txp, 64): out image rows 4j+2h+qr for
@@ -762,7 +784,7 @@ def _unpack_kernel_v5(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
-        "flat_out", "chunk_mt", "ablate", "interpret",
+        "flat_out", "chunk_mt", "wide_store", "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -779,6 +801,7 @@ def _unpack_image_pallas_v5(
     # classes PRESENT in the frame (v5_required_fields); 3 is always safe
     flat_out: bool = True,  # 2D out block, 2 stores/subgroup (see kernel)
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
+    wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
     ablate: str = "",
     interpret: bool = False,
 ):
@@ -817,6 +840,17 @@ def _unpack_image_pallas_v5(
         )
         out_shape = jax.ShapeDtypeStruct(
             (num_chunks * SUBGROUPS_V5 * sgp, 128), jnp.uint16
+        )
+    elif wide_store:
+        # Row-major-identical to the flat 2D block at double lane width:
+        # (2*txp, 64) value slabs reshape to (txp, 128) full-vreg rows.
+        out_spec = pl.BlockSpec(
+            (rows_chunk * txp // 2, 128),
+            lambda i, base: (i, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (num_chunks * rows_chunk * txp // 2, 128), jnp.uint16
         )
     elif flat_out:
         # Row-major-identical to the 3D (rows_chunk, txp, 64) block; the
@@ -867,6 +901,7 @@ def _unpack_image_pallas_v5(
         nfields=nfields,
         flat_out=flat_out,
         chunk_mt=chunk_mt,
+        wide_store=wide_store,
         ablate=ablate,
     )
     out = pl.pallas_call(
@@ -875,7 +910,9 @@ def _unpack_image_pallas_v5(
         out_shape=out_shape,
         interpret=interpret,
     )(base_rows, meta, tables, payload2d)
-    if flat_out and "smallout" not in ablate and "rawout" not in ablate:
+    if (flat_out or wide_store) and (
+        "smallout" not in ablate and "rawout" not in ablate
+    ):
         out = out.reshape(num_chunks * rows_chunk, txp, 64)
     return out
 

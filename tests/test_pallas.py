@@ -121,11 +121,15 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
     assert np.array_equal(out, img)
 
 
-@pytest.mark.parametrize("flat_out,chunk_mt", [(False, False), (True, True)])
-def test_pallas_v5_store_variants(rng, flat_out, chunk_mt):
-    """The legacy 3D-out store path and the chunk-wide meta transpose stay
-    exact: they are the A/B baselines for the flat-2D default
-    (benchmarks/probe_store2.py) and must not rot."""
+@pytest.mark.parametrize(
+    "flat_out,chunk_mt,wide_store",
+    [(False, False, 0), (True, True, 0), (True, False, 1), (True, False, 2)],
+)
+def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store):
+    """The legacy 3D-out store path, the chunk-wide meta transpose, and the
+    128-lane wide-store reshape layouts stay exact: they are the A/B
+    baselines for the flat-2D default (benchmarks/probe_store2.py,
+    benchmarks/ablate_sharp.py) and must not rot."""
     h, w = 24, 384  # tr_sub > 1 geometry exercises multi-band stores
     img = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
     payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
@@ -136,7 +140,8 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt):
     img3 = PK._unpack_image_pallas_v5(
         np.asarray(p2d), np.asarray(base_rows), np.asarray(meta),
         num_chunks=nc, txp=txp, tr_sub=tr_sub,
-        flat_out=flat_out, chunk_mt=chunk_mt, interpret=True,
+        flat_out=flat_out, chunk_mt=chunk_mt, wide_store=wide_store,
+        interpret=True,
     )
     got = np.asarray(img3).reshape(img3.shape[0], txp * 64)[:h, :w]
     assert np.array_equal(got, img)
