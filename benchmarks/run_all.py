@@ -68,7 +68,12 @@ def main():
             "tunnel submission cost per dispatch and defeats XLA CSE of "
             "identical pure calls); XLA-path timings are per-dispatch "
             "bursts. Best checksum-verified burst either way; the tunnel "
-            "still swings run-to-run"
+            "still swings run-to-run. *_ms_net fields subtract "
+            "harness_null_ms_per_frame (a no-work x8 program measured with "
+            "the identical harness — per-dispatch submission + the one "
+            "scalar force's RTT share, timing traps #5/#7); raw *_ms "
+            "fields keep the harness cost in, matching bench.py's "
+            "conservative headline discipline"
         ),
         "configs": {},
     }
@@ -111,6 +116,27 @@ def main():
             best = min(best, (time.perf_counter() - t0) / (iters * n_inline))
             assert total == (want * iters) % (1 << 32), "checksum mismatch"
         return best
+
+    null_ms = None
+    if on_tpu:
+        # Null calibration: the inline-x8 harness's own per-frame cost
+        # (per-dispatch tunnel submission + the amortized force RTT).
+        null_arg = (jax.device_put(np.ones((8, 128), np.uint16)),)
+        null_ms = (
+            timeit_dev_inline(
+                lambda a: device_checksum(a), null_arg, 8 * 128
+            )
+            * 1e3
+        )
+        results["harness_null_ms_per_frame"] = round(null_ms, 4)
+
+    def add_net(cfg, key):
+        """pallas_ms -> pallas_ms_net/pallas_fps_net via the null leg."""
+        if null_ms is None or key not in cfg:
+            return
+        net = max(cfg[key] - null_ms, 1e-6)
+        cfg[key.replace("_ms", "_ms_net")] = round(net, 3)
+        cfg[key.replace("_ms", "_fps_net")] = round(1e3 / net, 1)
 
     def timeit_dev(fn, want_one, n=90):
         """Chained-scalar timing (CLAUDE.md timing traps): every iteration's
@@ -188,6 +214,7 @@ def main():
             cfg["pallas_ms"] = round(dt * 1e3, 3)
             cfg["pallas_fps"] = round(1 / dt, 1)
             cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
+            add_net(cfg, "pallas_ms")
 
         # C++ reference floor
         try:
@@ -263,6 +290,7 @@ def main():
             cfg["pallas_ms"] = round(dt * 1e3, 3)
             cfg["pallas_fps"] = round(1 / dt, 1)
             cfg["pallas_out_gbps"] = round(h * w * 2 / dt / 1e9, 2)
+            add_net(cfg, "pallas_ms")
 
             # v6 device-prep path (host = scan only; meta laid out on chip)
             light = PL.prepare_legacy_light(payload, w, h)
@@ -283,6 +311,7 @@ def main():
                 dt = timeit_dev_inline(leg_v6, va, want)
                 cfg["v6_ms"] = round(dt * 1e3, 3)
                 cfg["v6_fps"] = round(1 / dt, 1)
+                add_net(cfg, "v6_ms")
         try:
             from tools import ref_shim
 
@@ -339,6 +368,7 @@ def main():
             "decode_develop_ms": round(dt * 1e3, 3),
             "fps": round(1 / dt, 1),
         }
+        add_net(results["configs"]["preview_4k"], "decode_develop_ms")
         print(json.dumps({"preview_4k": results["configs"]["preview_4k"]}),
               flush=True)
 
@@ -364,6 +394,7 @@ def main():
             "develop_ms": round(dt * 1e3, 3),
             "fps": round(1 / dt, 1),
         }
+        add_net(results["configs"]["develop_4032x3024"], "develop_ms")
         print(
             json.dumps(
                 {"develop_4032x3024": results["configs"]["develop_4032x3024"]}
