@@ -122,15 +122,24 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
 
 
 @pytest.mark.parametrize(
-    "flat_out,chunk_mt,wide_store",
-    [(False, False, 0), (True, True, 0), (True, False, 1), (True, False, 2)],
+    "flat_out,chunk_mt,wide_store,shape",
+    [
+        (False, False, 0, (24, 384)),
+        (True, True, 0, (24, 384)),
+        (True, False, 1, (24, 384)),
+        (True, False, 2, (24, 384)),
+        # tr_sub == 1 (the 4K-class geometry: >= 64 tiles across)
+        (True, False, 1, (8, 4096)),
+        (True, False, 2, (8, 4096)),
+    ],
 )
-def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store):
+def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
     """The legacy 3D-out store path, the chunk-wide meta transpose, and the
     128-lane wide-store reshape layouts stay exact: they are the A/B
     baselines for the flat-2D default (benchmarks/probe_store2.py,
-    benchmarks/ablate_sharp.py) and must not rot."""
-    h, w = 24, 384  # tr_sub > 1 geometry exercises multi-band stores
+    benchmarks/ablate_sharp.py) and must not rot. Both tr_sub branches of
+    the wide stores are pinned (multi-band 24x384, single-band 8x4096)."""
+    h, w = shape
     img = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
     payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
     from mcraw.kernels import unpack as U
