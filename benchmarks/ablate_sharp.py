@@ -55,11 +55,12 @@ VARIANTS = {
     "chunkmt": ("", {"chunk_mt": True}),
     "wide": ("", {"wide_store": 1}),
     "wide1": ("", {"wide_store": 2}),
+    "cdesc": ("", {"chunk_desc": True}),
 }
 
 DEFAULT = [
     "null", "empty", "skel-smallout", "skeleton",
-    "fields0", "fields1", "full", "wide", "wide1",
+    "fields0", "fields1", "full", "wide", "wide1", "cdesc",
 ]
 
 

@@ -103,6 +103,7 @@ def main():
         "empty": dict(flat_out=True, ablate="empty smallout"),
         "wide": dict(flat_out=True, wide_store=1),
         "wide1": dict(flat_out=True, wide_store=2),
+        "cdesc": dict(flat_out=True, chunk_desc=True),
     }
     names = sys.argv[1:] or ["flat", "legacy"]
     fns = {

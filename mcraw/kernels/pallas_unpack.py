@@ -468,6 +468,7 @@ def _unpack_kernel_v5(
     nfields: int = 3,  # static word-field passes (max over classes PRESENT)
     flat_out: bool = True,  # 2D out block: 2 full-sublane stores per subgroup
     chunk_mt: bool = False,  # one chunk-wide meta transpose vs 24 per-subgroup
+    chunk_desc: bool = False,  # one chunk-wide desc matmul vs 24 per-subgroup
     wide_store: int = 0,  # 128-lane out block: (2*txp,64)->(txp,128) reshape
     # per store so every vreg row is fully used (flat_out's 64-lane stores
     # write half-masked vregs); 1 = two (txp,128) stores per tile-row,
@@ -590,9 +591,34 @@ def _unpack_kernel_v5(
 
     mt_all = (
         jnp.transpose(meta, (1, 0))  # (BP, 8): one lane->sublane relayout
-        if chunk_mt and "nometa" not in ablate
+        if (chunk_mt or chunk_desc) and "nometa" not in ablate
         else None
     )
+
+    desc_all = None
+    if chunk_desc and "nometa" not in ablate and "nodesc" not in ablate:
+        # ONE (BP, 2*ncls) x (2*ncls, dw) descriptor matmul for the whole
+        # chunk instead of 24 per-subgroup (sgp, 2*ncls) ones — same MACs,
+        # 1/24th the MXU invocations; subgroups below take static sublane
+        # slices. Exactness unchanged (same one-hot fp32 HIGHEST contract).
+        # NOTE chunk_desc implies the chunk-wide meta transpose (mt_all is
+        # built above and the subgroup loop then slices it) — chunk_mt
+        # measured neutral on its own, so the A/B stays clean.
+        ids_bp = jax.lax.broadcasted_iota(jnp.int32, (bp, ncls), 1)
+        oh2_all = jnp.concatenate(
+            [
+                (ids_bp == mt_all[:, 2:3]).astype(jnp.float32),
+                (ids_bp == mt_all[:, 3:4]).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # (BP, 2*ncls)
+        dw_all = max(nfields, 1) * 128
+        desc_all = jnp.dot(
+            oh2_all,
+            tables_ref[:, :dw_all].astype(jnp.float32),
+            precision=hi,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (BP, dw_all)
 
     for j in range(SUBGROUPS_V5):
         # Scalars feed ONLY ref-level slices (scalar unit); all per-pair
@@ -640,21 +666,23 @@ def _unpack_kernel_v5(
         elif "fields" in ablate:
             nf = int(ablate[ablate.index("fields") + 6])
 
-        ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
-        oh2 = jnp.concatenate(
-            [
-                (ids == cls_e).astype(jnp.float32),
-                (ids == cls_o).astype(jnp.float32),
-            ],
-            axis=1,
-        )  # (sgp, 2*ncls)
         dw = max(nf, 1) * 128  # descriptor columns actually consumed
         if "nodesc" in ablate:  # (timing ablation: wrong results;
             # data-dependent so Mosaic keeps a real vector value)
             desc = (
                 jax.lax.broadcasted_iota(jnp.int32, (sgp, dw), 1) + cls_e
             ) & 31
+        elif desc_all is not None:  # chunk-wide matmul, static slice
+            desc = desc_all[j * sgp : (j + 1) * sgp, :dw]
         else:
+            ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
+            oh2 = jnp.concatenate(
+                [
+                    (ids == cls_e).astype(jnp.float32),
+                    (ids == cls_o).astype(jnp.float32),
+                ],
+                axis=1,
+            )  # (sgp, 2*ncls)
             desc = jnp.dot(
                 oh2,
                 tables_ref[:, :dw].astype(jnp.float32),
@@ -784,7 +812,8 @@ def _unpack_kernel_v5(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
-        "flat_out", "chunk_mt", "wide_store", "ablate", "interpret",
+        "flat_out", "chunk_mt", "chunk_desc", "wide_store", "ablate",
+        "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -801,6 +830,7 @@ def _unpack_image_pallas_v5(
     # classes PRESENT in the frame (v5_required_fields); 3 is always safe
     flat_out: bool = True,  # 2D out block, 2 stores/subgroup (see kernel)
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
+    chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
     ablate: str = "",
     interpret: bool = False,
@@ -901,6 +931,7 @@ def _unpack_image_pallas_v5(
         nfields=nfields,
         flat_out=flat_out,
         chunk_mt=chunk_mt,
+        chunk_desc=chunk_desc,
         wide_store=wide_store,
         ablate=ablate,
     )

@@ -131,6 +131,7 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         # tr_sub == 1 (the 4K-class geometry: >= 64 tiles across)
         (True, False, 1, (8, 4096)),
         (True, False, 2, (8, 4096)),
+        ("chunk_desc", None, 0, (24, 384)),  # chunk-wide desc matmul
     ],
 )
 def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
@@ -146,11 +147,15 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
 
     plan = U.prepare_modern(payload, w, h)
     p2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
+    kw = (
+        dict(chunk_desc=True)
+        if flat_out == "chunk_desc"
+        else dict(flat_out=flat_out, chunk_mt=chunk_mt,
+                  wide_store=wide_store)
+    )
     img3 = PK._unpack_image_pallas_v5(
         np.asarray(p2d), np.asarray(base_rows), np.asarray(meta),
-        num_chunks=nc, txp=txp, tr_sub=tr_sub,
-        flat_out=flat_out, chunk_mt=chunk_mt, wide_store=wide_store,
-        interpret=True,
+        num_chunks=nc, txp=txp, tr_sub=tr_sub, interpret=True, **kw,
     )
     got = np.asarray(img3).reshape(img3.shape[0], txp * 64)[:h, :w]
     assert np.array_equal(got, img)
