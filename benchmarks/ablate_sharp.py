@@ -41,6 +41,7 @@ VARIANTS = {
     "full": ("", {}),
     "empty": ("empty", {}),
     "skel-smallout": ("skeleton smallout", {}),
+    "skel-tinyout": ("skeleton tinyout", {}),
     "skeleton": ("skeleton", {}),
     "skel-nodma": ("skeleton nodma", {}),
     "fields0": ("fields0", {}),
@@ -59,9 +60,12 @@ VARIANTS = {
 }
 
 DEFAULT = [
-    "null", "empty", "skel-smallout", "skeleton",
+    "null", "empty", "skel-smallout", "skel-tinyout", "skeleton",
     "fields0", "fields1", "full", "wide", "wide1", "cdesc",
 ]
+# skel-smallout -> skel-tinyout isolates the out-block VMEM->HBM copy
+# (tinyout keeps the full-size out block, stores 1 row/subgroup);
+# skel-tinyout -> skeleton isolates VPU store issue.
 
 
 def main():
