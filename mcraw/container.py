@@ -134,6 +134,18 @@ class ContainerReader:
             raise IOException("Failed to read data")
         return bytes(self._buf[offset : offset + size])
 
+    def _read1(self, offset: int, size: int) -> bytes:
+        """The reference's single-item read form (Decoder.cpp:36-40):
+        `fread(data, size, 1, f)` returns 0 when size == 0, so a ZERO-SIZE
+        payload read throws "Failed to read data" — unlike the items-form
+        used for the index arrays, where `fread(data, 16, 0) == 0` items
+        succeeds. Zero-size container JSON / BUFFER / frame-METADATA /
+        AUDIO_DATA payloads must therefore fail exactly like the reference.
+        """
+        if size == 0:
+            raise IOException("Failed to read data")
+        return self._read(offset, size)
+
     def _read_item(self, offset: int) -> tuple[int, int, int]:
         """Returns (type, size, offset_past_item_header)."""
         t, size = ITEM_FMT.unpack(self._read(offset, ITEM_FMT.size))
@@ -152,7 +164,7 @@ class ContainerReader:
         t, size, pos = self._read_item(HEADER_FMT.size)
         if t != ItemType.METADATA:
             raise IOException("Invalid camera metadata")
-        self.container_metadata: dict = json.loads(self._read(pos, size))
+        self.container_metadata: dict = json.loads(self._read1(pos, size))
 
         self._read_index()
         self._reindex_offsets()
@@ -229,6 +241,8 @@ class ContainerReader:
         t, size, after = self._read_item(pos)
         if t != ItemType.BUFFER:
             raise IOException("Invalid buffer type")
+        if size == 0:  # reference read(f, buf, 0) throws (Decoder.cpp:36-40)
+            raise IOException("Failed to read data")
         payload = self._data[after : after + size]
         if len(payload) != size:
             raise IOException("Failed to read data")
@@ -236,7 +250,7 @@ class ContainerReader:
         t, msize, mafter = self._read_item(after + size)
         if t != ItemType.METADATA:
             raise IOException("Invalid metadata")
-        metadata = json.loads(self._read(mafter, msize))
+        metadata = json.loads(self._read1(mafter, msize))
         return payload, metadata
 
     def frame_payload_window(
@@ -270,10 +284,12 @@ class ContainerReader:
         t, size, after = self._read_item(pos)
         if t != ItemType.AUDIO_DATA:
             raise IOException("Invalid audio data")
-        raw = self._read(after, size)
+        raw = self._read1(after, size)
         # (size+1)//2 samples; odd byte counts leave the final sample's high
         # byte zero, matching tmp.resize((size+1)/2) + partial read
-        # (Decoder.cpp:54-57).
+        # (Decoder.cpp:54-57). Zero-size chunks RAISE via _read1 — the
+        # reference's fread(_, 0, 1) != 1 throw escapes loadAudio's skip
+        # (which only covers seek failures), aborting the whole audio load.
         buf = raw + b"\x00" * (len(raw) & 1)
         samples = np.frombuffer(buf, dtype="<i2").copy()
 

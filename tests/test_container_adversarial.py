@@ -323,3 +323,90 @@ def test_truncated_frame_payload_item_raises(rng):
     r2 = ContainerReader(bytes(blob))
     with pytest.raises(IOException):
         r2.frame_payload(1000)
+
+
+def test_zero_size_audio_chunk_parity(tmp_path, rng, ref_example):
+    """A ZERO-length AUDIO_DATA chunk aborts the reference entirely: its
+    read() is fread(data, 0, 1), which returns 0 != 1 items and throws
+    "Failed to read data" (Decoder.cpp:36-40, :57) — and the exception
+    escapes loadAudio's skip, which only covers FSEEK failures
+    (Decoder.cpp:173-174). Found by tools/soak_container.py; we mirror
+    the abort exactly (container.py _read1)."""
+    w = DialectWriter()
+    w.add_frame(1000, _img(rng))
+    w.add_audio(np.full(64, 3, dtype="<i2").tobytes(), ts_ns=1)
+    w.add_audio(b"", ts_ns=2)  # zero-size: reference throws here
+    ref_dir, my_dir = _run_both(
+        tmp_path, w.finish(), ref_example, expect_fail=True
+    )
+    # The example fails during writeAudio, before any DNG: no output files.
+    _assert_tree_equal(ref_dir, my_dir)
+
+
+def test_zero_size_audio_chunk_loader_semantics(rng):
+    """Library surface: batch load_audio RAISES (the reference exception
+    propagates; it does not skip), and the streaming loader raises at that
+    chunk after yielding earlier ones."""
+    from mcraw import Decoder
+
+    w = DialectWriter()
+    w.add_frame(1000, _img(rng))
+    w.add_audio(np.full(64, 3, dtype="<i2").tobytes(), ts_ns=1)
+    w.add_audio(b"", ts_ns=2)
+    d = Decoder(w.finish(), backend="numpy")
+    with pytest.raises(IOException):
+        d.load_audio()
+    it = d.audio_chunks()
+    ts, samples = next(it)
+    assert ts == 1 and len(samples) == 64
+    with pytest.raises(IOException):
+        next(it)
+
+
+def test_zero_size_frame_metadata_parity(tmp_path, rng, ref_example):
+    """A frame whose METADATA item has size 0: the reference writes
+    audio.wav, then loadFrame's json read throws (fread(_, 0, 1) != 1).
+    Both CLIs fail; the partial trees (audio only) match."""
+    w = DialectWriter()
+    w.add_frame(1000, _img(rng))
+    off = w.item(C.ItemType.BUFFER, E.encode_modern(_img(rng)))
+    w.item(C.ItemType.METADATA, b"")  # zero-size frame JSON
+    w.frame_entries.append((off, 2000))
+    w.add_audio(np.full(32, 5, dtype="<i2").tobytes(), ts_ns=1)
+    ref_dir, my_dir = _run_both(
+        tmp_path, w.finish(), ref_example, expect_fail=True
+    )
+    _assert_tree_equal(ref_dir, my_dir)
+
+
+def test_zero_size_buffer_payload_parity(tmp_path, rng, ref_example):
+    """A frame whose BUFFER item has size 0 fails the same way (the
+    reference's payload read throws before raw::Decode ever runs)."""
+    w = DialectWriter()
+    off = w.item(C.ItemType.BUFFER, b"")
+    w.item(
+        C.ItemType.METADATA,
+        json.dumps(example_frame_metadata(128, 32)).encode(),
+    )
+    w.frame_entries.append((off, 1000))
+    ref_dir, my_dir = _run_both(
+        tmp_path, w.finish(), ref_example, expect_fail=True
+    )
+    _assert_tree_equal(ref_dir, my_dir)
+
+
+def test_zero_size_container_metadata_parity(tmp_path, ref_example):
+    """Container JSON item of size 0: Decoder construction fails in both
+    (the reference throws at init's metadata read, Decoder.cpp:130-141)."""
+    blob = bytearray()
+    blob += C.HEADER_FMT.pack(C.CONTAINER_ID, C.CONTAINER_VERSION)
+    blob += C.ITEM_FMT.pack(int(C.ItemType.METADATA), 0)
+    # a structurally valid empty tail so only the metadata read can fail
+    index_data_offset = len(blob) + C.ITEM_FMT.size
+    blob += C.ITEM_FMT.pack(int(C.ItemType.BUFFER_INDEX_DATA), 0)
+    blob += C.ITEM_FMT.pack(int(C.ItemType.BUFFER_INDEX), C.BUFFER_INDEX_FMT.size)
+    blob += C.BUFFER_INDEX_FMT.pack(C.INDEX_MAGIC_I32, 0, index_data_offset)
+    ref_dir, my_dir = _run_both(
+        tmp_path, bytes(blob), ref_example, expect_fail=True
+    )
+    _assert_tree_equal(ref_dir, my_dir)

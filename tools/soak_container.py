@@ -50,13 +50,15 @@ def author_random_clip(rng, path):
         fm = example_frame_metadata(w, h, compression_type=codec)
         wr.add_frame(ts, payload, fm)
         ts += int(rng.integers(1, 50_000_000))
-        # Interleave audio randomly: zero-length chunks and missing
-        # timestamps are legal per the reference walk. Sample counts are
-        # kept a multiple of the channel count: an odd STEREO count makes
-        # the reference example read past its vector (example.cpp:40-42,
-        # UB we deliberately do not inherit — our CLI drops the trailing
-        # sample, pinned by test_odd_samples_stereo_truncates), so byte
-        # parity is undefined there by design.
+        # Interleave audio randomly; missing timestamps are legal per the
+        # reference walk. Sample counts stay a multiple of the channel
+        # count: an odd STEREO count makes the reference example read past
+        # its vector (example.cpp:40-42, UB we deliberately do not inherit
+        # — our CLI drops the trailing sample, pinned by
+        # test_odd_samples_stereo_truncates), so byte parity is undefined
+        # there by design. n == 0 stays in: a zero-size AUDIO_DATA chunk
+        # aborts BOTH CLIs identically (the reference fread(_, 0, 1) throw,
+        # mirrored by container._read1 — this soak found that quirk).
         for _ in range(int(rng.integers(0, 3))):
             n = int(rng.integers(0, 2000)) // channels * channels
             samples = rng.integers(-32768, 32768, size=n).astype(np.int16)
