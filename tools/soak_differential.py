@@ -82,15 +82,25 @@ def main():
         h = int(rng.integers(4, 200)) & ~3 or 4
         w = int(rng.integers(16, 700))
         img = random_image(rng, h, w)
-        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        # Random over-padded encode geometry exercises the crop-from-
+        # encodedWidth semantics (RawData.cpp:598-608): encodedWidth is any
+        # 64-multiple >= w, encodedHeight any 4-multiple >= h.
+        ew = (w + 63) // 64 * 64 + 64 * int(rng.integers(0, 3))
+        eh = (h + 3) // 4 * 4 + 4 * int(rng.integers(0, 3))
+        payload = np.frombuffer(
+            E.encode_modern(img, encoded_width=ew, encoded_height=eh),
+            dtype=np.uint8,
+        )
         # The jitted XLA leg retraces per geometry (seconds each on this
         # 1-vCPU box), so sample it; oracle-vs-reference runs every iter.
         do_xla = iters % 10 == 1
         try:
             n_ref, ref = ref_shim.ref_decode(payload, w, h)
             ours = NR.decode_modern(payload, w, h)
+            # The reference writes encodedHeight rows regardless of the
+            # requested height (RawData.cpp:571-609) — n_ref is eh * w.
             ok = (
-                n_ref == h * w
+                n_ref == eh * w
                 and np.array_equal(ref[:h, :w], img)
                 and np.array_equal(ours, img)
             )
@@ -116,7 +126,19 @@ def main():
 
         # Legacy: same image, legacy codec (internally pads width to 32).
         try:
-            pl = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+            # Random chunk-table shape: absent, or chunks of random height
+            # (exercises the chunk-parallel host scan + the backwards 0xFF
+            # table walk, RawData_Legacy.cpp:452-469).
+            table = bool(rng.integers(0, 2))
+            crows = (
+                None if rng.integers(0, 2) else int(rng.integers(1, h + 4))
+            )
+            pl = np.frombuffer(
+                E.encode_legacy(
+                    img, chunk_rows=crows, add_offset_table=table
+                ),
+                dtype=np.uint8,
+            )
             n_ref, ref = ref_shim.ref_decode_legacy(pl, w, h)
             ours = NR.decode_legacy(pl, w, h)
             ok = (
