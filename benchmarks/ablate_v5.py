@@ -1,6 +1,12 @@
 #!/usr/bin/env python3
 """On-chip cost attribution for the v5 kernel: time stage-skip variants.
 
+DEPRECATED for attribution: this harness predates timing trap #7 — its
+per-variant numbers carry ~0.3-0.4 ms/frame of harness (per-dispatch
+tunnel submission + the chained force's RTT share). Use
+benchmarks/ablate_sharp.py (inline-xN, null-calibrated) instead; kept
+for history and because its variant flags document the kernel stages.
+
 Ablated variants produce WRONG pixels by design — they only exist to
 measure where the kernel's time goes (outputs are still forced via a
 chained D2H scalar so nothing is elided). The "" baseline is
