@@ -150,13 +150,20 @@ def main():
 
     names = sys.argv[1:] or DEFAULT
     fns = {}
+    failed = {}
     for v in names:
-        if v == "null":
-            fns[v] = make_null()
-        else:
-            ab, kw = VARIANTS[v]
-            fns[v] = make_xn(ab, kw, check=(ab == ""))
-        print(f"{v} compiled", flush=True)
+        try:
+            if v == "null":
+                fns[v] = make_null()
+            else:
+                ab, kw = VARIANTS[v]
+                fns[v] = make_xn(ab, kw, check=(ab == ""))
+            print(f"{v} compiled", flush=True)
+        except Exception as e:  # noqa: BLE001 — a Mosaic-rejected variant
+            # must not kill the rest of the ladder
+            failed[v] = repr(e)[:300]
+            print(f"{v} FAILED TO COMPILE: {failed[v]}", flush=True)
+    names = [v for v in names if v in fns]
 
     results = {v: [] for v in names}
     for _ in range(5):  # interleaved rounds
@@ -176,7 +183,7 @@ def main():
     summary["_meta"] = {
         "null_ms": null_ms, "iters": ITERS, "inline_n": N,
         "geometry": [H, W], "nfields": nf, "rows": rows,
-        "sub_rows": sub_rows,
+        "sub_rows": sub_rows, "failed": failed,
     }
     print(json.dumps(summary))
     tag = "_".join(names)[:48].replace(" ", "-")
