@@ -189,9 +189,15 @@ def main():
 
     names = sys.argv[1:] or ["null", "lv5", "lv6"]
     fns = {}
+    failed = {}
     for v in names:
-        fns[v] = MAKERS[v]()
-        print(f"{v} compiled", flush=True)
+        try:
+            fns[v] = MAKERS[v]()
+            print(f"{v} compiled", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the rest of the legs
+            failed[v] = repr(e)[:300]
+            print(f"{v} FAILED TO COMPILE: {failed[v]}", flush=True)
+    names = [v for v in names if v in fns]
 
     results = {v: [] for v in names}
     for _ in range(5):
@@ -206,7 +212,7 @@ def main():
     }
     summary["_meta"] = {
         "null_ms": null_ms, "iters": ITERS, "inline_n": N,
-        "geometry": [H, W], "rows_v5": lrows, "rows_v6": v6rows,
+        "geometry": [H, W], "rows_v5": lrows, "rows_v6": v6rows, "failed": failed,
     }
     print(json.dumps(summary))
     tag = "_".join(names)[:48].replace(" ", "-")

@@ -165,9 +165,15 @@ def main():
 
     names = sys.argv[1:] or ["null", "v5", "v6", "v6prep"]
     fns = {}
+    failed = {}
     for v in names:
-        fns[v] = MAKERS[v]()
-        print(f"{v} compiled", flush=True)
+        try:
+            fns[v] = MAKERS[v]()
+            print(f"{v} compiled", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the rest of the legs
+            failed[v] = repr(e)[:300]
+            print(f"{v} FAILED TO COMPILE: {failed[v]}", flush=True)
+    names = [v for v in names if v in fns]
 
     results = {v: [] for v in names}
     for _ in range(5):  # interleaved rounds
@@ -183,7 +189,7 @@ def main():
     summary["_meta"] = {
         "null_ms": null_ms, "iters": ITERS, "inline_n": N,
         "geometry": [H, W], "nfields": nf, "rows": rows,
-        "sub_rows": sub_rows,
+        "sub_rows": sub_rows, "failed": failed,
     }
     print(json.dumps(summary))
     tag = "_".join(names)[:48].replace(" ", "-")
