@@ -57,6 +57,7 @@ VARIANTS = {
     "wide": ("", {"wide_store": 1}),
     "wide1": ("", {"wide_store": 2}),
     "cdesc": ("", {"chunk_desc": True}),
+    "bytes": ("", {"plane_mode": "bytes"}),
 }
 
 DEFAULT = [

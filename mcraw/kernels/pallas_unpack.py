@@ -473,6 +473,12 @@ def _unpack_kernel_v5(
     # per store so every vreg row is fully used (flat_out's 64-lane stores
     # write half-masked vregs); 1 = two (txp,128) stores per tile-row,
     # 2 = one concatenated (2*txp,128) store. Row-major-identical layout.
+    plane_mode: str = "halves",  # pick-operand layout: "halves" = f32
+    # 16-bit half planes (256 wide, HIGHEST 6-pass dot), "bytes" = bf16
+    # byte planes (512 wide, DEFAULT 1-pass dot — bf16 exact for <= 255;
+    # same VMEM bytes, ~3x fewer MXU tile-passes, +2 converts +2 shift/or
+    # per pick-merge). Re-test of the v5.1 rejection now that planes are
+    # chunk-wide: the old per-subgroup byte-plane build cost is amortized.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     i = pl.program_id(0)
@@ -579,15 +585,31 @@ def _unpack_kernel_v5(
     # contract garbage.
     @pl.when(i == 0)
     def _():
-        planes_ref[pl.ds(rows, 8), :] = jnp.zeros((8, 256), jnp.float32)
+        planes_ref[pl.ds(rows, 8), :] = jnp.zeros(
+            (8, planes_ref.shape[1]), planes_ref.dtype
+        )
 
     local_all = scratch_ref[slot]  # (rows, 128)
-    planes_ref[pl.ds(0, rows), 0:128] = (local_all & 0xFFFF).astype(
-        jnp.float32
-    )
-    planes_ref[pl.ds(0, rows), 128:256] = jax.lax.shift_right_logical(
-        local_all, 16
-    ).astype(jnp.float32)
+    if plane_mode == "bytes":
+        planes_ref[pl.ds(0, rows), 0:128] = (local_all & 0xFF).astype(
+            jnp.bfloat16
+        )
+        planes_ref[pl.ds(0, rows), 128:256] = (
+            jax.lax.shift_right_logical(local_all, 8) & 0xFF
+        ).astype(jnp.bfloat16)
+        planes_ref[pl.ds(0, rows), 256:384] = (
+            jax.lax.shift_right_logical(local_all, 16) & 0xFF
+        ).astype(jnp.bfloat16)
+        planes_ref[pl.ds(0, rows), 384:512] = jax.lax.shift_right_logical(
+            local_all, 24
+        ).astype(jnp.bfloat16)
+    else:
+        planes_ref[pl.ds(0, rows), 0:128] = (local_all & 0xFFFF).astype(
+            jnp.float32
+        )
+        planes_ref[pl.ds(0, rows), 128:256] = jax.lax.shift_right_logical(
+            local_all, 16
+        ).astype(jnp.float32)
 
     mt_all = (
         jnp.transpose(meta, (1, 0))  # (BP, 8): one lane->sublane relayout
@@ -707,28 +729,51 @@ def _unpack_kernel_v5(
         # single bf16 term, any 16-bit value splits into hi+mid terms),
         # but Mosaic only lowers DEFAULT and HIGHEST dot precisions —
         # Precision.HIGH raises NotImplementedError in the TPU lowering.
-        def pick(oh):
-            return jnp.dot(
-                oh, planes, precision=hi, preferred_element_type=jnp.float32
-            )
+        # plane_mode="bytes" sidesteps this: byte operands are bf16-exact,
+        # so a DEFAULT single-pass dot is exact with no decomposition.
+        if plane_mode == "bytes":
+            def pick(oh):
+                return jnp.dot(
+                    oh.astype(jnp.bfloat16),
+                    planes,
+                    preferred_element_type=jnp.float32,
+                )
+        else:
+            def pick(oh):
+                return jnp.dot(
+                    oh.astype(jnp.float32),
+                    planes,
+                    precision=hi,
+                    preferred_element_type=jnp.float32,
+                )
 
         # A pair spans <= 64 words, so rows q8, q8+1 always cover both
         # windows of the off8-based plane slice.
-        p0 = pick((row_ids == q8).astype(jnp.float32))
-        p1 = pick((row_ids == q8 + 1).astype(jnp.float32))
+        p0 = pick(row_ids == q8)
+        p1 = pick(row_ids == q8 + 1)
 
         # Merged-row trick: the pair window is [t, t+64) with t = t0_e,
         # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
         # One select builds a single 128-lane source; every field then needs
         # ONE gather at (widx & 127) instead of two + a per-field select.
-        # The select runs in f32 256-half-plane space BEFORE the int32
-        # convert + halves-combine, so convert/shift/or happen once, not
-        # twice (f32 select of exact integers < 2^24 stays exact). Column c
-        # of the 256-wide half planes belongs to word lane c & 127.
+        # The select runs in f32 plane space BEFORE the int32 convert +
+        # plane-combine, so convert/shift/or happen once, not twice (f32
+        # select of exact integers < 2^24 stays exact). Column c of the
+        # plane row belongs to word lane c & 127.
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        lane256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1) & 127
-        pm = jnp.where(lane256 >= t0_e, p0, p1).astype(jnp.int32)
-        merged = pm[:, 0:128] | (pm[:, 128:256] << 16)
+        lanep = jax.lax.broadcasted_iota(
+            jnp.int32, (1, planes.shape[1]), 1
+        ) & 127
+        pm = jnp.where(lanep >= t0_e, p0, p1).astype(jnp.int32)
+        if plane_mode == "bytes":
+            merged = (
+                pm[:, 0:128]
+                | (pm[:, 128:256] << 8)
+                | (pm[:, 256:384] << 16)
+                | (pm[:, 384:512] << 24)
+            )
+        else:
+            merged = pm[:, 0:128] | (pm[:, 128:256] << 16)
         if "nopick" in ablate:  # (timing ablation: wrong results; the
             # scalar read keeps the span DMA live)
             merged = (t0_e ^ scratch_ref[slot, 0, 0]) + lane_ids
@@ -812,8 +857,8 @@ def _unpack_kernel_v5(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
-        "flat_out", "chunk_mt", "chunk_desc", "wide_store", "ablate",
-        "interpret",
+        "flat_out", "chunk_mt", "chunk_desc", "wide_store", "plane_mode",
+        "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -832,6 +877,7 @@ def _unpack_image_pallas_v5(
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
+    plane_mode: str = "halves",  # pick-operand planes (see kernel)
     ablate: str = "",
     interpret: bool = False,
 ):
@@ -917,7 +963,10 @@ def _unpack_image_pallas_v5(
         scratch_shapes=[
             pltpu.VMEM((2, rows, 128), jnp.int32),
             # +8 tail rows: zeroed overhang for the 8-aligned slices.
-            pltpu.VMEM((rows + 8, 256), jnp.float32),
+            # Same VMEM bytes either way: 256 f32 lanes == 512 bf16 lanes.
+            pltpu.VMEM((rows + 8, 512), jnp.bfloat16)
+            if plane_mode == "bytes"
+            else pltpu.VMEM((rows + 8, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -933,6 +982,7 @@ def _unpack_image_pallas_v5(
         chunk_mt=chunk_mt,
         chunk_desc=chunk_desc,
         wide_store=wide_store,
+        plane_mode=plane_mode,
         ablate=ablate,
     )
     out = pl.pallas_call(

@@ -132,6 +132,9 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         (True, False, 1, (8, 4096)),
         (True, False, 2, (8, 4096)),
         ("chunk_desc", None, 0, (24, 384)),  # chunk-wide desc matmul
+        # bf16 byte planes (1-pass DEFAULT picks), both tr_sub branches
+        ("bytes", None, 0, (24, 384)),
+        ("bytes", None, 0, (8, 4096)),
     ],
 )
 def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
@@ -147,12 +150,13 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
 
     plan = U.prepare_modern(payload, w, h)
     p2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
-    kw = (
-        dict(chunk_desc=True)
-        if flat_out == "chunk_desc"
-        else dict(flat_out=flat_out, chunk_mt=chunk_mt,
+    if flat_out == "chunk_desc":
+        kw = dict(chunk_desc=True)
+    elif flat_out == "bytes":
+        kw = dict(plane_mode="bytes")
+    else:
+        kw = dict(flat_out=flat_out, chunk_mt=chunk_mt,
                   wide_store=wide_store)
-    )
     img3 = PK._unpack_image_pallas_v5(
         np.asarray(p2d), np.asarray(base_rows), np.asarray(meta),
         num_chunks=nc, txp=txp, tr_sub=tr_sub, interpret=True, **kw,
