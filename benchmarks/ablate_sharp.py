@@ -57,7 +57,9 @@ VARIANTS = {
     "wide": ("", {"wide_store": 1}),
     "wide1": ("", {"wide_store": 2}),
     "cdesc": ("", {"chunk_desc": True}),
-    "bytes": ("", {"plane_mode": "bytes"}),
+    "bytes": ("", {"plane_mode": "bytes"}),  # == full since the default flip
+    "halves": ("", {"plane_mode": "halves"}),  # the pre-flip default
+    "packed": ("", {"plane_mode": "packed"}),  # one-dot pair-row pick
 }
 
 DEFAULT = [

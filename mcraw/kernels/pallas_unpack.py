@@ -473,12 +473,18 @@ def _unpack_kernel_v5(
     # per store so every vreg row is fully used (flat_out's 64-lane stores
     # write half-masked vregs); 1 = two (txp,128) stores per tile-row,
     # 2 = one concatenated (2*txp,128) store. Row-major-identical layout.
-    plane_mode: str = "halves",  # pick-operand layout: "halves" = f32
-    # 16-bit half planes (256 wide, HIGHEST 6-pass dot), "bytes" = bf16
+    plane_mode: str = "bytes",  # pick-operand layout: "bytes" = bf16
     # byte planes (512 wide, DEFAULT 1-pass dot — bf16 exact for <= 255;
-    # same VMEM bytes, ~3x fewer MXU tile-passes, +2 converts +2 shift/or
-    # per pick-merge). Re-test of the v5.1 rejection now that planes are
-    # chunk-wide: the old per-subgroup byte-plane build cost is amortized.
+    # ~3x fewer MXU tile-passes, +2 converts +2 shift/or per pick-merge),
+    # "packed" = byte planes with BOTH pair rows fetched in ONE dot (the
+    # one-hot carries {1, 256}: c = p0 + (p1 << 8) <= 65535 stays exact,
+    # the pair-row select becomes a variable right-shift), "halves" = f32
+    # 16-bit half planes (256 wide, HIGHEST 6-pass dot).
+    # Same VMEM bytes either way. The v5.1 byte-plane rejection predated
+    # chunk-wide planes (per-subgroup build cost dominated); re-measured
+    # sharp with chunk-wide planes, bytes wins 0.652 vs 0.720 ms net
+    # (ablate_sharp_null_full_bytes_mergedout_nopick.json) and is the
+    # default.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     i = pl.program_id(0)
@@ -590,7 +596,7 @@ def _unpack_kernel_v5(
         )
 
     local_all = scratch_ref[slot]  # (rows, 128)
-    if plane_mode == "bytes":
+    if plane_mode != "halves":
         planes_ref[pl.ds(0, rows), 0:128] = (local_all & 0xFF).astype(
             jnp.bfloat16
         )
@@ -712,14 +718,16 @@ def _unpack_kernel_v5(
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)  # (sgp, nf*128)
 
-        # Pick operands are the chunk-wide f32 16-bit half planes (f32-exact
-        # < 2^24 under a one-hot HIGHEST matmul): half the plane-build,
-        # convert, and reassembly cost of byte planes. Measured faster than
-        # 4 bf16 byte planes despite the 6-pass HIGHEST dot (VPU is the
-        # bottleneck, not the MXU). Mosaic requires a provably 8-aligned
-        # sublane start for the f32 load feeding the matmul: the subgroup
-        # offset is rounded down to off8 and the remainder is already folded
-        # into the q8 meta row by prep.
+        # Pick operands are the chunk-wide planes: bf16 byte planes by
+        # default (bf16-exact for values <= 255 under a one-hot DEFAULT
+        # dot), f32 16-bit half planes as the "halves" fallback (f32-exact
+        # < 2^24 under a one-hot HIGHEST matmul). With chunk-wide plane
+        # builds, bytes wins on device (0.652 vs 0.720 ms net, sharp
+        # harness); the opposite held in v5.1 when planes were rebuilt per
+        # subgroup. Mosaic requires a provably 8-aligned sublane start for
+        # the plane load feeding the matmul: the subgroup offset is rounded
+        # down to off8 and the remainder is already folded into the q8 meta
+        # row by prep.
         planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
 
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows + 8), 1)
@@ -729,43 +737,68 @@ def _unpack_kernel_v5(
         # single bf16 term, any 16-bit value splits into hi+mid terms),
         # but Mosaic only lowers DEFAULT and HIGHEST dot precisions —
         # Precision.HIGH raises NotImplementedError in the TPU lowering.
-        # plane_mode="bytes" sidesteps this: byte operands are bf16-exact,
-        # so a DEFAULT single-pass dot is exact with no decomposition.
-        if plane_mode == "bytes":
-            def pick(oh):
-                return jnp.dot(
-                    oh.astype(jnp.bfloat16),
-                    planes,
-                    preferred_element_type=jnp.float32,
-                )
-        else:
-            def pick(oh):
-                return jnp.dot(
-                    oh.astype(jnp.float32),
-                    planes,
-                    precision=hi,
-                    preferred_element_type=jnp.float32,
-                )
-
-        # A pair spans <= 64 words, so rows q8, q8+1 always cover both
-        # windows of the off8-based plane slice.
-        p0 = pick(row_ids == q8)
-        p1 = pick(row_ids == q8 + 1)
-
-        # Merged-row trick: the pair window is [t, t+64) with t = t0_e,
-        # so row0's used lanes are [t, 128) and row1's are [0, t) — disjoint.
-        # One select builds a single 128-lane source; every field then needs
-        # ONE gather at (widx & 127) instead of two + a per-field select.
-        # The select runs in f32 plane space BEFORE the int32 convert +
-        # plane-combine, so convert/shift/or happen once, not twice (f32
-        # select of exact integers < 2^24 stays exact). Column c of the
-        # plane row belongs to word lane c & 127.
+        # plane_mode="bytes"/"packed" sidestep this: byte operands are
+        # bf16-exact, so a DEFAULT single-pass dot is exact with no
+        # decomposition.
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         lanep = jax.lax.broadcasted_iota(
             jnp.int32, (1, planes.shape[1]), 1
         ) & 127
-        pm = jnp.where(lanep >= t0_e, p0, p1).astype(jnp.int32)
-        if plane_mode == "bytes":
+        # Merged-row trick (both branches): the pair window is [t, t+64)
+        # with t = t0_e, so row0's used lanes are [t, 128) and row1's are
+        # [0, t) — disjoint. One per-lane select builds a single 128-lane
+        # source; every field then needs ONE gather at (widx & 127)
+        # instead of two + a per-field select. Column c of the plane row
+        # belongs to word lane c & 127.
+        if plane_mode == "packed":
+            # ONE dot fetches BOTH pair rows: the "one-hot" carries 1 at
+            # row q8 and 256 at row q8+1, so c = p0 + (p1 << 8). Exact
+            # under a DEFAULT bf16 dot: {1, 256} and byte operands are
+            # bf16-exact, each product <= 0xFF00 is a byte's 8 significand
+            # bits exponent-shifted, and the two-term f32 accumulation
+            # <= 65535 < 2^24. The pair-row select then becomes a variable
+            # right-shift of the int32 c (p0 = c & 255, p1 = c >> 8).
+            oh = (row_ids == q8).astype(jnp.int32) + (
+                (row_ids == q8 + 1).astype(jnp.int32) << 8
+            )
+            c = jnp.dot(
+                oh.astype(jnp.bfloat16),
+                planes,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            pm = (
+                jax.lax.shift_right_logical(
+                    c, jnp.where(lanep >= t0_e, 0, 8)
+                )
+                & 0xFF
+            )
+        else:
+            if plane_mode == "bytes":
+                def pick(oh):
+                    return jnp.dot(
+                        oh.astype(jnp.bfloat16),
+                        planes,
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                def pick(oh):
+                    return jnp.dot(
+                        oh.astype(jnp.float32),
+                        planes,
+                        precision=hi,
+                        preferred_element_type=jnp.float32,
+                    )
+
+            # A pair spans <= 64 words, so rows q8, q8+1 always cover both
+            # windows of the off8-based plane slice.
+            p0 = pick(row_ids == q8)
+            p1 = pick(row_ids == q8 + 1)
+
+            # The select runs in f32 plane space BEFORE the int32 convert
+            # + plane-combine, so convert/shift/or happen once, not twice
+            # (f32 select of exact integers < 2^24 stays exact).
+            pm = jnp.where(lanep >= t0_e, p0, p1).astype(jnp.int32)
+        if plane_mode != "halves":
             merged = (
                 pm[:, 0:128]
                 | (pm[:, 128:256] << 8)
@@ -877,7 +910,7 @@ def _unpack_image_pallas_v5(
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
-    plane_mode: str = "halves",  # pick-operand planes (see kernel)
+    plane_mode: str = "bytes",  # pick-operand planes (see kernel)
     ablate: str = "",
     interpret: bool = False,
 ):
@@ -965,7 +998,7 @@ def _unpack_image_pallas_v5(
             # +8 tail rows: zeroed overhang for the 8-aligned slices.
             # Same VMEM bytes either way: 256 f32 lanes == 512 bf16 lanes.
             pltpu.VMEM((rows + 8, 512), jnp.bfloat16)
-            if plane_mode == "bytes"
+            if plane_mode != "halves"
             else pltpu.VMEM((rows + 8, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],

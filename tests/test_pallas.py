@@ -132,9 +132,14 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         (True, False, 1, (8, 4096)),
         (True, False, 2, (8, 4096)),
         ("chunk_desc", None, 0, (24, 384)),  # chunk-wide desc matmul
-        # bf16 byte planes (1-pass DEFAULT picks), both tr_sub branches
-        ("bytes", None, 0, (24, 384)),
-        ("bytes", None, 0, (8, 4096)),
+        # f32 16-bit-half planes (6-pass HIGHEST picks) — the non-default
+        # fallback now that bf16 byte planes are the default; both tr_sub
+        # branches stay pinned
+        ("halves", None, 0, (24, 384)),
+        ("halves", None, 0, (8, 4096)),
+        # one-dot pair-row pick (c = p0 + (p1 << 8), variable-shift select)
+        ("packed", None, 0, (24, 384)),
+        ("packed", None, 0, (8, 4096)),
     ],
 )
 def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
@@ -152,8 +157,8 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
     p2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
     if flat_out == "chunk_desc":
         kw = dict(chunk_desc=True)
-    elif flat_out == "bytes":
-        kw = dict(plane_mode="bytes")
+    elif flat_out in ("halves", "packed"):
+        kw = dict(plane_mode=flat_out)
     else:
         kw = dict(flat_out=flat_out, chunk_mt=chunk_mt,
                   wide_store=wide_store)
