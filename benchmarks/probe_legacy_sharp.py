@@ -96,7 +96,7 @@ def main():
             sum(expected[k % 4] for k in range(N)) + N * (N - 1) // 2
         ) % (1 << 32)
 
-    def make_lv5():
+    def make_lv5(plane_mode="halves"):
         argsets = [
             tuple(map(jax.device_put, chunked[k % 4][:3])) for k in range(N)
         ]
@@ -107,7 +107,7 @@ def main():
             for k in range(N):
                 a = flat_args[3 * k : 3 * k + 3]
                 out = PL._unpack_legacy_pallas_v5.__wrapped__(
-                    *a, num_chunks=nc, rows=lrows
+                    *a, num_chunks=nc, rows=lrows, plane_mode=plane_mode
                 )
                 im = out[: H * segs].reshape(H, segs * 128)[:, :W]
                 acc = acc + consume(k, im)
@@ -125,7 +125,7 @@ def main():
         ]
         return [x for a in argsets for x in a]
 
-    def make_lv6():
+    def make_lv6(plane_mode="halves"):
         flat = v6_args()
 
         def xn(*flat_args):
@@ -133,7 +133,8 @@ def main():
             for k in range(N):
                 p32, offs, bits, refs = flat_args[4 * k : 4 * k + 4]
                 im = PL.decode_legacy_device_v6.__wrapped__(
-                    p32, offs, bits, refs, pw=pw, h=H, width=W, rows=v6rows
+                    p32, offs, bits, refs, pw=pw, h=H, width=W, rows=v6rows,
+                    plane_mode=plane_mode,
                 )
                 acc = acc + consume(k, im)
             return acc
@@ -176,6 +177,8 @@ def main():
         "lv5": make_lv5,
         "lv6": make_lv6,
         "lv6prep": make_lv6prep,
+        "lv5bytes": lambda: make_lv5("bytes"),
+        "lv6bytes": lambda: make_lv6("bytes"),
     }
 
     def timeit(fn, flat):

@@ -212,6 +212,79 @@ def _unpack_legacy_pallas(
 ROWS_PER_CHUNK_LEG = 512  # kernel rows (of 8 blocks) per grid step
 
 
+def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
+    """Byteswap the chunk span to big-endian word order, fetch pair rows
+    q/q+1 via one-hot MXU picks, and select per lane position into ONE
+    128-word row per block row (merged-row trick: the row's window starts
+    at word t0 = (rel0>>2)&127 and spans < 128 words, so row q's used
+    lanes are [t0, 128) and row q+1's [0, t0) — disjoint).
+
+    plane_mode: "halves" = two f32 16-bit half planes under 6-pass
+    HIGHEST dots (exact < 2^24); "bytes" = four bf16 byte planes under
+    1-pass DEFAULT dots (bf16 exact <= 255), selected in byte-plane
+    space so the int32 convert + 4-byte reassembly happens once."""
+    span_be = (
+        ((span & 0xFF) << 24)
+        | ((span & 0xFF00) << 8)
+        | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
+        | jax.lax.shift_right_logical(span, 24)
+    )
+    t0 = (rel0 >> 2) & 127
+    if plane_mode == "bytes":
+        planes = jnp.concatenate(
+            [
+                (span_be & 0xFF).astype(jnp.bfloat16),
+                (jax.lax.shift_right_logical(span_be, 8) & 0xFF).astype(
+                    jnp.bfloat16
+                ),
+                (jax.lax.shift_right_logical(span_be, 16) & 0xFF).astype(
+                    jnp.bfloat16
+                ),
+                jax.lax.shift_right_logical(span_be, 24).astype(
+                    jnp.bfloat16
+                ),
+            ],
+            axis=1,
+        )  # (rows, 512)
+
+        def pick(oh):
+            return jnp.dot(
+                oh.astype(jnp.bfloat16),
+                planes,
+                preferred_element_type=jnp.float32,
+            )
+
+        p0 = pick(row_ids == q)
+        p1 = pick(row_ids == q + 1)
+        lanep = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1) & 127
+        pm = jnp.where(lanep >= t0, p0, p1).astype(jnp.int32)
+        return (
+            pm[:, 0:128]
+            | (pm[:, 128:256] << 8)
+            | (pm[:, 256:384] << 16)
+            | (pm[:, 384:512] << 24)
+        )
+    hi = jax.lax.Precision.HIGHEST
+    planes = jnp.concatenate(
+        [
+            (span_be & 0xFFFF).astype(jnp.float32),
+            jax.lax.shift_right_logical(span_be, 16).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (rows, 256)
+
+    def pick(oh):
+        p = jnp.dot(
+            oh, planes, precision=hi, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        return p[:, 0:128] | (p[:, 128:256] << 16)
+
+    row0 = pick((row_ids == q).astype(jnp.float32))
+    row1 = pick((row_ids == q + 1).astype(jnp.float32))
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return jnp.where(lane128 >= t0, row0, row1)
+
+
 def _legacy_kernel_v5(
     base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B)
     meta_ref,  # (1, 24, B) int32: rows 0-7 offs, 8-15 cls, 16-23 refs
@@ -220,6 +293,7 @@ def _legacy_kernel_v5(
     scratch_ref,  # VMEM (2, rows, 128) int32
     sems,
     rows: int = None,
+    plane_mode: str = "bytes",
 ):
     """Bitstream form: every legacy class is a plain MSB-first c-bit
     bitstream over its block payload (verified against tables.py /
@@ -227,7 +301,17 @@ def _legacy_kernel_v5(
     same stream at c=16). So instead of descriptor tables the kernel
     byteswaps the span once and extracts value k of a c-bit block as the
     top c bits of a two-word big-endian funnel at bit offset 8*off + k*c —
-    no class tables, no field loop, one funnel per lane."""
+    no class tables, no field loop, one funnel per lane.
+
+    plane_mode mirrors the modern kernel (pallas_unpack.py): "halves" =
+    two f32 16-bit half planes, picks as 6-pass HIGHEST dots (f32-exact
+    < 2^24); "bytes" = four bf16 byte planes, picks as 1-pass DEFAULT
+    dots (bf16-exact <= 255). Same VMEM bytes; the pick reduction depth
+    here is the chunk span (~192 rows at 4K), so the 6x MXU-pass cut is
+    proportionally larger than in the modern kernel. "bytes" is the
+    measured default (4K legacy sharp A/B, null-netted: v5 2.09 -> 1.58,
+    v6 1.69 -> 1.17 ms/frame;
+    benchmarks/probe_legacy_sharp_null_lv5_lv5bytes_lv6_lv6bytes.json)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -281,40 +365,8 @@ def _legacy_kernel_v5(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
 
     span_dma(i, slot).wait()
-    span = scratch_ref[slot]
-    # Byteswap once so gathered words read as big-endian (bitstream order).
-    span_be = (
-        ((span & 0xFF) << 24)
-        | ((span & 0xFF00) << 8)
-        | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
-        | jax.lax.shift_right_logical(span, 24)
-    )
-    # Two 16-bit half planes (f32-exact under the one-hot HIGHEST matmul).
-    hi = jax.lax.Precision.HIGHEST
-    planes = jnp.concatenate(
-        [
-            (span_be & 0xFFFF).astype(jnp.float32),
-            jax.lax.shift_right_logical(span_be, 16).astype(jnp.float32),
-        ],
-        axis=1,
-    )  # (rows, 256)
-
-    def pick(oh):
-        p = jnp.dot(
-            oh, planes, precision=hi, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        return p[:, 0:128] | (p[:, 128:256] << 16)
-
     # 8 blocks span <= 272 bytes: rows q, q+1 always cover the windows.
-    row0 = pick((row_ids == q).astype(jnp.float32))
-    row1 = pick((row_ids == q + 1).astype(jnp.float32))
-
-    # Merged-row trick (see pallas_unpack): the row's window starts at word
-    # t0 = (rel0>>2)&127 and spans < 128 words, so row0's used lanes are
-    # [t0, 128) and row1's [0, t0) — one select, single gathers after.
-    t0 = (rel0 >> 2) & 127
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    merged = jnp.where(lane128 >= t0, row0, row1)
+    merged = _merged_pair_row(scratch_ref[slot], q, rel0, row_ids, plane_mode)
 
     # Value k of a c-bit block at payload byte `off` = top c bits of the
     # 64-bit big-endian window at bit 8*off + k*c.
@@ -334,7 +386,8 @@ def _legacy_kernel_v5(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_chunks", "rows", "interpret")
+    jax.jit,
+    static_argnames=("num_chunks", "rows", "plane_mode", "interpret"),
 )
 def _unpack_legacy_pallas_v5(
     payload2d: jnp.ndarray,
@@ -343,6 +396,7 @@ def _unpack_legacy_pallas_v5(
     *,
     num_chunks: int,
     rows: int | None = None,  # content-aware chunk span (None = worst)
+    plane_mode: str = "bytes",
     interpret: bool = False,
 ):
     b = meta.shape[2]
@@ -367,7 +421,7 @@ def _unpack_legacy_pallas_v5(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_legacy_kernel_v5, rows=rows),
+        functools.partial(_legacy_kernel_v5, rows=rows, plane_mode=plane_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
@@ -398,6 +452,7 @@ def _legacy_kernel_v6(
     scratch_ref,  # VMEM (2, rows, 128) int32
     sems,
     rows: int = None,
+    plane_mode: str = "bytes",
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -443,34 +498,7 @@ def _legacy_kernel_v6(
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
 
     span_dma(i, slot).wait()
-    span = scratch_ref[slot]
-    span_be = (
-        ((span & 0xFF) << 24)
-        | ((span & 0xFF00) << 8)
-        | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
-        | jax.lax.shift_right_logical(span, 24)
-    )
-    hi = jax.lax.Precision.HIGHEST
-    planes = jnp.concatenate(
-        [
-            (span_be & 0xFFFF).astype(jnp.float32),
-            jax.lax.shift_right_logical(span_be, 16).astype(jnp.float32),
-        ],
-        axis=1,
-    )
-
-    def pick(oh):
-        p = jnp.dot(
-            oh, planes, precision=hi, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        return p[:, 0:128] | (p[:, 128:256] << 16)
-
-    row0 = pick((row_ids == q).astype(jnp.float32))
-    row1 = pick((row_ids == q + 1).astype(jnp.float32))
-
-    t0 = (rel0 >> 2) & 127
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    merged = jnp.where(lane128 >= t0, row0, row1)
+    merged = _merged_pair_row(scratch_ref[slot], q, rel0, row_ids, plane_mode)
 
     k = (lane & 31) >> 1
     bitp = ((rel_lane - (q << 9)) << 3) + k * cb
@@ -496,6 +524,7 @@ def _unpack_legacy_pallas_v6_raw(
     *,
     num_chunks: int,
     rows: int,
+    plane_mode: str = "bytes",
     interpret: bool = False,
 ):
     b = offs.shape[1]
@@ -515,7 +544,7 @@ def _unpack_legacy_pallas_v6_raw(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_legacy_kernel_v6, rows=rows),
+        functools.partial(_legacy_kernel_v6, rows=rows, plane_mode=plane_mode),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
@@ -550,7 +579,7 @@ def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pw", "h", "width", "rows", "interpret"),
+    static_argnames=("pw", "h", "width", "rows", "plane_mode", "interpret"),
 )
 def decode_legacy_device_v6(
     p32: jnp.ndarray,  # (R*128,) int32 bucketed payload words
@@ -562,6 +591,7 @@ def decode_legacy_device_v6(
     h: int,
     width: int,
     rows: int,
+    plane_mode: str = "bytes",
     interpret: bool = False,
 ):
     """Full legacy decode with on-device meta layout (host = scan only)."""
@@ -572,7 +602,8 @@ def decode_legacy_device_v6(
     )
     out = _unpack_legacy_pallas_v6_raw(
         p32.reshape(-1, 128), base_rows, offs3, cls3, refs3,
-        num_chunks=nc, rows=rows, interpret=interpret,
+        num_chunks=nc, rows=rows, plane_mode=plane_mode,
+        interpret=interpret,
     )
     img = out[: h * segs].reshape(h, segs * 128)
     return img[:, :width]
@@ -580,7 +611,7 @@ def decode_legacy_device_v6(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pw", "h", "width", "rows", "interpret"),
+    static_argnames=("pw", "h", "width", "rows", "plane_mode", "interpret"),
 )
 def decode_legacy_device_v6_batch(
     p32s: jnp.ndarray,  # (F, R*128) int32 per-frame bucketed words
@@ -592,6 +623,7 @@ def decode_legacy_device_v6_batch(
     h: int,
     width: int,
     rows: int,
+    plane_mode: str = "bytes",
     interpret: bool = False,
 ):
     """(F, H, W) legacy decode, device-side prep, ONE kernel launch."""
@@ -608,7 +640,8 @@ def decode_legacy_device_v6_batch(
     out = _unpack_legacy_pallas_v6_raw(
         p32s.reshape(-1, 128), base,
         o3, c3.reshape(f * nc, -1, 8), r3.reshape(f * nc, -1, 8),
-        num_chunks=f * nc, rows=rows, interpret=interpret,
+        num_chunks=f * nc, rows=rows, plane_mode=plane_mode,
+        interpret=interpret,
     )
     rows_frame = out.shape[0] // f
     out = out.reshape(f, rows_frame, 128)[:, : h * segs]
@@ -798,7 +831,8 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
 
 
 def decode_legacy_pallas_v5(
-    payload: np.ndarray, width: int, height: int, interpret: bool = False
+    payload: np.ndarray, width: int, height: int,
+    plane_mode: str = "bytes", interpret: bool = False,
 ):
     """Full legacy decode with fused interleave (no epilogue)."""
     plan = U.prepare_legacy(payload, width, height)
@@ -811,6 +845,7 @@ def decode_legacy_pallas_v5(
         jnp.asarray(meta),
         num_chunks=num_chunks,
         rows=rows,
+        plane_mode=plane_mode,
         interpret=interpret,
     )
     img = out[: plan.height * segs].reshape(plan.height, segs * 128)
