@@ -179,6 +179,8 @@ def main():
         "lv6prep": make_lv6prep,
         "lv5bytes": lambda: make_lv5("bytes"),
         "lv6bytes": lambda: make_lv6("bytes"),
+        "lv5packed": lambda: make_lv5("packed"),
+        "lv6packed": lambda: make_lv6("packed"),
     }
 
     def timeit(fn, flat):

@@ -222,7 +222,12 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
     plane_mode: "halves" = two f32 16-bit half planes under 6-pass
     HIGHEST dots (exact < 2^24); "bytes" = four bf16 byte planes under
     1-pass DEFAULT dots (bf16 exact <= 255), selected in byte-plane
-    space so the int32 convert + 4-byte reassembly happens once."""
+    space so the int32 convert + 4-byte reassembly happens once;
+    "packed" = byte planes with BOTH pair rows fetched in ONE dot (the
+    one-hot carries {1, 256}: c = p_q + (p_{q+1} << 8) is exact under a
+    DEFAULT bf16 dot — 256*byte is a pure exponent shift of <= 8
+    significand bits, and the two-term f32 sum <= 65535 < 2^24; the
+    pair-row select becomes a variable right-shift of the int32 c)."""
     span_be = (
         ((span & 0xFF) << 24)
         | ((span & 0xFF00) << 8)
@@ -230,7 +235,7 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
         | jax.lax.shift_right_logical(span, 24)
     )
     t0 = (rel0 >> 2) & 127
-    if plane_mode == "bytes":
+    if plane_mode in ("bytes", "packed"):
         planes = jnp.concatenate(
             [
                 (span_be & 0xFF).astype(jnp.bfloat16),
@@ -254,10 +259,22 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
                 preferred_element_type=jnp.float32,
             )
 
-        p0 = pick(row_ids == q)
-        p1 = pick(row_ids == q + 1)
         lanep = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1) & 127
-        pm = jnp.where(lanep >= t0, p0, p1).astype(jnp.int32)
+        if plane_mode == "packed":
+            oh = (row_ids == q).astype(jnp.int32) + (
+                (row_ids == q + 1).astype(jnp.int32) << 8
+            )
+            c = pick(oh).astype(jnp.int32)
+            pm = (
+                jax.lax.shift_right_logical(
+                    c, jnp.where(lanep >= t0, 0, 8)
+                )
+                & 0xFF
+            )
+        else:
+            p0 = pick(row_ids == q)
+            p1 = pick(row_ids == q + 1)
+            pm = jnp.where(lanep >= t0, p0, p1).astype(jnp.int32)
         return (
             pm[:, 0:128]
             | (pm[:, 128:256] << 8)

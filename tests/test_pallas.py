@@ -94,6 +94,35 @@ class TestLegacyPallas:
             )
             assert np.array_equal(out, img), maxv
 
+    @pytest.mark.parametrize("plane_mode", ["halves", "bytes", "packed"])
+    def test_v5_v6_plane_modes(self, rng, plane_mode):
+        """All pick-operand layouts stay exact on both legacy kernels:
+        "halves" (f32 16-bit halves, HIGHEST), "bytes" (bf16 byte planes,
+        the default), "packed" (one-dot pair fetch, c = p_q + p_{q+1}<<8,
+        variable-shift select). Full 16-bit range content."""
+        import jax.numpy as jnp
+        from mcraw.kernels import pallas_legacy as PL
+
+        h, w = 16, 1920
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        out = np.asarray(
+            PL.decode_legacy_pallas_v5(
+                payload, w, h, plane_mode=plane_mode, interpret=True
+            )
+        )
+        assert np.array_equal(out, img)
+        light = PL.prepare_legacy_light(payload, w, h)
+        assert light is not None
+        p32, offs, bits, refs, pw, rows = light
+        out6 = PL.decode_legacy_device_v6.__wrapped__(
+            jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+            jnp.asarray(np.asarray(refs, np.int32)),
+            pw=pw, h=h, width=w, rows=rows, plane_mode=plane_mode,
+            interpret=True,
+        )
+        assert np.array_equal(np.asarray(out6), img)
+
 
 def test_pallas_batched_decode(rng):
     """Multi-frame single-launch decode (stacked chunks)."""
