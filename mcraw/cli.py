@@ -23,6 +23,14 @@ from .errors import MotionCamException
 from .pipeline import Decoder
 
 
+def _outpath(outdir: str, name: str) -> str:
+    """Output path as the reference example prints it: the bare filename
+    when writing to the cwd (example.cpp:190 snprintf's "frame_%06d.dng"
+    with no directory), joined otherwise. Keeps stdout byte-identical to
+    the C++ example under the reference-style invocation."""
+    return name if outdir in (".", "") else os.path.join(outdir, name)
+
+
 def _cmd_decode(args: argparse.Namespace) -> int:
     if getattr(args, "verbose", False):
         import logging
@@ -58,7 +66,7 @@ def _decode_body(args: argparse.Namespace) -> int:
 
         chunks = d.load_audio()
         write_wav(
-            os.path.join(outdir, "audio.wav"),
+            _outpath(outdir, "audio.wav"),
             d.audio_sample_rate_hz(),
             d.num_audio_channels(),
             chunks,
@@ -102,13 +110,13 @@ def _decode_body(args: argparse.Namespace) -> int:
             ):
                 imgs = np.asarray(imgs)
                 for k in range(imgs.shape[0]):
-                    path = os.path.join(outdir, f"frame_{i:06d}.dng")
+                    path = _outpath(outdir, f"frame_{i:06d}.dng")
                     print(f"Writing {path}")
                     write_dng(path, imgs[k], metas[k], container_metadata)
                     i += 1
         else:
             for i in range(end_frame):
-                path = os.path.join(outdir, f"frame_{i:06d}.dng")
+                path = _outpath(outdir, f"frame_{i:06d}.dng")
                 if args.resume and os.path.exists(path):
                     continue
                 img, metadata = d.load_frame(frames[i])

@@ -27,6 +27,12 @@ import numpy as np
 from .emit.dng import dng_bytes
 from .errors import MotionCamException
 from .observe import StageTimer, Throughput, log_event
+
+
+def _outpath(outdir: str, name: str) -> str:
+    """Bare filename when writing to the cwd, joined otherwise — matches
+    the reference example's prints (see cli._outpath)."""
+    return name if outdir in (".", "") else os.path.join(outdir, name)
 from .pipeline import Decoder
 
 
@@ -82,7 +88,7 @@ def export_clip(
 
     todo: list[tuple[int, int, str]] = []
     for i, ts in enumerate(timestamps, start=first_index):
-        path = os.path.join(output_dir, f"frame_{i:06d}.dng")
+        path = _outpath(output_dir, f"frame_{i:06d}.dng")
         if resume and os.path.exists(path):
             stats.frames_skipped += 1
             continue
@@ -146,7 +152,7 @@ def export_clip(
 def export_wav(decoder: Decoder, output_dir: str) -> str:
     from .emit.wav import write_wav
 
-    path = os.path.join(output_dir, "audio.wav")
+    path = _outpath(output_dir, "audio.wav")
     write_wav(
         path,
         decoder.audio_sample_rate_hz(),

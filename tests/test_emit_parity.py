@@ -127,3 +127,26 @@ def test_three_channel_audio_header_only_wav(tmp_path, rng, ref_example):
     (example.cpp:37-50 writes no samples) — byte parity must hold."""
     blob = _container(rng, frames=1, channels=3)
     _assert_tree_equal(*_run_both(tmp_path, blob, ref_example))
+
+
+def test_cli_stdout_parity(tmp_path, rng, ref_example, monkeypatch, capsys):
+    """Under the reference-style invocation (cwd output, bare clip arg),
+    stdout must be byte-identical too — the reference prints bare
+    filenames (example.cpp:190), not "./frame_...". Caught live by the
+    /verify CLI drive; pinned here."""
+    blob = _container(rng, codec=7, frames=3)
+    clip = tmp_path / "clip.mcraw"
+    clip.write_bytes(blob)
+    ref_dir = tmp_path / "ref"
+    my_dir = tmp_path / "mine"
+    ref_dir.mkdir()
+    my_dir.mkdir()
+    ref = subprocess.run(
+        [str(ref_example), str(clip)],
+        cwd=ref_dir, check=True, capture_output=True, text=True,
+    )
+    monkeypatch.chdir(my_dir)
+    capsys.readouterr()
+    assert cli_main(["decode", str(clip), "--backend", "numpy"]) == 0
+    assert capsys.readouterr().out == ref.stdout
+    _assert_tree_equal(ref_dir, my_dir)
