@@ -21,14 +21,7 @@ from .emit.dng import write_dng
 from .emit.wav import write_wav
 from .errors import MotionCamException
 from .pipeline import Decoder
-
-
-def _outpath(outdir: str, name: str) -> str:
-    """Output path as the reference example prints it: the bare filename
-    when writing to the cwd (example.cpp:190 snprintf's "frame_%06d.dng"
-    with no directory), joined otherwise. Keeps stdout byte-identical to
-    the C++ example under the reference-style invocation."""
-    return name if outdir in (".", "") else os.path.join(outdir, name)
+from .util import outpath as _outpath
 
 
 def _cmd_decode(args: argparse.Namespace) -> int:

@@ -27,13 +27,8 @@ import numpy as np
 from .emit.dng import dng_bytes
 from .errors import MotionCamException
 from .observe import StageTimer, Throughput, log_event
-
-
-def _outpath(outdir: str, name: str) -> str:
-    """Bare filename when writing to the cwd, joined otherwise — matches
-    the reference example's prints (see cli._outpath)."""
-    return name if outdir in (".", "") else os.path.join(outdir, name)
 from .pipeline import Decoder
+from .util import outpath as _outpath
 
 
 @dataclass
