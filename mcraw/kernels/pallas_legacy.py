@@ -228,6 +228,8 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
     DEFAULT bf16 dot — 256*byte is a pure exponent shift of <= 8
     significand bits, and the two-term f32 sum <= 65535 < 2^24; the
     pair-row select becomes a variable right-shift of the int32 c)."""
+    if plane_mode not in ("halves", "bytes", "packed"):
+        raise ValueError(f"unknown plane_mode {plane_mode!r}")
     span_be = (
         ((span & 0xFF) << 24)
         | ((span & 0xFF00) << 8)
@@ -454,8 +456,9 @@ def _unpack_legacy_pallas_v5(
 # minor-dim matmuls), the v6 kernel takes offs/cls/refs as THREE (b, 8)
 # sublane-major blocks — reshape(nblk,) -> (nc, b, 8) is layout-free, tail
 # padding is a broadcast concat, and the kernel reads param p as a lane
-# slice [:, p:p+1]. Requires padded_width % 128 == 0 (no dummy lanes);
-# other widths keep the host-prep path.
+# slice [:, p:p+1]. Ragged widths (padded_width % 128 != 0, e.g. 4032)
+# additionally pad each image row's block run to segs*8 lanes with
+# zero-class dummies before the reshape (see _v6_legacy_build).
 # -----------------------------------------------------------------------------
 
 
@@ -572,15 +575,37 @@ def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int):
     """Device-side legacy meta: (nblk,) scan outputs -> kernel blocks.
 
     Pure reshapes + broadcast pads (no gathers, no matmuls, no minor-dim
-    transposes) — requires pw % 128 == 0 so kernel rows are exactly 8
-    consecutive blocks. Returns (base_rows, offs3, cls3, refs3)."""
+    transposes). When pw % 128 == 0 each kernel row is exactly 8
+    consecutive blocks and the layout is one reshape; ragged widths
+    (pw % 128 != 0, e.g. the common 4032) pad each image row's block run
+    out to segs*8 kernel lanes first — dummy lanes decode to zero (class
+    0, ref 0) and are cropped by the caller, and their offsets broadcast
+    the row's last real block so per-chunk offsets stay monotone (lane 0
+    of every kernel row is always a real block, so rel0/base_rows are
+    unaffected). Returns (base_rows, offs3, cls3, refs3)."""
     idx = _legacy_indices(pw, h)
-    nc, nblk = idx["num_chunks"], idx["nblk"]
+    nc, segs = idx["num_chunks"], idx["segs"]
     b = ROWS_PER_CHUNK_LEG
-    pad = nc * b * 8 - nblk
     offs = offs.astype(jnp.int32)
     cls = jnp.minimum(bits.astype(jnp.int32), 11)
     refs = refs.astype(jnp.int32)
+    row_blocks = 2 * (pw // 32)  # real blocks per image row
+    lane_cols = segs * 8  # kernel-layout lanes per image row
+    if lane_cols != row_blocks:
+        pad_cols = lane_cols - row_blocks
+        o2 = offs.reshape(h, row_blocks)
+        offs = jnp.concatenate(
+            [o2, jnp.broadcast_to(o2[:, -1:], (h, pad_cols))], axis=1
+        ).reshape(-1)
+        cls = jnp.concatenate(
+            [cls.reshape(h, row_blocks), jnp.zeros((h, pad_cols), jnp.int32)],
+            axis=1,
+        ).reshape(-1)
+        refs = jnp.concatenate(
+            [refs.reshape(h, row_blocks), jnp.zeros((h, pad_cols), jnp.int32)],
+            axis=1,
+        ).reshape(-1)
+    pad = nc * b * 8 - h * lane_cols
     if pad:
         offs = jnp.concatenate(
             [offs, jnp.broadcast_to(offs[-1:], (pad,))]
@@ -678,16 +703,16 @@ def prepare_legacy_light(
 
     Runs only the serial header scan (chunk-parallel over the trailing
     offset table when present) + payload bucketing. Returns
-    (p32, offs, bits, refs, pw, rows) or None when the geometry needs the
-    host-prep path (padded_width not a multiple of 128)."""
+    (p32, offs, bits, refs, pw, rows). Any legacy geometry is accepted
+    (padded_width is a multiple of 32 by construction,
+    RawData_Legacy.cpp:34-36); ragged widths (pw % 128 != 0) get dummy
+    kernel lanes from _v6_legacy_build."""
     from . import numpy_ref as R
     from . import unpack as UU
     from .native import legacy_scan, legacy_scan_parallel
 
     payload = np.asarray(payload, dtype=np.uint8)
     pw = R.legacy_padded_width(width)
-    if pw % 128 != 0:
-        return None
     num_blocks = height * (pw // 32) * 2
 
     scanned = None
@@ -699,15 +724,22 @@ def prepare_legacy_light(
 
     # Static content span for the kernel scratch (offsets are monotone, so
     # each chunk's end is its last block's offset + <= 32 payload bytes).
+    # Chunk c covers kernel rows [c*b, min((c+1)*b, h*segs)); kernel row k
+    # = image row k//segs, segment k%segs, whose real blocks are pairs
+    # y*ppr + [4s, min(4s+3, ppr-1)] — for pw % 128 == 0 this reduces to
+    # consecutive blocks [8k, 8k+8), for ragged widths it skips the dummy
+    # lanes (which consume no payload bytes).
     idx = _legacy_indices(pw, height)
     nc = idx["num_chunks"]
+    segs = idx["segs"]
+    ppr = pw // 32
     b = ROWS_PER_CHUNK_LEG
-    firsts = offs[:: b * 8]
-    lasts = np.minimum(
-        np.arange(1, nc + 1, dtype=np.int64) * b * 8, num_blocks
-    ) - 1
+    k0 = np.arange(nc, dtype=np.int64) * b
+    k1 = np.minimum(k0 + b, height * segs) - 1
+    firsts = offs[(k0 // segs * ppr + k0 % segs * 4) * 2]
+    last_pair = k1 // segs * ppr + np.minimum(k1 % segs * 4 + 3, ppr - 1)
     need = (
-        (offs[lasts] + 32 - (firsts >> 9 << 9)) + 511
+        (offs[last_pair * 2 + 1] + 32 - (firsts >> 9 << 9)) + 511
     ) // 512 + 2
     rows_need = int(need.max()) if nc else 2
     rows_worst = (b * 8 * 34) // 512 + 2

@@ -487,6 +487,8 @@ def _unpack_kernel_v5(
     # default.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
+    if plane_mode not in ("halves", "bytes", "packed"):
+        raise ValueError(f"unknown plane_mode {plane_mode!r}")
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)

@@ -251,8 +251,9 @@ class Decoder:
         """Legacy twin of _load_frame_v6: the host runs only the serial
         header scan (chunk-parallel over the trailing offset table when
         present), the jit program lays out kernel metadata and decodes.
-        Returns None for geometries the light prep refuses (padded width
-        not a multiple of 128) — callers fall back to the plan path."""
+        Handles every legacy geometry incl. ragged padded widths (4032)
+        via dummy kernel lanes; the None guard below is a safety net for
+        a light prep that declines — callers fall back to the plan path."""
         import jax
         import jax.numpy as jnp
 
@@ -393,8 +394,8 @@ class Decoder:
         frame is the serial header scan (chunk-parallel when the trailing
         offset table exists) + a bucketed payload upload; kernel metadata
         is laid out on device per shard (pure reshapes). Returns None when
-        ineligible (non-legacy frames, CPU platform, kernel='xla',
-        padded width not a multiple of 128, or mixed geometry)."""
+        ineligible (non-legacy frames, CPU platform, kernel='xla', or
+        mixed geometry)."""
         from .kernels import pallas_legacy as PL
 
         if not (self._use_pallas() and self._accel_available()):
@@ -571,8 +572,9 @@ class Decoder:
         The regular :meth:`load_frame_device` pays ~0.3 ms of Python/jit
         dispatch per call (trace-cache lookup, argument canonicalization,
         program construction). This returns a :class:`FrameDecoder` that
-        AOT-compiles ONE executable per (payload-bucket, span-bucket)
-        geometry key — the typical clip hits a single key — and calls it
+        AOT-compiles ONE executable per (codec, payload-bucket,
+        span-bucket) geometry key — a homogeneous clip hits a single key,
+        whichever codec it uses — and calls it
         directly with the payload buffer donated, so XLA reuses the input
         HBM region across calls instead of churning the allocator. The
         reference's unit of work is one loadFrame
@@ -632,11 +634,12 @@ class Decoder:
 
 
 class FrameDecoder:
-    """AOT-compiled persistent single-frame decode loop (modern codec).
+    """AOT-compiled persistent single-frame decode loop (both codecs).
 
     See :meth:`Decoder.make_frame_decoder`. Call with a timestamp; returns
     (device image, frame metadata dict). One compiled executable per
-    (payload-bucket, span-bucket) key, cached for the object's lifetime.
+    (codec, payload-bucket, span-bucket) key, cached for the object's
+    lifetime — a homogeneous clip compiles exactly once per codec.
     """
 
     def __init__(self, decoder: Decoder):
@@ -648,48 +651,97 @@ class FrameDecoder:
         return len(self._compiled)
 
     def __call__(self, timestamp: int):
+        d = self._d
+        payload, window, meta = d._reader.frame_payload_window(timestamp)
+        fm = FrameMetadata(meta)
+        if fm.compression_type == COMPRESSION_TYPE:
+            return self._call_modern(payload, window, meta, fm)
+        if fm.compression_type == COMPRESSION_TYPE_LEGACY:
+            return self._call_legacy(payload, window, meta, fm)
+        raise IOException("Invalid compression type")
+
+    def _compile(self, key, make_fn, donate, shapes):
+        """AOT-compile once per (codec, geometry-bucket) key.
+
+        donate marks the (dominant) payload buffer: XLA reuses its HBM
+        region instead of churning the allocator every call."""
+        import jax
+
+        exe = self._compiled.get(key)
+        if exe is None:
+            fn = jax.jit(make_fn(), donate_argnums=donate)
+            exe = fn.lower(*shapes).compile()
+            self._compiled[key] = exe
+        return exe
+
+    def _call_modern(self, payload, window, meta, fm):
         import jax
         import jax.numpy as jnp
 
         from .kernels import pallas_unpack as PK
 
-        d = self._d
-        payload, window, meta = d._reader.frame_payload_window(timestamp)
-        fm = FrameMetadata(meta)
-        if fm.compression_type != COMPRESSION_TYPE:
-            raise IOException(
-                "FrameDecoder supports the modern codec; use "
-                "load_frame_device for legacy frames"
-            )
         p32, bits, refs, ty, tx, (rows, sub_rows, nf) = (
             PK.prepare_modern_light(
                 payload, fm.width, fm.height, window=window
             )
         )
         key = (
-            len(p32), bits.shape, ty, tx,
+            COMPRESSION_TYPE, len(p32), bits.shape, ty, tx,
             fm.height, fm.width, rows, sub_rows, nf,
         )
-        exe = self._compiled.get(key)
-        if exe is None:
-            fn = jax.jit(
-                functools.partial(
-                    PK.decode_modern_device_v6.__wrapped__,
-                    ty=ty, tx=tx, height=fm.height, width=fm.width,
-                    rows=rows, sub_rows=sub_rows, nfields=nf,
-                    interpret=jax.devices()[0].platform == "cpu",
-                ),
-                # Donate the (dominant) payload buffer: XLA reuses its HBM
-                # region instead of churning the allocator every call.
-                donate_argnums=(0,),
-            )
-            exe = fn.lower(
+        exe = self._compile(
+            key,
+            lambda: functools.partial(
+                PK.decode_modern_device_v6.__wrapped__,
+                ty=ty, tx=tx, height=fm.height, width=fm.width,
+                rows=rows, sub_rows=sub_rows, nfields=nf,
+                interpret=jax.devices()[0].platform == "cpu",
+            ),
+            (0,),
+            (
                 jax.ShapeDtypeStruct(p32.shape, jnp.int32),
                 jax.ShapeDtypeStruct(bits.shape, bits.dtype),
                 jax.ShapeDtypeStruct(refs.shape, refs.dtype),
-            ).compile()
-            self._compiled[key] = exe
+            ),
+        )
         img = exe(
             jax.device_put(p32), jax.device_put(bits), jax.device_put(refs)
+        )
+        return img, meta
+
+    def _call_legacy(self, payload, window, meta, fm):
+        """Legacy twin (VERDICT r2 #6): AOT decode_legacy_device_v6 per
+        (payload-bucket, rows-bucket, geometry) key."""
+        import jax
+        import jax.numpy as jnp
+
+        from .kernels import pallas_legacy as PL
+
+        p32, offs, bits, refs, pw, rows = PL.prepare_legacy_light(
+            payload, fm.width, fm.height, window=window
+        )
+        refs = np.asarray(refs, dtype=np.int32)
+        key = (
+            COMPRESSION_TYPE_LEGACY, len(p32), offs.shape,
+            pw, fm.height, fm.width, rows,
+        )
+        exe = self._compile(
+            key,
+            lambda: functools.partial(
+                PL.decode_legacy_device_v6.__wrapped__,
+                pw=pw, h=fm.height, width=fm.width, rows=rows,
+                interpret=jax.devices()[0].platform == "cpu",
+            ),
+            (0,),
+            (
+                jax.ShapeDtypeStruct(p32.shape, jnp.int32),
+                jax.ShapeDtypeStruct(offs.shape, offs.dtype),
+                jax.ShapeDtypeStruct(bits.shape, bits.dtype),
+                jax.ShapeDtypeStruct(refs.shape, refs.dtype),
+            ),
+        )
+        img = exe(
+            jax.device_put(p32), jax.device_put(offs),
+            jax.device_put(bits), jax.device_put(refs),
         )
         return img, meta

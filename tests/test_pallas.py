@@ -431,6 +431,72 @@ def test_pallas_legacy_v6_device_prep(rng, shape):
     assert np.array_equal(np.asarray(out), img)
 
 
+@pytest.mark.parametrize(
+    "shape,plane_mode",
+    [
+        ((16, 96), "bytes"),  # pw=96 < 128: 2 dummy lanes per kernel row
+        ((8, 300), "bytes"),  # pw=320, segs=3, ragged last segment
+        ((8, 300), "packed"),
+        ((6, 4032), "bytes"),  # the common phone sensor width (pw=4032)
+        ((200, 300), "bytes"),  # 600 kernel rows -> chunk boundary mid-row
+    ],
+)
+def test_pallas_legacy_v6_ragged_width(rng, shape, plane_mode):
+    """Ragged padded widths (pw % 128 != 0) take the v6 device-prep path:
+    _v6_legacy_build pads each image row's block run to segs*8 kernel
+    lanes with zero-class dummies (VERDICT r2 #4 — 4032-wide frames used
+    to fall back to host-prep v5)."""
+    import jax.numpy as jnp
+    from mcraw.kernels import numpy_ref as R
+    from mcraw.kernels import pallas_legacy as PL
+
+    h, w = shape
+    assert R.legacy_padded_width(w) % 128 != 0
+    img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+    light = PL.prepare_legacy_light(payload, w, h)
+    assert light is not None
+    p32, offs, bits, refs, pw, rows = light
+    out = PL.decode_legacy_device_v6.__wrapped__(
+        jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+        jnp.asarray(np.asarray(refs, np.int32)),
+        pw=pw, h=h, width=w, rows=rows, plane_mode=plane_mode,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(out), img)
+
+
+def test_pallas_legacy_v6_batch_ragged_width(rng):
+    """Batched legacy v6 on a ragged geometry (vmapped _v6_legacy_build)."""
+    import jax.numpy as jnp
+    from mcraw.kernels import pallas_legacy as PL
+
+    h, w = 8, 300
+    imgs = [
+        rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+        for _ in range(3)
+    ]
+    lights = [
+        PL.prepare_legacy_light(
+            np.frombuffer(E.encode_legacy(i), dtype=np.uint8), w, h
+        )
+        for i in imgs
+    ]
+    rows = max(l[5] for l in lights)
+    rmax = max(len(l[0]) for l in lights)
+    p32s = np.zeros((3, rmax), dtype=np.int32)
+    for i, l in enumerate(lights):
+        p32s[i, : len(l[0])] = l[0]
+    out = PL.decode_legacy_device_v6_batch.__wrapped__(
+        jnp.asarray(p32s),
+        jnp.asarray(np.stack([l[1] for l in lights])),
+        jnp.asarray(np.stack([l[2] for l in lights])),
+        jnp.asarray(np.stack([np.asarray(l[3], np.int32) for l in lights])),
+        pw=lights[0][4], h=h, width=w, rows=rows, interpret=True,
+    )
+    assert np.array_equal(np.asarray(out), np.stack(imgs))
+
+
 def test_device_checksum_exact(rng):
     """The benchmark checksum kernel == int64 sum mod 2^32 (both the
     Pallas fold in interpret mode and the XLA fallback paths)."""

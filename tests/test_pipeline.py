@@ -393,9 +393,10 @@ def test_legacy_v6_device_prep_paths(rng, monkeypatch):
     assert np.array_equal(np.asarray(out2), np.stack(imgs))
 
 
-def test_legacy_v6_unaligned_width_falls_back(rng, monkeypatch):
-    """padded_width % 128 != 0 refuses the light prep; the plan-based path
-    decodes (exactly) instead."""
+def test_legacy_v6_unaligned_width_takes_v6(rng, monkeypatch):
+    """padded_width % 128 != 0 (e.g. 300 -> pw 320) now takes the v6
+    device-prep path (dummy kernel lanes) instead of falling back to the
+    host-prep plan path — VERDICT r2 #4."""
     monkeypatch.setattr(
         Decoder, "_accel_available", staticmethod(lambda: True)
     )
@@ -403,7 +404,16 @@ def test_legacy_v6_unaligned_width_falls_back(rng, monkeypatch):
     writer = E.ContainerWriter(example_container_metadata())
     writer.add_frame(1, E.encode_legacy(img), example_frame_metadata(300, 8, 6))
     d = Decoder(writer.finish(), backend="jax", kernel="pallas")
+
+    taken = []
+    real = Decoder._load_frame_legacy_v6
+    monkeypatch.setattr(
+        Decoder,
+        "_load_frame_legacy_v6",
+        lambda self, *a, **k: taken.append(1) or real(self, *a, **k),
+    )
     out, _ = d.load_frame_device(1)
+    assert taken
     assert np.array_equal(np.asarray(out), img)
 
 
@@ -449,12 +459,15 @@ def test_frame_decoder_persistent_program(rng):
         assert meta["width"] == 128
     assert fd.num_programs == 1  # one geometry -> one compiled program
 
-    # legacy frames are routed away with a clear error
-    blob6, _ = make_clip(rng, num_frames=1, codec=6)
+    # legacy frames compile their own persistent program (VERDICT r2 #6):
+    # one geometry -> one executable, exact output
+    blob6, frames6 = make_clip(rng, num_frames=3, codec=6)
     d6 = Decoder(blob6, backend="jax", kernel="pallas")
     fd6 = d6.make_frame_decoder()
-    with pytest.raises(IOException, match="modern codec"):
-        fd6(d6.frames[0])
+    for ts, img in zip(d6.frames, frames6):
+        out, _ = fd6(ts)
+        assert np.array_equal(np.asarray(out), img)
+    assert fd6.num_programs == 1
 
 
 def test_single_legacy_frame_sharded_across_devices(rng, monkeypatch):
