@@ -312,7 +312,7 @@ def _legacy_kernel_v5(
     scratch_ref,  # VMEM (2, rows, 128) int32
     sems,
     rows: int = None,
-    plane_mode: str = "bytes",
+    plane_mode: str = "packed",
 ):
     """Bitstream form: every legacy class is a plain MSB-first c-bit
     bitstream over its block payload (verified against tables.py /
@@ -325,12 +325,17 @@ def _legacy_kernel_v5(
     plane_mode mirrors the modern kernel (pallas_unpack.py): "halves" =
     two f32 16-bit half planes, picks as 6-pass HIGHEST dots (f32-exact
     < 2^24); "bytes" = four bf16 byte planes, picks as 1-pass DEFAULT
-    dots (bf16-exact <= 255). Same VMEM bytes; the pick reduction depth
-    here is the chunk span (~192 rows at 4K), so the 6x MXU-pass cut is
-    proportionally larger than in the modern kernel. "bytes" is the
-    measured default (4K legacy sharp A/B, null-netted: v5 2.09 -> 1.58,
-    v6 1.69 -> 1.17 ms/frame;
-    benchmarks/probe_legacy_sharp_null_lv5_lv5bytes_lv6_lv6bytes.json)."""
+    dots (bf16-exact <= 255); "packed" = byte planes with BOTH pair rows
+    in ONE dot ({1,256} one-hot, exact <= 65535 < 2^24). Same VMEM bytes;
+    the pick reduction depth here is the chunk span (~192 rows at 4K), so
+    cutting MXU passes matters more than in the modern kernel — and
+    unlike modern (where the variable-shift select costs more than the
+    dot it saves, see pallas_unpack.py), legacy's deeper picks make
+    packed the measured WINNER: 4K sharp A/B, null-netted, v5
+    2.09 (halves) -> 1.57 (bytes) -> 1.50 (packed), v6 1.69 -> 1.18 ->
+    1.09 ms/frame
+    (benchmarks/probe_legacy_sharp_null_lv5bytes_lv5packed_lv6bytes_lv6packed.json);
+    "packed" is the default."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
@@ -415,7 +420,7 @@ def _unpack_legacy_pallas_v5(
     *,
     num_chunks: int,
     rows: int | None = None,  # content-aware chunk span (None = worst)
-    plane_mode: str = "bytes",
+    plane_mode: str = "packed",
     interpret: bool = False,
 ):
     b = meta.shape[2]
@@ -472,7 +477,7 @@ def _legacy_kernel_v6(
     scratch_ref,  # VMEM (2, rows, 128) int32
     sems,
     rows: int = None,
-    plane_mode: str = "bytes",
+    plane_mode: str = "packed",
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -544,7 +549,7 @@ def _unpack_legacy_pallas_v6_raw(
     *,
     num_chunks: int,
     rows: int,
-    plane_mode: str = "bytes",
+    plane_mode: str = "packed",
     interpret: bool = False,
 ):
     b = offs.shape[1]
@@ -633,7 +638,7 @@ def decode_legacy_device_v6(
     h: int,
     width: int,
     rows: int,
-    plane_mode: str = "bytes",
+    plane_mode: str = "packed",
     interpret: bool = False,
 ):
     """Full legacy decode with on-device meta layout (host = scan only)."""
@@ -665,7 +670,7 @@ def decode_legacy_device_v6_batch(
     h: int,
     width: int,
     rows: int,
-    plane_mode: str = "bytes",
+    plane_mode: str = "packed",
     interpret: bool = False,
 ):
     """(F, H, W) legacy decode, device-side prep, ONE kernel launch."""
@@ -881,7 +886,7 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
 
 def decode_legacy_pallas_v5(
     payload: np.ndarray, width: int, height: int,
-    plane_mode: str = "bytes", interpret: bool = False,
+    plane_mode: str = "packed", interpret: bool = False,
 ):
     """Full legacy decode with fused interleave (no epilogue)."""
     plan = U.prepare_legacy(payload, width, height)
