@@ -30,6 +30,47 @@ def _bits_needed(maxval: int) -> int:
     return int(maxval).bit_length()
 
 
+def _class_width(bits: np.ndarray) -> np.ndarray:
+    """Representable residual width per header value: nibbles/values 11-16
+    all select the 16-bit class (RawData.cpp:454-457 switch default;
+    RawData_Legacy.cpp:395 clamps then :435-438 defaults)."""
+    bits = np.asarray(bits, dtype=np.int64)
+    return np.where(bits >= 11, 16, bits)
+
+
+def _coded(blocks: np.ndarray, coder, ref_max: int):
+    """Per-block (bits, refs, resid) selection.
+
+    Canonical (coder=None): ref = block min capped to ref_max, smallest
+    decode class. A coder — the mutation-soak hook — may return ANY
+    (bits, refs) pair consistent with exact decode: both decoders add the
+    reference in uint16 arithmetic (RawData.cpp:491-492, :581-593;
+    RawData_Legacy.cpp:483-486), so resid = (value - ref) mod 2^16 must
+    fit the class width. This admits every layout a conforming encoder
+    could emit — refs below the block min, over-wide bits (nibbles 12-15),
+    and full wraparound refs under the 16-bit class — while rejecting
+    unrepresentable choices loudly.
+    """
+    if coder is None:
+        refs = np.minimum(blocks.min(axis=1), ref_max)
+        resid = blocks - refs[:, None]
+        needed = np.array([_bits_needed(int(x)) for x in resid.max(axis=1)])
+        bits = np.array(
+            [_canonical_bits(int(b)) for b in needed], dtype=np.int64
+        )
+        return bits, refs, resid
+    bits, refs = coder(blocks, ref_max)
+    bits = np.asarray(bits, dtype=np.int64)
+    refs = np.asarray(refs, dtype=np.int64)
+    if np.any(bits < 0) or np.any(bits > 16):
+        raise MotionCamException("coder produced bits outside 0..16")
+    resid = (blocks - refs[:, None]) & 0xFFFF
+    limit = (1 << _class_width(bits)) - 1
+    if np.any(resid.max(axis=1) > limit):
+        raise MotionCamException("coder produced unrepresentable residuals")
+    return bits, refs, resid
+
+
 def _canonical_bits(needed: int) -> int:
     """Smallest header nibble whose decode class can represent `needed` bits.
 
@@ -67,26 +108,40 @@ def pack_blocks(vals: np.ndarray, bits: np.ndarray, modern: bool) -> list[bytes]
     return [out8[i, : lengths[bits[i]]].tobytes() for i in range(len(vals))]
 
 
-def _encode_value_stream(values: np.ndarray) -> tuple[bytes, np.ndarray, np.ndarray]:
+def _encode_value_stream(
+    values: np.ndarray,
+    coder=None,
+    tail_values: np.ndarray | None = None,
+) -> tuple[bytes, np.ndarray, np.ndarray]:
     """Split values into 64-value groups; per group pick ref + bits.
 
     Returns (payload_bytes_without_count, per-group bits, per-group refs).
-    The tail group is padded with the group reference (decodes to the
-    reference itself; callers crop).
+    The tail group is padded with the group reference by default (decodes
+    to the reference itself; callers crop); tail_values (mutation hook)
+    substitutes arbitrary uint16 padding — the decoder must crop it
+    identically. The inline 2-byte headers carry 12-bit references
+    (RawData.cpp:106-110), so a coder here must keep refs <= 0x0FFF.
     """
     values = np.asarray(values, dtype=np.uint16).astype(np.int64)
     n = len(values)
     groups = (n + 63) // 64
-    refs = np.zeros(groups, dtype=np.int64)
     g = np.zeros((groups, 64), dtype=np.int64)
+    pad_known = tail_values is not None
+    if pad_known and groups:
+        tv = np.asarray(tail_values, dtype=np.uint16).astype(np.int64)
+        if len(tv):
+            g[-1, 64 - len(tv):] = tv
     for i in range(groups):
         chunk = values[i * 64 : (i + 1) * 64]
-        refs[i] = min(int(chunk.min()), MODERN_REF_MAX) if len(chunk) else 0
-        g[i, :] = refs[i]  # tail padding decodes to the reference itself
+        if len(chunk) < 64 and not pad_known:
+            ref = min(int(chunk.min()), MODERN_REF_MAX) if len(chunk) else 0
+            g[i, :] = ref  # tail padding decodes to the reference itself
         g[i, : len(chunk)] = chunk
-    resid = g - refs[:, None]
-    needed = np.array([_bits_needed(int(x)) for x in resid.max(axis=1)])
-    bits = np.array([_canonical_bits(int(b)) for b in needed], dtype=np.int64)
+    bits, refs, resid = _coded(g, coder, MODERN_REF_MAX)
+    if np.any(refs > MODERN_REF_MAX) or np.any(refs < 0):
+        raise MotionCamException("stream reference exceeds 12 bits")
+    if np.any(bits > 15):
+        raise MotionCamException("stream bits exceed the 4-bit header nibble")
     payloads = pack_blocks(resid.astype(np.uint16), bits, modern=True)
 
     out = bytearray()
@@ -101,6 +156,12 @@ def encode_modern(
     image: np.ndarray,
     encoded_width: int | None = None,
     encoded_height: int | None = None,
+    *,
+    coder=None,
+    meta_coder=None,
+    meta_tail: np.ndarray | None = None,
+    gaps: tuple[bytes, bytes] = (b"", b""),
+    declared_count: int | None = None,
 ) -> bytes:
     """Encode an (H, W) uint16 plane as a compressionType-7 payload.
 
@@ -112,6 +173,18 @@ def encode_modern(
     height-sized buffer in that case, which is why differential tests for
     these shapes go through ref_shim's over-allocated wrapper rather than
     the reference example binary). Pad rows are edge-replicated.
+
+    Mutation-soak hooks (canonical output is unchanged when all are left
+    at their defaults): `coder` picks noncanonical (bits, refs) for main
+    blocks (see _coded; main-data refs travel through the refs metadata
+    stream as full uint16 values, so refs up to 65535 are format-legal
+    here), `meta_coder`/`meta_tail` do the same for the two metadata
+    streams (their inline headers cap refs at 12 bits), `gaps` inserts
+    junk bytes before each metadata stream (the decoder must honor the
+    header offsets, not adjacency), and `declared_count` overrides the
+    streams' numBlocks word (values not a multiple of 64 are reference
+    UB — vector overrun at RawData.cpp:476 vs :485-494 — so only our
+    decoder's pad-and-crop behavior is testable for those).
     """
     image = np.asarray(image, dtype=np.uint16)
     h, w = image.shape
@@ -139,19 +212,20 @@ def encode_modern(
     blocks = v.reshape(tiles_y * tiles_x * 4, 64).astype(np.int64)
 
     num_blocks = len(blocks)
-    refs = np.minimum(blocks.min(axis=1), MODERN_REF_MAX)
-    resid = blocks - refs[:, None]
-    needed = np.array([_bits_needed(int(x)) for x in resid.max(axis=1)])
-    bits = np.array([_canonical_bits(int(b)) for b in needed], dtype=np.int64)
+    bits, refs, resid = _coded(blocks, coder, MODERN_REF_MAX)
 
     payloads = pack_blocks(resid.astype(np.uint16), bits, modern=True)
     main = b"".join(payloads)
 
-    bits_stream, _, _ = _encode_value_stream(bits.astype(np.uint16))
-    refs_stream, _, _ = _encode_value_stream(refs.astype(np.uint16))
+    bits_stream, _, _ = _encode_value_stream(
+        bits.astype(np.uint16), coder=meta_coder, tail_values=meta_tail
+    )
+    refs_stream, _, _ = _encode_value_stream(
+        refs.astype(np.uint16), coder=meta_coder, tail_values=meta_tail
+    )
 
-    bits_off = 16 + len(main)
-    refs_off = bits_off + 4 + len(bits_stream)
+    bits_off = 16 + len(main) + len(gaps[0])
+    refs_off = bits_off + 4 + len(bits_stream) + len(gaps[1])
     header = struct.pack(
         "<IIII", encoded_width, encoded_height, bits_off, refs_off
     )
@@ -160,12 +234,24 @@ def encode_modern(
     # whole 64-value groups, overflowing its vector otherwise — so valid
     # containers must carry numBlocks % 64 == 0. Decode reads only the first
     # tiles*4 entries.
-    count = struct.pack("<I", 64 * ((num_blocks + 63) // 64))
-    return header + main + count + bits_stream + count + refs_stream
+    count = struct.pack(
+        "<I",
+        64 * ((num_blocks + 63) // 64)
+        if declared_count is None
+        else declared_count,
+    )
+    return (
+        header + main + gaps[0] + count + bits_stream
+        + gaps[1] + count + refs_stream
+    )
 
 
 def encode_legacy(
-    image: np.ndarray, chunk_rows: int | None = None, add_offset_table: bool = True
+    image: np.ndarray,
+    chunk_rows: int | None = None,
+    add_offset_table: bool = True,
+    *,
+    coder=None,
 ) -> bytes:
     """Encode an (H, W) uint16 plane as a compressionType-6 payload.
 
@@ -174,6 +260,11 @@ def encode_legacy(
     [u32 BE pos][0xFF] chunk table (one entry per `chunk_rows` rows) plus a
     0x00 guard byte is appended, enabling chunk-parallel decode
     (RawData_Legacy.cpp:452-469 parses it; the reference then ignores it).
+
+    `coder` is the mutation-soak hook for noncanonical (bits, refs) per
+    block (see _coded). Legacy headers are inline, so refs are capped at
+    12 bits and bits at the 4-bit nibble (11-15 all decode as 16-bit BE,
+    RawData_Legacy.cpp:395, :435-438).
     """
     image = np.asarray(image, dtype=np.uint16)
     h, w = image.shape
@@ -186,10 +277,11 @@ def encode_legacy(
     pairs = image.reshape(h * (padded_width // 32), 16, 2)
     blocks = pairs.transpose(0, 2, 1).reshape(-1, 16).astype(np.int64)
 
-    refs = np.minimum(blocks.min(axis=1), MODERN_REF_MAX)
-    resid = blocks - refs[:, None]
-    needed = np.array([_bits_needed(int(x)) for x in resid.max(axis=1)])
-    bits = np.array([_canonical_bits(int(b)) for b in needed], dtype=np.int64)
+    bits, refs, resid = _coded(blocks, coder, MODERN_REF_MAX)
+    if np.any(refs > MODERN_REF_MAX) or np.any(refs < 0):
+        raise MotionCamException("legacy reference exceeds 12 bits")
+    if np.any(bits > 15):
+        raise MotionCamException("legacy bits exceed the 4-bit header nibble")
     payloads = pack_blocks(resid.astype(np.uint16), bits, modern=False)
 
     out = bytearray()

@@ -176,7 +176,19 @@ def decode_modern(data: np.ndarray, width: int, height: int) -> np.ndarray:
 
     vals = unpack_blocks(windows, bits, modern=True)
     img = modern_deinterleave(vals, refs[:num_blocks], tiles_y, tiles_x)
-    return img[:height, :width]
+    out = img[:height, :width]
+    if out.shape[0] < height:
+        # Under-declared encodedHeight: the reference writes only
+        # 4*ceil(encodedHeight/4) rows and returns; the caller's buffer
+        # keeps its resize() contents for the tail (Decoder.cpp:221-222 —
+        # zeros for a fresh vector; NOTE the example reuses outData across
+        # frames, so the C++ tail shows the PREVIOUS same-size frame
+        # there — a stateful quirk we deliberately do not replicate; we
+        # always zero-fill, matching the reference's first decode).
+        out = np.concatenate(
+            [out, np.zeros((height - out.shape[0], out.shape[1]), np.uint16)]
+        )
+    return out
 
 
 def legacy_padded_width(width: int) -> int:

@@ -30,10 +30,37 @@ from .container import (
     COMPRESSION_TYPE,
     COMPRESSION_TYPE_LEGACY,
 )
-from .errors import IOException
+from .errors import DecodeError, IOException
 from .metadata import ContainerMetadata, FrameMetadata
 
 AudioChunk = tuple[int, np.ndarray]  # (timestampNs or -1, interleaved int16)
+
+
+def _modern_payload_rows(payload) -> int:
+    """Rows the reference's Decode writes: 4*ceil(encodedHeight/4) from the
+    payload header (RawData.cpp:507-511, :571). 0 when the payload is too
+    short to carry a header."""
+    if len(payload) < 8:
+        return 0
+    enc_h = int(np.asarray(payload[4:8], dtype=np.uint8).view("<u4")[0])
+    return 4 * ((enc_h + 3) // 4)
+
+
+@contextlib.contextmanager
+def _uncompress_error_text(modern: bool):
+    """Wrap codec-level failures in the reference's exact loadFrame error
+    text (Decoder.cpp:225-231 throws IOException("Failed to uncompress
+    frame") / ("Failed to uncompress legacy frame") when raw::Decode{,Legacy}
+    returns <= 0), so CLI stderr stays byte-identical to the C++ example on
+    malformed payloads. The specific diagnosis stays on __cause__."""
+    try:
+        yield
+    except DecodeError as e:
+        raise IOException(
+            "Failed to uncompress frame"
+            if modern
+            else "Failed to uncompress legacy frame"
+        ) from e
 
 
 class Decoder:
@@ -155,9 +182,18 @@ class Decoder:
             fm = FrameMetadata(meta)
             ct = fm.compression_type
             if ct == COMPRESSION_TYPE:
-                img = R.decode_modern(np.asarray(payload), fm.width, fm.height)
+                img = self._reference_return_check(payload, fm, True)
+                if img is None:
+                    with _uncompress_error_text(True):
+                        img = R.decode_modern(
+                            np.asarray(payload), fm.width, fm.height
+                        )
             elif ct == COMPRESSION_TYPE_LEGACY:
-                img = R.decode_legacy(np.asarray(payload), fm.width, fm.height)
+                self._reference_return_check(payload, fm, False)
+                with _uncompress_error_text(False):
+                    img = R.decode_legacy(
+                        np.asarray(payload), fm.width, fm.height
+                    )
             else:
                 raise IOException("Invalid compression type")
             return img, meta
@@ -179,26 +215,63 @@ class Decoder:
             else:
                 raise IOException("Invalid compression type")
 
-        if modern and self._v6_eligible(payload):
-            return self._load_frame_v6(payload, window, meta, fm)
-        if not modern and self._use_pallas() and self._accel_available():
-            out = self._load_frame_legacy_v6(payload, window, meta, fm)
-            if out is not None:
-                return out
+        degenerate = self._reference_return_check(payload, fm, modern)
+        if degenerate is not None:
+            return degenerate, meta
 
-        with self._stage("parse"):
-            from .kernels import unpack as U
+        with _uncompress_error_text(modern):
+            if modern and self._v6_eligible(payload):
+                return self._load_frame_v6(payload, window, meta, fm)
+            if not modern and self._use_pallas() and self._accel_available():
+                out = self._load_frame_legacy_v6(payload, window, meta, fm)
+                if out is not None:
+                    return out
 
-            if modern:
-                plan = U.prepare_modern(
-                    payload, fm.width, fm.height, window=window
-                )
-            else:
-                plan = U.prepare_legacy(
-                    payload, fm.width, fm.height, window=window
-                )
-        with self._stage("unpack"):
-            return self._dispatch_device(plan, modern), meta
+            with self._stage("parse"):
+                from .kernels import unpack as U
+
+                if modern:
+                    plan = U.prepare_modern(
+                        payload, fm.width, fm.height, window=window
+                    )
+                else:
+                    plan = U.prepare_legacy(
+                        payload, fm.width, fm.height, window=window
+                    )
+            with self._stage("unpack"):
+                return self._dispatch_device(plan, modern), meta
+
+    def _reference_return_check(self, payload, fm, modern: bool):
+        """Reproduce the reference's loadFrame outcome for degenerate
+        geometries (Decoder.cpp:225-231 throws when raw::Decode{,Legacy}
+        returns <= 0, i.e. zero rows or zero width; VERDICT r2 #3):
+
+        - modern: Decode writes 4*ceil(encodedHeight/4) rows x width, so
+          encodedHeight == 0 or width == 0 -> "Failed to uncompress
+          frame". (height == 0 makes the reference overflow its caller's
+          zero-sized buffer — UB we replace with the same error.)
+        - legacy: DecodeLegacy returns height*width -> zero of either is
+          "Failed to uncompress legacy frame".
+        - modern with 0 < encoded rows < height: the reference writes the
+          short decode and leaves the tail of the caller's buffer as-is
+          (zeros on first use) — route to the zero-padding NumPy oracle
+          (degenerate inputs, perf-irrelevant). Returns the decoded image
+          for that case, None when the normal paths should run.
+        """
+        if modern:
+            rows = _modern_payload_rows(payload)
+            if rows == 0 or fm.width == 0 or fm.height == 0:
+                raise IOException("Failed to uncompress frame")
+            if rows < fm.height:
+                from .kernels import numpy_ref as R
+
+                with _uncompress_error_text(True):
+                    return R.decode_modern(
+                        np.asarray(payload), fm.width, fm.height
+                    )
+        elif fm.height == 0 or fm.width == 0:
+            raise IOException("Failed to uncompress legacy frame")
+        return None
 
     def _v6_eligible(self, payload) -> bool:
         if not self._use_pallas():
