@@ -447,6 +447,79 @@ def test_legacy_parallel_scan_matches_serial(rng):
     assert np.array_equal(np.asarray(plan.offsets, np.int64), ser[2])
 
 
+def test_legacy_mismatched_chunk_table_property(rng):
+    """VERDICT r2 #9: a trailing table that points mid-block (or belongs
+    to different content) must NEVER yield a silently wrong parallel
+    scan — legacy_scan_parallel returns None (callers fall back to the
+    serial walk) or a result identical to it. Fuzzed over shifted,
+    foreign, duplicated, reordered and truncated tables."""
+    from mcraw.kernels import native as N
+    from mcraw.kernels import numpy_ref as R
+
+    h, w = 48, 320
+    img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(
+        E.encode_legacy(img, chunk_rows=6), dtype=np.uint8
+    )
+    nblk = h * (R.legacy_padded_width(w) // 32) * 2
+    good = R.legacy_chunk_offsets(payload)
+    ser = N.legacy_scan(payload, nblk)
+    if N.legacy_scan_parallel(payload, nblk, good) is None:
+        pytest.skip("native extension unavailable")
+
+    other = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+    foreign = R.legacy_chunk_offsets(
+        np.frombuffer(E.encode_legacy(other, chunk_rows=6), dtype=np.uint8)
+    )
+    tables = [foreign, sorted(good, reverse=True), good[: len(good) // 2],
+              [g for g in good for _ in range(2)]]
+    for _ in range(200):
+        t = [int(g) + int(rng.integers(-33, 34)) for g in good]
+        tables.append(t)
+    for t in tables:
+        par = N.legacy_scan_parallel(payload, nblk, t)
+        if par is not None:
+            for a, b in zip(ser, par):
+                assert np.array_equal(
+                    np.asarray(a, np.int64), np.asarray(b, np.int64)
+                ), f"parallel scan silently diverged for table {t[:4]}..."
+
+
+def test_legacy_corrupt_embedded_table_decodes_exactly(rng, monkeypatch):
+    """A clip whose EMBEDDED trailing table is corrupted mid-block must
+    still decode exactly end-to-end (continuity check -> serial-scan
+    fallback), on both the oracle and the light-prep v6 path."""
+    import struct as _struct
+
+    from mcraw.kernels import numpy_ref as R
+    from mcraw.kernels import pallas_legacy as PL
+    from mcraw.kernels import unpack as U
+
+    h, w = 48, 320
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    payload = bytearray(E.encode_legacy(img, chunk_rows=6))
+    # last table entry: [u32 BE pos][0xFF] just before the final byte
+    pos = _struct.unpack(">I", bytes(payload[-5:-1]))[0]
+    assert payload[-1] == 0xFF and 0 < pos < len(payload)
+    payload[-5:-1] = _struct.pack(">I", pos + 1)  # now mid-block
+    payload = np.frombuffer(bytes(payload), dtype=np.uint8)
+
+    assert np.array_equal(R.decode_legacy(payload, w, h), img)
+    # the parallel scan path must be exercised AND refuse
+    monkeypatch.setattr(U, "LEGACY_PARALLEL_MIN_BLOCKS", 1)
+    light = PL.prepare_legacy_light(payload, w, h)
+    assert light is not None
+    import jax.numpy as jnp
+
+    p32, offs, bits, refs, pw, rows = light
+    out = PL.decode_legacy_device_v6.__wrapped__(
+        jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+        jnp.asarray(np.asarray(refs, np.int32)),
+        pw=pw, h=h, width=w, rows=rows, interpret=True,
+    )
+    assert np.array_equal(np.asarray(out), img)
+
+
 def test_frame_decoder_persistent_program(rng):
     """FrameDecoder (the latency path): AOT-compiled persistent program,
     one executable reused across same-geometry frames, exact output."""
