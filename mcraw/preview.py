@@ -6,10 +6,17 @@ demosaic (convolutions, MXU-friendly) -> camera->sRGB color transform ->
 gamma, all one jitted program so XLA fuses the epilogue into the decode and
 the frame never round-trips to host between stages.
 
-Color model (simplified vs full DNG rendering, documented deviations):
-uses forwardMatrix1 (camera -> XYZ D50, example.cpp:71) followed by a
-Bradford D50->D65 adaptation and the sRGB primaries matrix; single
-illuminant, no hue-map / profile lookup.
+Color model: full dual-illuminant DNG rendering math — the camera->XYZ(D50)
+forward matrix is interpolated between forwardMatrix1 (D65) and
+forwardMatrix2 (Standard A) at the as-shot white point's correlated color
+temperature, with the DNG spec's self-consistent white-point iteration
+(mcraw/color.py; the reference example only *copies* both matrix pairs
+into DNG tags, example.cpp:69-72 + :117-124 — consumers do this math).
+Then Bradford D50->D65 adaptation and the sRGB primaries matrix. The one
+remaining simplification: no ProfileHueSatMap/LookTable handling — the
+container format carries no such tags, so there is nothing to apply.
+The fidelity bound vs an f64 scalar model of this exact pipeline is
+pinned in tests/test_preview.py (<= 1/255 per channel).
 """
 
 from __future__ import annotations
@@ -280,11 +287,14 @@ def _frame_rgba(img, fm, cm, cfa, interpret: bool) -> jax.Array:
     the XLA pipeline packed to RGBA. The single home of the eligibility
     rule (preview_frame / preview_frame_rgba / preview_clip all route
     here)."""
+    from .color import interpolated_matrices
+
+    fwd, _, _ = interpolated_matrices(cm, fm.as_shot_neutral)
     args = (
         jnp.asarray(cm.black_level),
         jnp.asarray(np.float32(cm.white_level)),
         jnp.asarray(fm.as_shot_neutral),
-        jnp.asarray(cm.forward_matrix(1).reshape(3, 3)),
+        jnp.asarray(fwd.astype(np.float32)),
     )
     if _fused_eligible(fm.height, fm.width):
         return develop_rgba(

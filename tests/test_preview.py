@@ -21,7 +21,10 @@ def _clip_with_flat_color(r, g, b, sensor="rggb", h=16, w=64):
     )
     # A white-preserving forward matrix: camera (1,1,1) -> XYZ of D50 white.
     # (An identity matrix is not white-preserving — equal XYZ is not white.)
+    # BOTH illuminants' matrices, so the dual-illuminant interpolation
+    # (mcraw/color.py) is white-preserving at any as-shot CCT.
     cm["forwardMatrix1"] = [0.9642, 0, 0, 0, 1.0, 0, 0, 0, 0.8249]
+    cm["forwardMatrix2"] = cm["forwardMatrix1"]
     writer = E.ContainerWriter(cm)
     img = np.zeros((h, w), dtype=np.uint16)
     from mcraw.metadata import CFA_PATTERNS
@@ -229,3 +232,167 @@ def test_fused_rgba_unaligned_widths(shape):
     assert np.all((rgba >> 24) == 0xFF)
     assert np.max(np.abs(got - rgb.astype(np.int64))) <= 1
     assert P._fused_eligible(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Dual-illuminant color math + preview fidelity bound (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+# Plausible phone-sensor profile: XYZ->camera at D65 / StdA and the
+# corresponding (white-balanced camera)->XYZ(D50) forward matrices.
+_CM1 = np.array([[0.79, -0.23, -0.07], [-0.43, 1.32, 0.05],
+                 [-0.07, 0.18, 0.54]])
+_CM2 = np.array([[0.92, -0.31, -0.01], [-0.50, 1.42, 0.08],
+                 [-0.04, 0.22, 0.42]])
+_FM1 = np.array([[0.62, 0.22, 0.12], [0.26, 0.72, 0.02],
+                 [0.03, 0.12, 0.67]])
+_FM2 = np.array([[0.68, 0.18, 0.10], [0.30, 0.68, 0.02],
+                 [0.05, 0.10, 0.67]])
+
+
+def _xyz_of_xy(xy):
+    x, y = xy
+    return np.array([x / y, 1.0, (1 - x - y) / y])
+
+
+def test_cct_known_illuminants():
+    from mcraw.color import cct_from_xy
+
+    assert abs(cct_from_xy((0.3127, 0.3290)) - 6504) < 15   # D65
+    assert abs(cct_from_xy((0.4476, 0.4074)) - 2856) < 15   # Standard A
+    assert abs(cct_from_xy((0.3457, 0.3585)) - 5000) < 15   # D50
+
+
+def test_interpolation_weight_endpoints_and_midpoint():
+    """Camera neutrals synthesized AT each calibration illuminant must
+    pull the weight to that endpoint; a D50-ish neutral lands between,
+    and the self-consistent iteration converges."""
+    from mcraw.color import interpolated_matrices
+
+    cm = example_container_metadata()
+    cm["colorMatrix1"], cm["colorMatrix2"] = _CM1.ravel().tolist(), _CM2.ravel().tolist()
+    cm["forwardMatrix1"], cm["forwardMatrix2"] = _FM1.ravel().tolist(), _FM2.ravel().tolist()
+
+    n_d65 = _CM1 @ _xyz_of_xy((0.3127, 0.3290))
+    fwd, _, g = interpolated_matrices(cm, n_d65 / n_d65[1])
+    assert g > 0.97
+    assert np.allclose(fwd, _FM1, atol=0.02)
+
+    n_a = _CM2 @ _xyz_of_xy((0.4476, 0.4074))
+    fwd, _, g = interpolated_matrices(cm, n_a / n_a[1])
+    assert g < 0.03
+    assert np.allclose(fwd, _FM2, atol=0.02)
+
+    mid_cm = 0.5 * (_CM1 + _CM2)
+    n_d50 = mid_cm @ _xyz_of_xy((0.3457, 0.3585))
+    _, _, g = interpolated_matrices(cm, n_d50 / n_d50[1])
+    assert 0.3 < g < 0.9  # strictly interior
+
+    # single-illuminant container: weight pins to 1 / forwardMatrix1
+    cm1only = example_container_metadata()
+    cm1only["forwardMatrix1"] = _FM1.ravel().tolist()
+    cm1only.pop("colorMatrix2", None)
+    cm1only.pop("forwardMatrix2", None)
+    fwd, _, g = interpolated_matrices(cm1only, [0.5, 1.0, 0.6])
+    assert g == 1.0 and np.allclose(fwd, _FM1)
+
+
+def _develop_f64(raw, black, white, neutral, fwd, cfa):
+    """Scalar float64 model of the EXACT preview pipeline (normalize ->
+    WB folded into the demosaic normalizer -> mask-normalized bilinear
+    demosaic -> fwd matrix -> XYZ(D50)->sRGB -> gamma -> quantize).
+    This is the ground truth the Pallas develop kernel is bounded
+    against."""
+    from mcraw.preview import _K_CROSS, _K_FULL, _XYZ_D50_TO_SRGB, _phase_masks, _np_conv2same
+
+    h, w = raw.shape
+    yy = np.arange(h)[:, None] % 2
+    xx = np.arange(w)[None, :] % 2
+    b = np.asarray(black, np.float64)
+    bl = np.where(yy == 0, np.where(xx == 0, b[0], b[1]),
+                  np.where(xx == 0, b[2], b[3]))
+    x = np.clip((raw.astype(np.float64) - bl) / (float(white) - bl), 0, 1)
+    masks = _phase_masks(h, w, tuple(cfa)).astype(np.float64)
+    gains = 1.0 / np.asarray(neutral, np.float64)
+    chans = []
+    for c, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL)):
+        k = k.astype(np.float64)
+        num = _np_conv2same(x * masks[c], k)
+        den = _np_conv2same(masks[c], k)
+        chans.append(num / den * gains[c])
+    rgb = np.clip(np.stack(chans, -1), 0, 1)
+    m = _XYZ_D50_TO_SRGB.astype(np.float64) @ np.asarray(fwd, np.float64)
+    rgb = np.clip(rgb @ m.T, 0, 1)
+    rgb = np.where(rgb <= 0.0031308, 12.92 * rgb,
+                   1.055 * np.power(rgb, 1 / 2.4) - 0.055)
+    return np.round(np.clip(rgb, 0, 1) * 255.0).astype(np.int64)
+
+
+def test_preview_fidelity_bound_vs_f64_model():
+    """The fused Pallas develop kernel, fed the dual-illuminant
+    interpolated forward matrix, stays within 1/255 per channel of the
+    full-precision f64 scalar model on realistic metadata — the
+    documented preview fidelity guarantee."""
+    from mcraw import preview as P
+    from mcraw.color import interpolated_matrices
+
+    rng = np.random.default_rng(11)
+    h, w = 24, 256
+    raw = rng.integers(0, 1024, size=(h, w), dtype=np.uint16)
+    black = np.array([64, 63, 62, 61], np.float32)
+    white = np.float32(1023.0)
+    neutral = np.array([0.4831, 1.0, 0.6517], np.float32)
+    cfa = (0, 1, 1, 2)
+
+    cm = example_container_metadata()
+    cm["colorMatrix1"], cm["colorMatrix2"] = _CM1.ravel().tolist(), _CM2.ravel().tolist()
+    cm["forwardMatrix1"], cm["forwardMatrix2"] = _FM1.ravel().tolist(), _FM2.ravel().tolist()
+    fwd, _, g = interpolated_matrices(cm, neutral)
+    assert 0.0 < g < 1.0  # genuinely interpolated on this metadata
+
+    want = _develop_f64(raw, black, white, neutral, fwd, cfa)
+    import jax.numpy as jnp
+
+    rgba = np.asarray(P.develop_rgba(
+        jnp.asarray(raw), black, white, neutral, fwd.astype(np.float32),
+        height=h, width=w, cfa=cfa, interpret=True,
+    ))
+    got = np.stack(
+        [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF], axis=-1
+    ).astype(np.int64)
+    dev = np.max(np.abs(got - want))
+    assert dev <= 1, f"preview deviation {dev}/255 exceeds the 1-LSB bound"
+
+
+def test_preview_frame_uses_interpolated_matrix(rng):
+    """End-to-end: with FM1 != FM2 and a warm (StdA-ish) neutral, the
+    preview must NOT equal an FM1-only rendering and must match the f64
+    model built on the interpolated matrix."""
+    from mcraw import preview as P
+    from mcraw.color import interpolated_matrices
+    from mcraw.metadata import ContainerMetadata, FrameMetadata
+
+    h, w = 16, 128
+    cmd = example_container_metadata(black_level=(0, 0, 0, 0),
+                                     white_level=1023.0)
+    cmd["colorMatrix1"], cmd["colorMatrix2"] = _CM1.ravel().tolist(), _CM2.ravel().tolist()
+    cmd["forwardMatrix1"], cmd["forwardMatrix2"] = _FM1.ravel().tolist(), _FM2.ravel().tolist()
+    writer = E.ContainerWriter(cmd)
+    img = rng.integers(0, 1024, size=(h, w), dtype=np.uint16)
+    fmeta = example_frame_metadata(w, h)
+    n_a = _CM2 @ _xyz_of_xy((0.4476, 0.4074))
+    fmeta["asShotNeutral"] = (n_a / n_a[1]).tolist()
+    writer.add_frame(1, E.encode_modern(img), fmeta)
+    d = Decoder(writer.finish(), backend="jax", kernel="pallas")
+
+    got = np.asarray(preview_frame(d, 1)).astype(np.int64)
+    cm = ContainerMetadata(d.container_metadata)
+    fm = FrameMetadata(d.load_frame(1)[1])
+    fwd, _, g = interpolated_matrices(cm, fm.as_shot_neutral)
+    assert g < 0.03  # warm neutral -> StdA end
+    want = _develop_f64(img, cm.black_level, cm.white_level,
+                        fm.as_shot_neutral, fwd, tuple(cm.cfa_pattern))
+    assert np.max(np.abs(got - want)) <= 1
+    want_fm1 = _develop_f64(img, cm.black_level, cm.white_level,
+                            fm.as_shot_neutral, _FM1, tuple(cm.cfa_pattern))
+    assert np.max(np.abs(want - want_fm1)) > 2  # interpolation matters
