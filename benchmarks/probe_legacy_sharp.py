@@ -125,7 +125,7 @@ def main():
         ]
         return [x for a in argsets for x in a]
 
-    def make_lv6(plane_mode="halves"):
+    def make_lv6(plane_mode="halves", ablate=None, sub=None, meta_dot=True):
         flat = v6_args()
 
         def xn(*flat_args):
@@ -134,12 +134,13 @@ def main():
                 p32, offs, bits, refs = flat_args[4 * k : 4 * k + 4]
                 im = PL.decode_legacy_device_v6.__wrapped__(
                     p32, offs, bits, refs, pw=pw, h=H, width=W, rows=v6rows,
-                    plane_mode=plane_mode,
+                    plane_mode=plane_mode, ablate=ablate, sub=sub,
+                    meta_dot=meta_dot,
                 )
                 acc = acc + consume(k, im)
             return acc
 
-        return finish(xn, flat, want_full())
+        return finish(xn, flat, want_full() if ablate is None else None)
 
     def make_lv6prep():
         flat = v6_args()
@@ -181,6 +182,19 @@ def main():
         "lv6bytes": lambda: make_lv6("bytes"),
         "lv5packed": lambda: make_lv5("packed"),
         "lv6packed": lambda: make_lv6("packed"),
+        # Stage-drop legs (wrong output, no checksum gate): packed base.
+        "lv6merged": lambda: make_lv6("packed", ablate="merged"),
+        "lv6nometa": lambda: make_lv6("packed", ablate="nometa"),
+        "lv6noswap": lambda: make_lv6("packed", ablate="noswap"),
+        "lv6oneg": lambda: make_lv6("packed", ablate="oneg"),
+        # Structural A/Bs (all exact, checksum-gated): meta lane-expansion
+        # dot (now default) vs the r2 widen8+gather path; subgrouped picks.
+        "lv6widen": lambda: make_lv6("packed", meta_dot=False),
+        "lv6sub32": lambda: make_lv6("packed", sub=32),
+        "lv6sub64": lambda: make_lv6("packed", sub=64),
+        "lv6sub128": lambda: make_lv6("packed", sub=128),
+        "lv6sub64bytes": lambda: make_lv6("bytes", sub=64),
+        "lv6sub64merged": lambda: make_lv6("packed", sub=64, ablate="merged"),
     }
 
     def timeit(fn, flat):

@@ -228,14 +228,17 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
     DEFAULT bf16 dot — 256*byte is a pure exponent shift of <= 8
     significand bits, and the two-term f32 sum <= 65535 < 2^24; the
     pair-row select becomes a variable right-shift of the int32 c)."""
-    if plane_mode not in ("halves", "bytes", "packed"):
+    if plane_mode not in ("halves", "bytes", "packed", "packed-noswap"):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
-    span_be = (
-        ((span & 0xFF) << 24)
-        | ((span & 0xFF00) << 8)
-        | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
-        | jax.lax.shift_right_logical(span, 24)
-    )
+    if plane_mode == "packed-noswap":  # benchmark-only byteswap drop
+        span_be, plane_mode = span, "packed"
+    else:
+        span_be = (
+            ((span & 0xFF) << 24)
+            | ((span & 0xFF00) << 8)
+            | (jax.lax.shift_right_logical(span, 8) & 0xFF00)
+            | jax.lax.shift_right_logical(span, 24)
+        )
     t0 = (rel0 >> 2) & 127
     if plane_mode in ("bytes", "packed"):
         planes = jnp.concatenate(
@@ -467,25 +470,73 @@ def _unpack_legacy_pallas_v5(
 # -----------------------------------------------------------------------------
 
 
+def _lane_sel_table() -> np.ndarray:
+    """(8, 128) f32 one-hot lane-expansion matrix: lane l of the kernel's
+    128-lane layout carries block param p = ((l>>5)<<1) | (l&1) (4 pair
+    groups x even/odd, 16 value lanes each — see _legacy_kernel_v5's lane
+    map). meta_lane = meta8 @ S replaces the widen8 broadcast + per-lane
+    gather complex with ONE tiny MXU pass per param (f32 HIGHEST one-hot
+    contract: all operands < 2^24 — rel < 2^18, cls_enc < 2^10,
+    refs <= 0xFFFF). Measured: the widen8+gather meta path was 0.59 ms of
+    the 1.09 ms legacy v6 chunk body at 4K (probe_legacy_sharp
+    lv6nometa leg) — the (b, 8)-minor broadcasts are exactly the minor-dim
+    layout pathology the perf ledger flags."""
+    s = np.zeros((8, 128), dtype=np.float32)
+    l = np.arange(128)
+    p = ((l >> 5) << 1) | (l & 1)
+    s[p, l] = 1.0
+    return s
+
+
+_LANE_SEL = _lane_sel_table()
+
+
+def _leg_sub_rows(sgr: int) -> int:
+    """Worst-case subgroup window rows for the subgrouped pick: the
+    subgroup's first-block offsets span <= sgr*8*34 bytes (every block is
+    <= 2+32 bytes), the window base rounds down up to 7 rows for the
+    8-aligned plane slice, and rows q, q+1 of the LAST row must fit."""
+    w = (sgr * 8 * 34) // 512 + 1 + 7 + 2
+    return w + (-w) % 8
+
+
 def _legacy_kernel_v6(
-    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B)
-    offs_ref,  # (1, b, 8) int32 payload byte offsets (past headers)
-    cls_ref,  # (1, b, 8) int32 class indices
+    base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B);
+    # in subgrouped mode (num_chunks * G,) 8-aligned subgroup window rows
+    # with entry g=0 = the chunk base (exactly like the modern kernel's
+    # per-subgroup base_ref, pallas_unpack.py:456)
+    offs_ref,  # (1, b, 8) int32 CHUNK-RELATIVE payload byte offsets (past
+    # headers; relativized by _v6_legacy_build so the vector path never
+    # reads the base scalar and the lane-expansion dot stays < 2^24 exact)
+    cls_ref,  # (1, b, 8) int32 class indices; in subgrouped mode column 0
+    # additionally carries the row's window-relative pick row in bits 4+
+    # (cls = enc & 15, qrel = enc >> 4 — packed by _v6_legacy_build so the
+    # kernel's vector path never reads a scalar)
     refs_ref,  # (1, b, 8) int32 references
-    payload_ref,  # HBM (P/512, 128) int32
-    out_ref,  # (b, 128) uint16 — finished pixel segments
-    scratch_ref,  # VMEM (2, rows, 128) int32
-    sems,
+    *rest,  # [lane_sel_ref ((8,128) f32, meta_dot)], payload_ref (HBM),
+    # out_ref ((b,128) uint16), scratch_ref ((2,rows,128) int32 VMEM),
+    # [planes_ref (sub mode)], sems
     rows: int = None,
     plane_mode: str = "packed",
+    sub: int | None = None,  # rows per subgroup (None = chunk-wide pick)
+    meta_dot: bool = True,  # (b,8)->(b,128) meta via one-hot MXU expansion
+    ablate: str | None = None,  # benchmark-only stage drops (wrong output)
 ):
+    rest = list(rest)
+    lane_sel_ref = rest.pop(0) if meta_dot else None
+    payload_ref = rest.pop(0)
+    out_ref = rest.pop(0)
+    scratch_ref = rest.pop(0)
+    planes_ref = rest.pop(0) if sub else None
+    sems = rest.pop(0)
+    G = (offs_ref.shape[1] // sub) if sub else 1
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
 
     def span_dma(chunk, dst_slot):
         return pltpu.make_async_copy(
-            payload_ref.at[pl.ds(base_ref[chunk], rows), :],
+            payload_ref.at[pl.ds(base_ref[chunk * G], rows), :],
             scratch_ref.at[dst_slot],
             sems.at[dst_slot],
         )
@@ -498,85 +549,268 @@ def _legacy_kernel_v6(
     def _():
         span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-    base_row = base_ref[i]
+    base_row = base_ref[i * G]
     b = offs_ref.shape[1]
-
-    def widen8(ref):
-        m = ref[0]  # (b, 8)
-        cols = [
-            jnp.broadcast_to(m[:, p : p + 1], (b, 16)) for p in range(8)
-        ]
-        return jnp.concatenate(cols, axis=1)  # (b, 128)
-
-    offs8 = widen8(offs_ref)
-    cls8 = widen8(cls_ref)
-    refs8 = widen8(refs_ref)
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
-    pidx = (((lane >> 5) << 1) | (lane & 1)) * 16
-    rel_lane = jnp.take_along_axis(offs8, pidx, axis=1) - base_row * 512
-    cls_lane = jnp.take_along_axis(cls8, pidx, axis=1)
-    refs_lane = jnp.take_along_axis(refs8, pidx, axis=1)
+    rel0 = offs_ref[0][:, 0:1]  # (b, 1) chunk-relative
+    q = rel0 >> 9
+    hi = jax.lax.Precision.HIGHEST
+
+    if ablate == "nometa":
+        # Constant per-lane meta: keeps merged production + funnel gathers,
+        # drops the meta lane expansion.
+        rel_lane = jnp.broadcast_to(rel0, (b, 128))
+        cls_lane = jnp.full((b, 128), 4, jnp.int32)
+        refs_lane = lane
+    elif meta_dot:
+        # (b, 8) -> (b, 128) lane expansion as ONE tiny one-hot MXU dot per
+        # param (exact: f32 HIGHEST, operands < 2^24 — rel < 2^18 by the
+        # chunk-relative prologue, cls_enc < 2^10, refs <= 0xFFFF). The
+        # widen8-broadcast + lane-gather alternative below measured 0.59 ms
+        # of the 1.09 ms 4K chunk body (minor-dim-8 layout pathology).
+        sel = lane_sel_ref[...]
+
+        def expand(ref):
+            return jnp.dot(
+                ref[0].astype(jnp.float32), sel,
+                precision=hi, preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        rel_lane = expand(offs_ref)
+        cls_lane = expand(cls_ref)
+        refs_lane = expand(refs_ref)
+        if sub:
+            cls_lane = cls_lane & 15  # column 0 carries qrel in bits 4+
+    else:
+        def widen8(ref):
+            m = ref[0]  # (b, 8)
+            cols = [
+                jnp.broadcast_to(m[:, p : p + 1], (b, 16)) for p in range(8)
+            ]
+            return jnp.concatenate(cols, axis=1)  # (b, 128)
+
+        offs8 = widen8(offs_ref)
+        cls8 = widen8(cls_ref)
+        refs8 = widen8(refs_ref)
+        pidx = (((lane >> 5) << 1) | (lane & 1)) * 16
+        rel_lane = jnp.take_along_axis(offs8, pidx, axis=1)
+        cls_lane = jnp.take_along_axis(cls8, pidx, axis=1)
+        refs_lane = jnp.take_along_axis(refs8, pidx, axis=1)
+        if sub:
+            cls_lane = cls_lane & 15  # column 0 carries qrel in bits 4+
     cb = jnp.where(cls_lane >= 11, 16, cls_lane)
 
-    rel0 = offs_ref[0][:, 0:1] - base_row * 512  # (b, 1)
-    q = rel0 >> 9
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+    def funnel(merged, rel_l, q_l, cb_l, lane_l):
+        """Value k of a c-bit block at payload byte `off` = top c bits of
+        the 64-bit big-endian window at bit 8*off + k*c (merged carries
+        the row's q/q+1 pair window; see _merged_pair_row)."""
+        k = (lane_l & 31) >> 1
+        bitp = ((rel_l - (q_l << 9)) << 3) + k * cb_l
+        wd = jax.lax.shift_right_logical(bitp, 5)
+        sh = bitp & 31
+        g0 = jnp.take_along_axis(merged, wd & 127, axis=1)
+        if ablate == "oneg":
+            comb = g0 << sh
+        else:
+            g1 = jnp.take_along_axis(merged, (wd + 1) & 127, axis=1)
+            comb = (g0 << sh) | jax.lax.shift_right_logical(
+                jax.lax.shift_right_logical(g1, 31 - sh), 1
+            )
+        vals = jax.lax.shift_right_logical(comb, 32 - jnp.maximum(cb_l, 1))
+        return jnp.where(cb_l == 0, 0, vals)
 
     span_dma(i, slot).wait()
-    merged = _merged_pair_row(scratch_ref[slot], q, rel0, row_ids, plane_mode)
 
-    k = (lane & 31) >> 1
-    bitp = ((rel_lane - (q << 9)) << 3) + k * cb
-    wd = jax.lax.shift_right_logical(bitp, 5)
-    sh = bitp & 31
-    g0 = jnp.take_along_axis(merged, wd & 127, axis=1)
-    g1 = jnp.take_along_axis(merged, (wd + 1) & 127, axis=1)
-    comb = (g0 << sh) | jax.lax.shift_right_logical(
-        jax.lax.shift_right_logical(g1, 31 - sh), 1
-    )
-    vals = jax.lax.shift_right_logical(comb, 32 - jnp.maximum(cb, 1))
-    vals = jnp.where(cb == 0, 0, vals)
+    if not sub:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
+        merged = _merged_pair_row(
+            scratch_ref[slot], q, rel0, row_ids,
+            plane_mode if ablate != "noswap" else "packed-noswap",
+        )
+        if ablate == "merged":
+            # Stop after merged production: no meta, no funnel.
+            out_ref[:] = (merged & 0xFFFF).astype(jnp.uint16)
+            return
+        vals = funnel(merged, rel_lane, q, cb, lane)
+        out_ref[:] = ((vals + refs_lane) & 0xFFFF).astype(jnp.uint16)
+        return
 
-    out_ref[:] = ((vals + refs_lane) & 0xFFFF).astype(jnp.uint16)
+    # ---- Subgrouped pick (the modern kernel's structure): chunk-wide
+    # byte/half planes built ONCE into a persistent VMEM scratch, then a
+    # small 8-aligned window dot per subgroup instead of one chunk-span
+    # dot per kernel row — the pick reduction depth drops from the chunk
+    # span (~200+ rows at 4K) to the subgroup window (~32-48 rows). ----
+    sgr = sub
+    wrows = planes_ref.shape[0] - rows  # static window rows (_leg_sub_rows)
+    hi = jax.lax.Precision.HIGHEST
+
+    @pl.when(i == 0)
+    def _():
+        # Zero the window tail past the DMA span once so 8-aligned window
+        # slices never contract garbage (one-hot zeros kill finite values,
+        # but uninitialized bf16 could be NaN).
+        planes_ref[pl.ds(rows, wrows), :] = jnp.zeros(
+            (wrows, planes_ref.shape[1]), planes_ref.dtype
+        )
+
+    local_all = scratch_ref[slot]
+    if ablate == "noswap":
+        span_be = local_all
+    else:
+        span_be = (
+            ((local_all & 0xFF) << 24)
+            | ((local_all & 0xFF00) << 8)
+            | (jax.lax.shift_right_logical(local_all, 8) & 0xFF00)
+            | jax.lax.shift_right_logical(local_all, 24)
+        )
+    if plane_mode != "halves":
+        planes_ref[pl.ds(0, rows), 0:128] = (span_be & 0xFF).astype(
+            jnp.bfloat16
+        )
+        planes_ref[pl.ds(0, rows), 128:256] = (
+            jax.lax.shift_right_logical(span_be, 8) & 0xFF
+        ).astype(jnp.bfloat16)
+        planes_ref[pl.ds(0, rows), 256:384] = (
+            jax.lax.shift_right_logical(span_be, 16) & 0xFF
+        ).astype(jnp.bfloat16)
+        planes_ref[pl.ds(0, rows), 384:512] = jax.lax.shift_right_logical(
+            span_be, 24
+        ).astype(jnp.bfloat16)
+    else:
+        planes_ref[pl.ds(0, rows), 0:128] = (span_be & 0xFFFF).astype(
+            jnp.float32
+        )
+        planes_ref[pl.ds(0, rows), 128:256] = jax.lax.shift_right_logical(
+            span_be, 16
+        ).astype(jnp.float32)
+
+    qrel_col = jax.lax.shift_right_logical(cls_ref[0][:, 0:1], 4)  # (b, 1)
+    lanep = jax.lax.broadcasted_iota(jnp.int32, (1, planes_ref.shape[1]), 1) & 127
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgr, wrows), 1)
+
+    for g in range(G):
+        off = base_ref[i * G + g] - base_row
+        off8 = pl.multiple_of(off, 8)  # prep emits 8-aligned window bases
+        planes = planes_ref[pl.ds(off8, wrows), :]
+        sl = slice(g * sgr, (g + 1) * sgr)
+        qrel = qrel_col[sl]  # (sgr, 1) window-relative pick row
+        t0 = (rel0[sl] >> 2) & 127
+        if plane_mode == "packed":
+            oh = (row_ids == qrel).astype(jnp.int32) + (
+                (row_ids == qrel + 1).astype(jnp.int32) << 8
+            )
+            c = jnp.dot(
+                oh.astype(jnp.bfloat16),
+                planes,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            pm = (
+                jax.lax.shift_right_logical(
+                    c, jnp.where(lanep >= t0, 0, 8)
+                )
+                & 0xFF
+            )
+        elif plane_mode == "bytes":
+            p0 = jnp.dot(
+                (row_ids == qrel).astype(jnp.bfloat16),
+                planes,
+                preferred_element_type=jnp.float32,
+            )
+            p1 = jnp.dot(
+                (row_ids == qrel + 1).astype(jnp.bfloat16),
+                planes,
+                preferred_element_type=jnp.float32,
+            )
+            pm = jnp.where(lanep >= t0, p0, p1).astype(jnp.int32)
+        else:  # halves
+            p0 = jnp.dot(
+                (row_ids == qrel).astype(jnp.float32),
+                planes,
+                precision=hi,
+                preferred_element_type=jnp.float32,
+            )
+            p1 = jnp.dot(
+                (row_ids == qrel + 1).astype(jnp.float32),
+                planes,
+                precision=hi,
+                preferred_element_type=jnp.float32,
+            )
+            pm = jnp.where(lanep >= t0, p0, p1).astype(jnp.int32)
+        if plane_mode != "halves":
+            merged = (
+                pm[:, 0:128]
+                | (pm[:, 128:256] << 8)
+                | (pm[:, 256:384] << 16)
+                | (pm[:, 384:512] << 24)
+            )
+        else:
+            merged = pm[:, 0:128] | (pm[:, 128:256] << 16)
+        if ablate == "merged":
+            out_ref[pl.ds(g * sgr, sgr)] = (merged & 0xFFFF).astype(
+                jnp.uint16
+            )
+            continue
+        vals = funnel(merged, rel_lane[sl], q[sl], cb[sl], lane[sl])
+        out_ref[pl.ds(g * sgr, sgr)] = (
+            (vals + refs_lane[sl]) & 0xFFFF
+        ).astype(jnp.uint16)
 
 
 def _unpack_legacy_pallas_v6_raw(
     payload2d: jnp.ndarray,  # (R, 128) int32
-    base_rows: jnp.ndarray,  # (num_chunks,) int32
+    base_rows: jnp.ndarray,  # (num_chunks,) int32; (num_chunks * G,) if sub
     offs: jnp.ndarray,  # (num_chunks, b, 8) int32
-    cls: jnp.ndarray,  # (num_chunks, b, 8) int32
+    cls: jnp.ndarray,  # (num_chunks, b, 8) int32 (qrel-packed col 0 if sub)
     refs: jnp.ndarray,  # (num_chunks, b, 8) int32
     *,
     num_chunks: int,
     rows: int,
     plane_mode: str = "packed",
+    sub: int | None = None,
+    meta_dot: bool = True,
+    ablate: str | None = None,
     interpret: bool = False,
 ):
     b = offs.shape[1]
     spec = pl.BlockSpec(
         (1, b, 8), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    scratch = [pltpu.VMEM((2, rows, 128), jnp.int32)]
+    if sub:
+        pw_planes = 256 if plane_mode == "halves" else 512
+        pdt = jnp.float32 if plane_mode == "halves" else jnp.bfloat16
+        scratch.append(
+            pltpu.VMEM((rows + _leg_sub_rows(sub), pw_planes), pdt)
+        )
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    in_specs = [spec, spec, spec]
+    args = [base_rows, offs, cls, refs]
+    if meta_dot:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(jnp.asarray(_LANE_SEL))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(payload2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
-        in_specs=[spec, spec, spec, pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (b, 128), lambda i, base: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, rows, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        functools.partial(_legacy_kernel_v6, rows=rows, plane_mode=plane_mode),
+        functools.partial(
+            _legacy_kernel_v6, rows=rows, plane_mode=plane_mode, sub=sub,
+            meta_dot=meta_dot, ablate=ablate,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
-    )(base_rows, offs, cls, refs, payload2d)
+    )(*args)
 
 
-def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int):
+def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int, sub: int | None = None):
     """Device-side legacy meta: (nblk,) scan outputs -> kernel blocks.
 
     Pure reshapes + broadcast pads (no gathers, no matmuls, no minor-dim
@@ -621,12 +855,35 @@ def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int):
     cls3 = cls.reshape(nc, b, 8)
     refs3 = refs.reshape(nc, b, 8)
     base_rows = jax.lax.shift_right_logical(offs3[:, 0, 0], 9)
+    # Kernel offsets are CHUNK-RELATIVE (offs - chunk_base*512 < 2^18): the
+    # kernel's vector path then never touches the base scalar, and the
+    # one-hot f32 lane-expansion dot (_LANE_SEL) stays < 2^24 exact. Also
+    # makes batch stacking rebase-free (relative offsets are shift-invariant).
+    offs3 = offs3 - (base_rows << 9)[:, None, None]
+    if sub:
+        # Subgrouped pick: per-subgroup 8-aligned window base rows (entry
+        # g=0 == the chunk base, since row 0 defines base_rows) and the
+        # per-row window-relative pick row packed into cls column 0's
+        # bits 4+ (the kernel's vector path never reads a scalar — same
+        # rationale as the modern kernel's meta rows).
+        row_q = jax.lax.shift_right_logical(
+            offs3[:, :, 0], 9
+        )  # (nc, b) chunk-relative pick rows (monotone)
+        crel8 = row_q[:, ::sub] & ~7  # (nc, G)
+        qrel = row_q - jnp.repeat(crel8, sub, axis=1)
+        cls3 = cls3 + jnp.pad(
+            (qrel << 4)[:, :, None], ((0, 0), (0, 0), (0, 7))
+        )
+        base_rows = (base_rows[:, None] + crel8).reshape(-1)
     return base_rows, offs3, cls3, refs3
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pw", "h", "width", "rows", "plane_mode", "interpret"),
+    static_argnames=(
+        "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot",
+        "ablate", "interpret",
+    ),
 )
 def decode_legacy_device_v6(
     p32: jnp.ndarray,  # (R*128,) int32 bucketed payload words
@@ -639,18 +896,21 @@ def decode_legacy_device_v6(
     width: int,
     rows: int,
     plane_mode: str = "packed",
+    sub: int | None = None,
+    meta_dot: bool = True,
+    ablate: str | None = None,
     interpret: bool = False,
 ):
     """Full legacy decode with on-device meta layout (host = scan only)."""
     idx = _legacy_indices(pw, h)
     nc, segs = idx["num_chunks"], idx["segs"]
     base_rows, offs3, cls3, refs3 = _v6_legacy_build(
-        offs, bits, refs, pw=pw, h=h
+        offs, bits, refs, pw=pw, h=h, sub=sub
     )
     out = _unpack_legacy_pallas_v6_raw(
         p32.reshape(-1, 128), base_rows, offs3, cls3, refs3,
-        num_chunks=nc, rows=rows, plane_mode=plane_mode,
-        interpret=interpret,
+        num_chunks=nc, rows=rows, plane_mode=plane_mode, sub=sub,
+        meta_dot=meta_dot, ablate=ablate, interpret=interpret,
     )
     img = out[: h * segs].reshape(h, segs * 128)
     return img[:, :width]
@@ -658,7 +918,10 @@ def decode_legacy_device_v6(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pw", "h", "width", "rows", "plane_mode", "interpret"),
+    static_argnames=(
+        "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot",
+        "interpret",
+    ),
 )
 def decode_legacy_device_v6_batch(
     p32s: jnp.ndarray,  # (F, R*128) int32 per-frame bucketed words
@@ -671,6 +934,8 @@ def decode_legacy_device_v6_batch(
     width: int,
     rows: int,
     plane_mode: str = "packed",
+    sub: int | None = None,
+    meta_dot: bool = True,
     interpret: bool = False,
 ):
     """(F, H, W) legacy decode, device-side prep, ONE kernel launch."""
@@ -679,16 +944,17 @@ def decode_legacy_device_v6_batch(
     f = p32s.shape[0]
     frame_rows = p32s.shape[1] // 128
     base, o3, c3, r3 = jax.vmap(
-        functools.partial(_v6_legacy_build, pw=pw, h=h)
+        functools.partial(_v6_legacy_build, pw=pw, h=h, sub=sub)
     )(offs, bits, refs)
     shift = jnp.arange(f, dtype=jnp.int32) * frame_rows
     base = (base + shift[:, None]).reshape(-1)
-    o3 = (o3 + (shift * 512)[:, None, None, None]).reshape(f * nc, -1, 8)
+    # offsets are chunk-relative (see _v6_legacy_build) — no per-frame rebase
     out = _unpack_legacy_pallas_v6_raw(
         p32s.reshape(-1, 128), base,
-        o3, c3.reshape(f * nc, -1, 8), r3.reshape(f * nc, -1, 8),
-        num_chunks=f * nc, rows=rows, plane_mode=plane_mode,
-        interpret=interpret,
+        o3.reshape(f * nc, -1, 8), c3.reshape(f * nc, -1, 8),
+        r3.reshape(f * nc, -1, 8),
+        num_chunks=f * nc, rows=rows, plane_mode=plane_mode, sub=sub,
+        meta_dot=meta_dot, interpret=interpret,
     )
     rows_frame = out.shape[0] // f
     out = out.reshape(f, rows_frame, 128)[:, : h * segs]
