@@ -232,6 +232,14 @@ def bench_modern(results, imgs, clip):
         print(f"host prep x{workers}: {FRAMES/best:.1f} fps", flush=True)
 
     # --- leg 2: H2D bandwidth through this link ---------------------------
+    # MUST run after at least one device EXECUTE: the tunnel acks puts at
+    # ~90-110 fps before the process's first program execution (lazy
+    # staging) and at ~2-3 fps (~55 MB/s) ever after — even a tiny jitted
+    # x+1 flips it, with no recovery (benchmarks/probe_overlap.json). The
+    # pre-execute number is an artifact; this leg measures the real rate.
+    jax.block_until_ready(
+        jax.jit(lambda x: x + 1)(jnp.zeros((8, 128), jnp.int32))
+    )
     light = prep_host(frames[0])
     nbytes = light[0].nbytes + light[1].nbytes + light[2].nbytes
     dt = float("inf")

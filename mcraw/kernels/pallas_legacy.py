@@ -640,6 +640,8 @@ def _legacy_kernel_v6(
     # small 8-aligned window dot per subgroup instead of one chunk-span
     # dot per kernel row — the pick reduction depth drops from the chunk
     # span (~200+ rows at 4K) to the subgroup window (~32-48 rows). ----
+    if plane_mode not in ("halves", "bytes", "packed"):
+        raise ValueError(f"unknown plane_mode {plane_mode!r}")
     sgr = sub
     wrows = planes_ref.shape[0] - rows  # static window rows (_leg_sub_rows)
     hi = jax.lax.Precision.HIGHEST
