@@ -125,7 +125,8 @@ def main():
         ]
         return [x for a in argsets for x in a]
 
-    def make_lv6(plane_mode="halves", ablate=None, sub=None, meta_dot=True):
+    def make_lv6(plane_mode="halves", ablate=None, sub=None, meta_dot=True,
+                 m24=True):
         flat = v6_args()
 
         def xn(*flat_args):
@@ -135,7 +136,7 @@ def main():
                 im = PL.decode_legacy_device_v6.__wrapped__(
                     p32, offs, bits, refs, pw=pw, h=H, width=W, rows=v6rows,
                     plane_mode=plane_mode, ablate=ablate, sub=sub,
-                    meta_dot=meta_dot,
+                    meta_dot=meta_dot, m24=m24,
                 )
                 acc = acc + consume(k, im)
             return acc
@@ -189,7 +190,10 @@ def main():
         "lv6oneg": lambda: make_lv6("packed", ablate="oneg"),
         # Structural A/Bs (all exact, checksum-gated): meta lane-expansion
         # dot (now default) vs the r2 widen8+gather path; subgrouped picks.
-        "lv6widen": lambda: make_lv6("packed", meta_dot=False),
+        "lv6widen": lambda: make_lv6("packed", meta_dot=False, m24=False),
+        # 3-block-input v6 kernel (pre-m24) vs the m24 default (v5 kernel
+        # fed by the device-built (b,24) meta).
+        "lv6blocks": lambda: make_lv6("packed", m24=False),
         "lv6sub32": lambda: make_lv6("packed", sub=32),
         "lv6sub64": lambda: make_lv6("packed", sub=64),
         "lv6sub128": lambda: make_lv6("packed", sub=128),

@@ -198,14 +198,14 @@ def main():
             payload2d, base_rows, meta, num_chunks, txp, tr_sub = (
                 PK.prepare_chunked_v5(plan)
             )
-            rowsb, sub_rowsb = PK.prepare_modern_light(payload, w, h)[5]
+            rowsb, sub_rowsb, nfb = PK.prepare_modern_light(payload, w, h)[5]
             pa = tuple(map(jax.device_put, (payload2d, base_rows, meta)))
 
             def pk_body(payload2d, base_rows, meta):
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
                     payload2d, base_rows, meta,
                     num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
-                    rows=rowsb, sub_rows=sub_rowsb,
+                    rows=rowsb, sub_rows=sub_rowsb, nfields=nfb,
                 )
                 im = img3.reshape(img3.shape[0], txp * 64)[:h, :w]
                 return device_checksum(im)

@@ -309,7 +309,10 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
 
 def _legacy_kernel_v5(
     base_ref,  # scalar prefetch: (num_chunks,) int32 chunk base row (512B)
-    meta_ref,  # (1, 24, B) int32: rows 0-7 offs, 8-15 cls, 16-23 refs
+    meta_ref,  # (1, B, 24) int32: cols 0-7 CHUNK-RELATIVE offsets (past
+    # headers, < 2^18), 8-15 class, 16-23 refs — sublane-major so each
+    # param block feeds the one-hot lane-expansion dot directly
+    lane_sel_ref,  # (8, 128) f32 _LANE_SEL
     payload_ref,  # HBM (P/512, 128) int32
     out_ref,  # (B, 128) uint16 — finished pixel segments
     scratch_ref,  # VMEM (2, rows, 128) int32
@@ -358,36 +361,31 @@ def _legacy_kernel_v5(
     def _():
         span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-    base_row = base_ref[i]
-    b = meta_ref.shape[2]
-    meta = meta_ref[0]
+    b = meta_ref.shape[1]
+    meta = meta_ref[0]  # (b, 24)
+    sel = lane_sel_ref[...]
+    hi = jax.lax.Precision.HIGHEST
 
-    # Per-row 8-block params -> per-lane via a constant single-vreg gather.
-    # Mosaic's gather lowering needs idx.shape == src.shape, so the 8 param
-    # columns are widened to the full 128 lanes (16x each) before gathering.
-    def widen8(row0):
-        cols = [
-            jnp.broadcast_to(
-                jnp.transpose(meta[row0 + p : row0 + p + 1, :], (1, 0)),
-                (b, 16),
-            )
-            for p in range(8)
-        ]
-        return jnp.concatenate(cols, axis=1)
+    # (b, 8) -> (b, 128) lane expansion as ONE tiny one-hot MXU dot per
+    # param (f32 HIGHEST exact: rel < 2^18 chunk-relative, cls <= 11,
+    # refs <= 0xFFFF — all < 2^24). Same meta-dot structure as the v6
+    # kernel; the widen8-broadcast + gather alternative measured 0.59 ms
+    # of the 1.09 ms v6 chunk body (probe_legacy_sharp lv6widen leg).
+    def expand(col0):
+        return jnp.dot(
+            meta[:, col0 : col0 + 8].astype(jnp.float32), sel,
+            precision=hi, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
 
-    offs8 = widen8(0)  # (B, 128): lanes 16p..16p+15 = param p
-    cls8 = widen8(8)
-    refs8 = widen8(16)
+    rel_lane = expand(0)
+    cls_lane = expand(8)
+    refs_lane = expand(16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
-    pidx = (((lane >> 5) << 1) | (lane & 1)) * 16  # block param 2g+c
-    rel_lane = jnp.take_along_axis(offs8, pidx, axis=1) - base_row * 512
-    cls_lane = jnp.take_along_axis(cls8, pidx, axis=1)
-    refs_lane = jnp.take_along_axis(refs8, pidx, axis=1)
     # Class index -> bit width (LEGACY_CLASSES: indices 0..10 are the bits
     # value itself, index 11 is 16).
     cb = jnp.where(cls_lane >= 11, 16, cls_lane)
 
-    rel0 = jnp.transpose(meta[0:1, :], (1, 0)) - base_row * 512  # (B, 1)
+    rel0 = meta[:, 0:1]  # (B, 1) chunk-relative
     q = rel0 >> 9
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, rows), 1)
 
@@ -419,14 +417,14 @@ def _legacy_kernel_v5(
 def _unpack_legacy_pallas_v5(
     payload2d: jnp.ndarray,
     base_rows: jnp.ndarray,
-    meta: jnp.ndarray,  # (num_chunks, 24, B)
+    meta: jnp.ndarray,  # (num_chunks, B, 24) — see _legacy_kernel_v5
     *,
     num_chunks: int,
     rows: int | None = None,  # content-aware chunk span (None = worst)
     plane_mode: str = "packed",
     interpret: bool = False,
 ):
-    b = meta.shape[2]
+    b = meta.shape[1]
     rows_worst = (b * 8 * 34) // 512 + 2
     rows_worst += (-rows_worst) % 8
     rows = rows_worst if rows is None else min(rows_worst, rows)
@@ -435,8 +433,9 @@ def _unpack_legacy_pallas_v5(
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, 24, b), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, b, 24), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lane-sel table, whole
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -452,7 +451,7 @@ def _unpack_legacy_pallas_v5(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
-    )(base_rows, meta, payload2d)
+    )(base_rows, meta, jnp.asarray(_LANE_SEL), payload2d)
 
 
 # -----------------------------------------------------------------------------
@@ -884,7 +883,7 @@ def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int, sub: int | None = Non
     jax.jit,
     static_argnames=(
         "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot",
-        "ablate", "interpret",
+        "m24", "ablate", "interpret",
     ),
 )
 def decode_legacy_device_v6(
@@ -900,20 +899,37 @@ def decode_legacy_device_v6(
     plane_mode: str = "packed",
     sub: int | None = None,
     meta_dot: bool = True,
+    m24: bool = False,
     ablate: str | None = None,
     interpret: bool = False,
 ):
-    """Full legacy decode with on-device meta layout (host = scan only)."""
+    """Full legacy decode with on-device meta layout (host = scan only).
+
+    m24=True concats the three (nc, b, 8) meta blocks into ONE
+    (nc, b, 24) array on device and runs the v5 kernel — REJECTED as
+    default: the minor-dim-8 device concat costs more than the 3-block
+    input pipeline it removes (sharp A/B at 4K, same run: m24 0.930 vs
+    3-block 0.767 ms net; v5 with HOST-built (b,24) meta is 0.60-0.66 —
+    probe_legacy_sharp_null_lv6packed_lv6blocks_lv5packed.json). Kept as
+    a pinned interpret-tested variant."""
     idx = _legacy_indices(pw, h)
     nc, segs = idx["num_chunks"], idx["segs"]
     base_rows, offs3, cls3, refs3 = _v6_legacy_build(
         offs, bits, refs, pw=pw, h=h, sub=sub
     )
-    out = _unpack_legacy_pallas_v6_raw(
-        p32.reshape(-1, 128), base_rows, offs3, cls3, refs3,
-        num_chunks=nc, rows=rows, plane_mode=plane_mode, sub=sub,
-        meta_dot=meta_dot, ablate=ablate, interpret=interpret,
-    )
+    if m24 and not sub and ablate is None:
+        meta24 = jnp.concatenate([offs3, cls3, refs3], axis=2)
+        out = _unpack_legacy_pallas_v5.__wrapped__(
+            p32.reshape(-1, 128), base_rows, meta24,
+            num_chunks=nc, rows=rows, plane_mode=plane_mode,
+            interpret=interpret,
+        )
+    else:
+        out = _unpack_legacy_pallas_v6_raw(
+            p32.reshape(-1, 128), base_rows, offs3, cls3, refs3,
+            num_chunks=nc, rows=rows, plane_mode=plane_mode, sub=sub,
+            meta_dot=meta_dot, ablate=ablate, interpret=interpret,
+        )
     img = out[: h * segs].reshape(h, segs * 128)
     return img[:, :width]
 
@@ -922,7 +938,7 @@ def decode_legacy_device_v6(
     jax.jit,
     static_argnames=(
         "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot",
-        "interpret",
+        "m24", "interpret",
     ),
 )
 def decode_legacy_device_v6_batch(
@@ -938,6 +954,7 @@ def decode_legacy_device_v6_batch(
     plane_mode: str = "packed",
     sub: int | None = None,
     meta_dot: bool = True,
+    m24: bool = False,
     interpret: bool = False,
 ):
     """(F, H, W) legacy decode, device-side prep, ONE kernel launch."""
@@ -951,13 +968,23 @@ def decode_legacy_device_v6_batch(
     shift = jnp.arange(f, dtype=jnp.int32) * frame_rows
     base = (base + shift[:, None]).reshape(-1)
     # offsets are chunk-relative (see _v6_legacy_build) — no per-frame rebase
-    out = _unpack_legacy_pallas_v6_raw(
-        p32s.reshape(-1, 128), base,
-        o3.reshape(f * nc, -1, 8), c3.reshape(f * nc, -1, 8),
-        r3.reshape(f * nc, -1, 8),
-        num_chunks=f * nc, rows=rows, plane_mode=plane_mode, sub=sub,
-        meta_dot=meta_dot, interpret=interpret,
-    )
+    if m24 and not sub:
+        meta24 = jnp.concatenate(
+            [o3, c3, r3], axis=3
+        ).reshape(f * nc, -1, 24)
+        out = _unpack_legacy_pallas_v5.__wrapped__(
+            p32s.reshape(-1, 128), base, meta24,
+            num_chunks=f * nc, rows=rows, plane_mode=plane_mode,
+            interpret=interpret,
+        )
+    else:
+        out = _unpack_legacy_pallas_v6_raw(
+            p32s.reshape(-1, 128), base,
+            o3.reshape(f * nc, -1, 8), c3.reshape(f * nc, -1, 8),
+            r3.reshape(f * nc, -1, 8),
+            num_chunks=f * nc, rows=rows, plane_mode=plane_mode, sub=sub,
+            meta_dot=meta_dot, interpret=interpret,
+        )
     rows_frame = out.shape[0] // f
     out = out.reshape(f, rows_frame, 128)[:, : h * segs]
     return out.reshape(f, h, segs * 128)[:, :, :width]
@@ -1116,14 +1143,18 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
     m_cls = cls.take(idx["blk_meta"]).reshape(num_chunks, b, 8)
     m_ref = refs.take(idx["blk_meta"]).reshape(num_chunks, b, 8)
 
-    meta = np.empty((num_chunks, 24, b), dtype=np.int32)
-    meta[:, 0:8] = m_off.transpose(0, 2, 1)
-    meta[:, 8:16] = m_cls.transpose(0, 2, 1)
-    meta[:, 16:24] = m_ref.transpose(0, 2, 1)
-
     base_rows = (offs.take(idx["blk_off"][idx["chunk_first"]]) // 512).astype(
         np.int32
     )
+
+    # Sublane-major meta, offsets CHUNK-RELATIVE (< 2^18): feeds the
+    # kernel's one-hot lane-expansion dot directly (no host transposes,
+    # and frame stacking needs no offset rebase — relative offsets are
+    # shift-invariant).
+    meta = np.empty((num_chunks, b, 24), dtype=np.int32)
+    meta[:, :, 0:8] = m_off - (base_rows.astype(np.int64)[:, None, None] * 512)
+    meta[:, :, 8:16] = m_cls
+    meta[:, :, 16:24] = m_ref
 
     # Content-aware chunk span: the picks fetch rows q, q+1 of each chunk's
     # window, so rows must cover the chunk's last block end + one row.
@@ -1189,12 +1220,8 @@ def stack_chunked_legacy_v5(plans: list) -> tuple:
     base_rows = np.concatenate(
         [c[1] + rs for c, rs in zip(chunked, row_starts)]
     ).astype(np.int32)
-    metas = []
-    for c, rs in zip(chunked, row_starts):
-        m = c[2].copy()
-        m[:, 0:8] += rs * 512  # byte offsets shift with the payload rows
-        metas.append(m)
-    meta = np.concatenate(metas, axis=0)
+    # meta offsets are chunk-relative: no per-frame rebase needed.
+    meta = np.concatenate([c[2] for c in chunked], axis=0)
     return payload2d, base_rows, meta, nc * len(plans), segs, rows
 
 

@@ -312,7 +312,7 @@ def decode_frame_sharded_legacy(
     n = mesh.devices.size
     if nc % n != 0:
         raise ValueError(f"{nc} chunks not divisible by {n} devices")
-    b = meta.shape[2]
+    b = meta.shape[1]
     h, w = plan.height, plan.width
 
     def body(pay, base_l, meta_l):
@@ -422,7 +422,7 @@ def decode_frames_legacy_mesh(
         payloads[i, : c[0].shape[0]] = c[0]
     base = np.stack([c[1] for c in chunked])
     meta = np.stack([c[2] for c in chunked])
-    b = meta.shape[3]
+    b = meta.shape[2]
     h, w = p.height, p.width
 
     def body(pay, base_l, meta_l):
@@ -430,10 +430,8 @@ def decode_frames_legacy_mesh(
         pay2 = pay.reshape(fl * rows, 128)
         shift = jnp.arange(fl, dtype=jnp.int32) * rows
         base2 = (base_l + shift[:, None]).reshape(-1)
-        meta2 = meta_l.at[:, :, 0:8, :].add(
-            (shift * 512)[:, None, None, None]
-        )
-        meta2 = meta2.reshape(fl * nc, 24, b)
+        # meta offsets are chunk-relative (shift-invariant): no rebase.
+        meta2 = meta_l.reshape(fl * nc, b, 24)
         out = PL._unpack_legacy_pallas_v5.__wrapped__(
             pay2, base2, meta2, num_chunks=fl * nc, rows=krows,
             interpret=interpret,

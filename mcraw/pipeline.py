@@ -698,11 +698,54 @@ class Decoder:
         return out
 
     def audio_chunks(self) -> Iterator[AudioChunk]:
-        """Streaming loader; stops at the first failure (Decoder.cpp:83-93)."""
+        """Streaming loader; stops at the first failure (Decoder.cpp:83-93).
+
+        Convenience generator form; :meth:`load_audio_stream` is the
+        stateful-object parity surface."""
         for i in range(self._reader.num_audio_chunks):
             chunk = self._reader.audio_chunk(i)
             if chunk is None:
                 return
+            yield chunk
+
+    def load_audio_stream(self) -> "AudioChunkLoader":
+        """Persistent streaming loader — `Decoder::loadAudio()` parity
+        (/root/reference/lib/include/motioncam/Decoder.hpp:41-45,73).
+
+        The reference constructs ONE AudioChunkLoaderImpl at init and
+        `loadAudio()` returns that member reference every call
+        (Decoder.cpp:150,180), so iteration state persists across calls;
+        this method mirrors that by caching one loader per Decoder."""
+        if getattr(self, "_audio_loader", None) is None:
+            self._audio_loader = AudioChunkLoader(self._reader)
+        return self._audio_loader
+
+
+class AudioChunkLoader:
+    """Stateful streaming audio loader (Decoder.hpp:41-45 parity).
+
+    :meth:`next` returns the next ``(timestamp_ns, int16 samples)`` chunk,
+    or ``None`` where the reference's ``next(AudioChunk&)`` returns false:
+    past the last chunk, or on a failed chunk load. Failure does NOT
+    advance the index — exactly like AudioChunkLoaderImpl::next
+    (/root/reference/lib/Decoder.cpp:83-93), whose retry re-reads the same
+    offset (and fails the same way for a deterministic file)."""
+
+    def __init__(self, reader):
+        self._reader = reader
+        self._idx = 0
+
+    def next(self) -> AudioChunk | None:
+        if self._idx >= self._reader.num_audio_chunks:
+            return None
+        chunk = self._reader.audio_chunk(self._idx)
+        if chunk is None:
+            return None
+        self._idx += 1
+        return chunk
+
+    def __iter__(self) -> Iterator[AudioChunk]:
+        while (chunk := self.next()) is not None:
             yield chunk
 
 

@@ -60,6 +60,48 @@ def test_audio_loaders(rng):
         assert np.array_equal(sa, sb)
 
 
+def test_audio_stream_loader_object(rng):
+    """load_audio_stream(): stateful loader parity (Decoder.hpp:41-45).
+
+    The reference's loadAudio() returns the SAME loader member every call
+    (Decoder.cpp:150,180), so iteration state persists across calls."""
+    blob, _ = make_clip(rng, num_frames=3)
+    d = Decoder(blob)
+    loader = d.load_audio_stream()
+    assert d.load_audio_stream() is loader  # one persistent instance
+    first = loader.next()
+    assert first is not None
+    rest = list(loader)  # __iter__ resumes mid-stream
+    assert len(rest) == 2
+    assert loader.next() is None  # exhausted: next() keeps returning None
+    batch = d.load_audio()
+    for (ta, sa), (tb, sb) in zip(batch, [first] + rest):
+        assert ta == tb and np.array_equal(sa, sb)
+
+
+def test_audio_stream_loader_failure_no_advance(rng, monkeypatch):
+    """A failed chunk load returns None WITHOUT advancing the index —
+    AudioChunkLoaderImpl::next retries the same offset
+    (/root/reference/lib/Decoder.cpp:83-93)."""
+    blob, _ = make_clip(rng, num_frames=3)
+    d = Decoder(blob)
+    loader = d.load_audio_stream()
+    assert loader.next() is not None
+    reader_cls = type(d._reader)
+    orig = reader_cls.audio_chunk
+    monkeypatch.setattr(
+        reader_cls,
+        "audio_chunk",
+        lambda self, i: None if i == 1 else orig(self, i),
+    )
+    assert loader.next() is None  # chunk 1 fails
+    assert loader.next() is None  # still chunk 1: no advance on failure
+    monkeypatch.undo()
+    assert loader.next() is not None  # same index, now loadable
+    assert loader.next() is not None  # chunk 2
+    assert loader.next() is None  # end of stream
+
+
 def test_decode_batch_single_device(rng):
     blob, frames = make_clip(rng, num_frames=4)
     d = Decoder(blob, backend="jax")
