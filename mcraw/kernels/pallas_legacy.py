@@ -341,7 +341,10 @@ def _legacy_kernel_v5(
     2.09 (halves) -> 1.57 (bytes) -> 1.50 (packed), v6 1.69 -> 1.18 ->
     1.09 ms/frame
     (benchmarks/probe_legacy_sharp_null_lv5bytes_lv5packed_lv6bytes_lv6packed.json);
-    "packed" is the default."""
+    "packed" is the default. With the meta lane-expansion dot (round 3)
+    the same A/B frame runs 0.60-0.66 ms on this v5 kernel and 0.77-0.83
+    on the 3-block v6 path
+    (probe_legacy_sharp_null_lv6packed_lv6blocks_lv5packed.json)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
     slot = jax.lax.rem(i, 2)
