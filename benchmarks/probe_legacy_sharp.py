@@ -96,7 +96,7 @@ def main():
             sum(expected[k % 4] for k in range(N)) + N * (N - 1) // 2
         ) % (1 << 32)
 
-    def make_lv5(plane_mode="halves"):
+    def make_lv5(plane_mode="halves", onedot=False, ablate=None):
         argsets = [
             tuple(map(jax.device_put, chunked[k % 4][:3])) for k in range(N)
         ]
@@ -107,13 +107,14 @@ def main():
             for k in range(N):
                 a = flat_args[3 * k : 3 * k + 3]
                 out = PL._unpack_legacy_pallas_v5.__wrapped__(
-                    *a, num_chunks=nc, rows=lrows, plane_mode=plane_mode
+                    *a, num_chunks=nc, rows=lrows, plane_mode=plane_mode,
+                    onedot=onedot, ablate=ablate,
                 )
                 im = out[: H * segs].reshape(H, segs * 128)[:, :W]
                 acc = acc + consume(k, im)
             return acc
 
-        return finish(xn, flat, want_full())
+        return finish(xn, flat, want_full() if ablate is None else None)
 
     def v6_args():
         argsets = [
@@ -183,6 +184,13 @@ def main():
         "lv6bytes": lambda: make_lv6("bytes"),
         "lv5packed": lambda: make_lv5("packed"),
         "lv6packed": lambda: make_lv6("packed"),
+        # v5-body attribution on the packed+meta-dot base (r3): stage-drop
+        # legs (wrong output, no checksum) + the exact onedot structural A/B.
+        "lv5onedot": lambda: make_lv5("packed", onedot=True),
+        "lv5merged": lambda: make_lv5("packed", ablate="merged"),
+        "lv5nometa": lambda: make_lv5("packed", ablate="nometa"),
+        "lv5noswap": lambda: make_lv5("packed", ablate="noswap"),
+        "lv5oneg": lambda: make_lv5("packed", ablate="oneg"),
         # Stage-drop legs (wrong output, no checksum gate): packed base.
         "lv6merged": lambda: make_lv6("packed", ablate="merged"),
         "lv6nometa": lambda: make_lv6("packed", ablate="nometa"),

@@ -319,6 +319,10 @@ def _legacy_kernel_v5(
     sems,
     rows: int = None,
     plane_mode: str = "packed",
+    onedot: bool = False,  # fuse the 3 lane-expansion dots into ONE
+    # (b,24) x (24,384) block-diagonal dot (same MACs, 1/3 the MXU
+    # invocations; lane_sel_ref is then the (24,384) _LANE_SEL24)
+    ablate: str | None = None,  # benchmark-only stage drops (wrong output)
 ):
     """Bitstream form: every legacy class is a plain MSB-first c-bit
     bitstream over its block payload (verified against tables.py /
@@ -369,21 +373,39 @@ def _legacy_kernel_v5(
     sel = lane_sel_ref[...]
     hi = jax.lax.Precision.HIGHEST
 
-    # (b, 8) -> (b, 128) lane expansion as ONE tiny one-hot MXU dot per
-    # param (f32 HIGHEST exact: rel < 2^18 chunk-relative, cls <= 11,
-    # refs <= 0xFFFF — all < 2^24). Same meta-dot structure as the v6
-    # kernel; the widen8-broadcast + gather alternative measured 0.59 ms
-    # of the 1.09 ms v6 chunk body (probe_legacy_sharp lv6widen leg).
-    def expand(col0):
-        return jnp.dot(
-            meta[:, col0 : col0 + 8].astype(jnp.float32), sel,
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+    if ablate == "nometa":
+        # Constant per-lane meta: keeps merged production + funnel gathers,
+        # drops the meta lane expansion (mirrors the v6 kernel's leg).
+        rel_lane = jnp.broadcast_to(meta[:, 0:1], (b, 128))
+        cls_lane = jnp.full((b, 128), 4, jnp.int32)
+        refs_lane = lane
+    elif onedot:
+        # ONE (b, 24) x (24, 384) block-diagonal one-hot dot expands all
+        # three params at once (exactness identical to the 3-dot form:
+        # each output lane contracts the same single one-hot row).
+        d = jnp.dot(
+            meta[:, 0:24].astype(jnp.float32), sel,
             precision=hi, preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
+        rel_lane = d[:, 0:128]
+        cls_lane = d[:, 128:256]
+        refs_lane = d[:, 256:384]
+    else:
+        # (b, 8) -> (b, 128) lane expansion as ONE tiny one-hot MXU dot per
+        # param (f32 HIGHEST exact: rel < 2^18 chunk-relative, cls <= 11,
+        # refs <= 0xFFFF — all < 2^24). Same meta-dot structure as the v6
+        # kernel; the widen8-broadcast + gather alternative measured 0.59 ms
+        # of the 1.09 ms v6 chunk body (probe_legacy_sharp lv6widen leg).
+        def expand(col0):
+            return jnp.dot(
+                meta[:, col0 : col0 + 8].astype(jnp.float32), sel,
+                precision=hi, preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
 
-    rel_lane = expand(0)
-    cls_lane = expand(8)
-    refs_lane = expand(16)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+        rel_lane = expand(0)
+        cls_lane = expand(8)
+        refs_lane = expand(16)
     # Class index -> bit width (LEGACY_CLASSES: indices 0..10 are the bits
     # value itself, index 11 is 16).
     cb = jnp.where(cls_lane >= 11, 16, cls_lane)
@@ -394,7 +416,14 @@ def _legacy_kernel_v5(
 
     span_dma(i, slot).wait()
     # 8 blocks span <= 272 bytes: rows q, q+1 always cover the windows.
-    merged = _merged_pair_row(scratch_ref[slot], q, rel0, row_ids, plane_mode)
+    merged = _merged_pair_row(
+        scratch_ref[slot], q, rel0, row_ids,
+        plane_mode if ablate != "noswap" else "packed-noswap",
+    )
+    if ablate == "merged":
+        # Stop after merged production: no meta, no funnel (wrong output).
+        out_ref[:] = (merged & 0xFFFF).astype(jnp.uint16)
+        return
 
     # Value k of a c-bit block at payload byte `off` = top c bits of the
     # 64-bit big-endian window at bit 8*off + k*c.
@@ -403,10 +432,13 @@ def _legacy_kernel_v5(
     wd = jax.lax.shift_right_logical(bitp, 5)
     sh = bitp & 31
     g0 = jnp.take_along_axis(merged, wd & 127, axis=1)
-    g1 = jnp.take_along_axis(merged, (wd + 1) & 127, axis=1)
-    comb = (g0 << sh) | jax.lax.shift_right_logical(
-        jax.lax.shift_right_logical(g1, 31 - sh), 1
-    )
+    if ablate == "oneg":
+        comb = g0 << sh  # (wrong output: drops the second funnel word)
+    else:
+        g1 = jnp.take_along_axis(merged, (wd + 1) & 127, axis=1)
+        comb = (g0 << sh) | jax.lax.shift_right_logical(
+            jax.lax.shift_right_logical(g1, 31 - sh), 1
+        )
     vals = jax.lax.shift_right_logical(comb, 32 - jnp.maximum(cb, 1))
     vals = jnp.where(cb == 0, 0, vals)
 
@@ -415,7 +447,9 @@ def _legacy_kernel_v5(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_chunks", "rows", "plane_mode", "interpret"),
+    static_argnames=(
+        "num_chunks", "rows", "plane_mode", "onedot", "ablate", "interpret"
+    ),
 )
 def _unpack_legacy_pallas_v5(
     payload2d: jnp.ndarray,
@@ -425,6 +459,8 @@ def _unpack_legacy_pallas_v5(
     num_chunks: int,
     rows: int | None = None,  # content-aware chunk span (None = worst)
     plane_mode: str = "packed",
+    onedot: bool = False,
+    ablate: str | None = None,
     interpret: bool = False,
 ):
     b = meta.shape[1]
@@ -450,11 +486,18 @@ def _unpack_legacy_pallas_v5(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_legacy_kernel_v5, rows=rows, plane_mode=plane_mode),
+        functools.partial(
+            _legacy_kernel_v5, rows=rows, plane_mode=plane_mode,
+            onedot=onedot, ablate=ablate,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
-    )(base_rows, meta, jnp.asarray(_LANE_SEL), payload2d)
+    )(
+        base_rows, meta,
+        jnp.asarray(_LANE_SEL24 if onedot else _LANE_SEL),
+        payload2d,
+    )
 
 
 # -----------------------------------------------------------------------------
@@ -491,6 +534,19 @@ def _lane_sel_table() -> np.ndarray:
 
 
 _LANE_SEL = _lane_sel_table()
+
+
+def _lane_sel24_table() -> np.ndarray:
+    """(24, 384) block-diagonal stack of three _LANE_SEL blocks: one fused
+    (b,24) x (24,384) dot expands offsets/cls/refs in a single MXU
+    invocation (same one-hot rows per output lane -> same exactness)."""
+    s = np.zeros((24, 384), dtype=np.float32)
+    for blk in range(3):
+        s[blk * 8 : (blk + 1) * 8, blk * 128 : (blk + 1) * 128] = _LANE_SEL
+    return s
+
+
+_LANE_SEL24 = _lane_sel24_table()
 
 
 def _leg_sub_rows(sgr: int) -> int:

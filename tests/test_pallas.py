@@ -123,6 +123,24 @@ class TestLegacyPallas:
         )
         assert np.array_equal(np.asarray(out6), img)
 
+    def test_v5_onedot_meta(self, rng):
+        """The fused (b,24)x(24,384) meta lane-expansion dot (onedot) is
+        element-exact: each output lane contracts the same single one-hot
+        row as the default three-dot form."""
+        from mcraw.kernels import pallas_legacy as PL
+
+        h, w = 16, 1920
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        plan = PL.U.prepare_legacy(payload, w, h)
+        p2d, base, meta, nc, segs, rows = PL.prepare_chunked_legacy_v5(plan)
+        out = PL._unpack_legacy_pallas_v5(
+            p2d, base, meta, num_chunks=nc, rows=rows, onedot=True,
+            interpret=True,
+        )
+        got = np.asarray(out)[: h * segs].reshape(h, segs * 128)[:, :w]
+        assert np.array_equal(got, img)
+
 
 def test_pallas_batched_decode(rng):
     """Multi-frame single-launch decode (stacked chunks)."""
