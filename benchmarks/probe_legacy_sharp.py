@@ -96,7 +96,7 @@ def main():
             sum(expected[k % 4] for k in range(N)) + N * (N - 1) // 2
         ) % (1 << 32)
 
-    def make_lv5(plane_mode="halves", onedot=False, ablate=None):
+    def make_lv5(plane_mode="halves", meta_mode="bytedot", ablate=None):
         argsets = [
             tuple(map(jax.device_put, chunked[k % 4][:3])) for k in range(N)
         ]
@@ -108,7 +108,7 @@ def main():
                 a = flat_args[3 * k : 3 * k + 3]
                 out = PL._unpack_legacy_pallas_v5.__wrapped__(
                     *a, num_chunks=nc, rows=lrows, plane_mode=plane_mode,
-                    onedot=onedot, ablate=ablate,
+                    meta_mode=meta_mode, ablate=ablate,
                 )
                 im = out[: H * segs].reshape(H, segs * 128)[:, :W]
                 acc = acc + consume(k, im)
@@ -127,7 +127,9 @@ def main():
         return [x for a in argsets for x in a]
 
     def make_lv6(plane_mode="halves", ablate=None, sub=None, meta_dot=True,
-                 m24=True):
+                 m24=False, meta_mode="bytedot"):
+        # m24 now defaults False to match decode_legacy_device_v6's shipped
+        # default (the device (b,24) concat was rejected; lv6m24 pins it).
         flat = v6_args()
 
         def xn(*flat_args):
@@ -137,7 +139,7 @@ def main():
                 im = PL.decode_legacy_device_v6.__wrapped__(
                     p32, offs, bits, refs, pw=pw, h=H, width=W, rows=v6rows,
                     plane_mode=plane_mode, ablate=ablate, sub=sub,
-                    meta_dot=meta_dot, m24=m24,
+                    meta_dot=meta_dot, m24=m24, meta_mode=meta_mode,
                 )
                 acc = acc + consume(k, im)
             return acc
@@ -185,8 +187,11 @@ def main():
         "lv5packed": lambda: make_lv5("packed"),
         "lv6packed": lambda: make_lv6("packed"),
         # v5-body attribution on the packed+meta-dot base (r3): stage-drop
-        # legs (wrong output, no checksum) + the exact onedot structural A/B.
-        "lv5onedot": lambda: make_lv5("packed", onedot=True),
+        # legs (wrong output, no checksum) + exact meta-structure A/Bs.
+        "lv5onedot": lambda: make_lv5("packed", meta_mode="onedot"),
+        "lv5dot3": lambda: make_lv5("packed", meta_mode="dot3"),
+        "lv6dot3": lambda: make_lv6("packed", meta_mode="dot3"),
+        "lv6m24": lambda: make_lv6("packed", m24=True),
         "lv5merged": lambda: make_lv5("packed", ablate="merged"),
         "lv5nometa": lambda: make_lv5("packed", ablate="nometa"),
         "lv5noswap": lambda: make_lv5("packed", ablate="noswap"),

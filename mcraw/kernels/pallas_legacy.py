@@ -319,9 +319,17 @@ def _legacy_kernel_v5(
     sems,
     rows: int = None,
     plane_mode: str = "packed",
-    onedot: bool = False,  # fuse the 3 lane-expansion dots into ONE
-    # (b,24) x (24,384) block-diagonal dot (same MACs, 1/3 the MXU
-    # invocations; lane_sel_ref is then the (24,384) _LANE_SEL24)
+    meta_mode: str = "bytedot",  # lane-expansion dot structure:
+    # "bytedot" (DEFAULT) = byte-split the int32 meta into three bf16 byte
+    #   planes (b,72) and expand ALL params in ONE DEFAULT bf16 dot against
+    #   the (72,384) {1,256,65536}-weighted selector — exact (each product
+    #   is a byte exponent-shifted by 2^(8k) <= 2^24, the 3-term sum is the
+    #   value itself < 2^24), and ONE MXU pass where the f32 HIGHEST forms
+    #   cost 6 passes per dot (lv5 meta block: 0.299 ms of the 0.660 ms 4K
+    #   chunk body under dot3 — probe_legacy_sharp lv5nometa leg)
+    # "dot3" = three (b,8)x(8,128) f32 HIGHEST dots (r3 original)
+    # "onedot" = ONE fused (b,24)x(24,384) f32 HIGHEST dot (measured
+    #   0.672 vs dot3's 0.660 net — pass count, not dot count, rules)
     ablate: str | None = None,  # benchmark-only stage drops (wrong output)
 ):
     """Bitstream form: every legacy class is a plain MSB-first c-bit
@@ -380,7 +388,29 @@ def _legacy_kernel_v5(
         rel_lane = jnp.broadcast_to(meta[:, 0:1], (b, 128))
         cls_lane = jnp.full((b, 128), 4, jnp.int32)
         refs_lane = lane
-    elif onedot:
+    elif meta_mode == "bytedot":
+        # Byte-split + ONE DEFAULT bf16 dot (see the meta_mode docstring).
+        # All meta values are nonnegative < 2^24 (rel chunk-relative < 2^18,
+        # cls <= 11, refs <= 0xFFFF), so v = b0 + (b1<<8) + (b2<<16) with
+        # each byte bf16-exact and each selector weight a power of two.
+        mb = meta[:, 0:24]
+        op = jnp.concatenate(
+            [
+                (mb & 0xFF).astype(jnp.bfloat16),
+                (jax.lax.shift_right_logical(mb, 8) & 0xFF).astype(
+                    jnp.bfloat16
+                ),
+                jax.lax.shift_right_logical(mb, 16).astype(jnp.bfloat16),
+            ],
+            axis=1,
+        )  # (b, 72)
+        d = jnp.dot(
+            op, sel, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        rel_lane = d[:, 0:128]
+        cls_lane = d[:, 128:256]
+        refs_lane = d[:, 256:384]
+    elif meta_mode == "onedot":
         # ONE (b, 24) x (24, 384) block-diagonal one-hot dot expands all
         # three params at once (exactness identical to the 3-dot form:
         # each output lane contracts the same single one-hot row).
@@ -448,7 +478,7 @@ def _legacy_kernel_v5(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_chunks", "rows", "plane_mode", "onedot", "ablate", "interpret"
+        "num_chunks", "rows", "plane_mode", "meta_mode", "ablate", "interpret"
     ),
 )
 def _unpack_legacy_pallas_v5(
@@ -459,7 +489,7 @@ def _unpack_legacy_pallas_v5(
     num_chunks: int,
     rows: int | None = None,  # content-aware chunk span (None = worst)
     plane_mode: str = "packed",
-    onedot: bool = False,
+    meta_mode: str = "bytedot",
     ablate: str | None = None,
     interpret: bool = False,
 ):
@@ -485,19 +515,19 @@ def _unpack_legacy_pallas_v5(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    sel = {
+        "bytedot": _LANE_SEL72, "onedot": _LANE_SEL24, "dot3": _LANE_SEL
+    }[meta_mode]
+    sel = jnp.asarray(sel, jnp.bfloat16 if meta_mode == "bytedot" else None)
     return pl.pallas_call(
         functools.partial(
             _legacy_kernel_v5, rows=rows, plane_mode=plane_mode,
-            onedot=onedot, ablate=ablate,
+            meta_mode=meta_mode, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
         interpret=interpret,
-    )(
-        base_rows, meta,
-        jnp.asarray(_LANE_SEL24 if onedot else _LANE_SEL),
-        payload2d,
-    )
+    )(base_rows, meta, sel, payload2d)
 
 
 # -----------------------------------------------------------------------------
@@ -549,6 +579,22 @@ def _lane_sel24_table() -> np.ndarray:
 _LANE_SEL24 = _lane_sel24_table()
 
 
+def _lane_sel72_table() -> np.ndarray:
+    """(72, 384) bf16 byte-plane selector for the bytedot meta expansion:
+    operand column 24*k + c carries byte k of meta column c, so selector
+    row 24*k + c is the _LANE_SEL24 row c scaled by 256^k. Weights are
+    powers of two (bf16-exact); each output lane contracts exactly three
+    products b_k * 2^(8k) whose sum is the original value < 2^24."""
+    s24 = _lane_sel24_table()
+    s = np.zeros((72, 384), dtype=np.float32)
+    for k in range(3):
+        s[24 * k : 24 * (k + 1)] = s24 * float(1 << (8 * k))
+    return s
+
+
+_LANE_SEL72 = _lane_sel72_table()
+
+
 def _leg_sub_rows(sgr: int) -> int:
     """Worst-case subgroup window rows for the subgrouped pick: the
     subgroup's first-block offsets span <= sgr*8*34 bytes (every block is
@@ -578,6 +624,9 @@ def _legacy_kernel_v6(
     plane_mode: str = "packed",
     sub: int | None = None,  # rows per subgroup (None = chunk-wide pick)
     meta_dot: bool = True,  # (b,8)->(b,128) meta via one-hot MXU expansion
+    meta_mode: str = "bytedot",  # expansion dot structure when meta_dot:
+    # "bytedot" = ONE DEFAULT bf16 byte-plane dot (see _legacy_kernel_v5),
+    # "dot3" = three f32 HIGHEST dots (r3 original, kept for A/B)
     ablate: str | None = None,  # benchmark-only stage drops (wrong output)
 ):
     rest = list(rest)
@@ -620,6 +669,38 @@ def _legacy_kernel_v6(
         rel_lane = jnp.broadcast_to(rel0, (b, 128))
         cls_lane = jnp.full((b, 128), 4, jnp.int32)
         refs_lane = lane
+    elif meta_dot and meta_mode == "bytedot":
+        # Byte-split + ONE DEFAULT bf16 dot over all three params: operand
+        # column 24k + 8P + j carries byte k of param P block-lane j, the
+        # (72, 384) selector weights it by 2^(8k) (_LANE_SEL72). Exact —
+        # bytes are bf16-exact, weights are powers of two, and the 3-term
+        # sums rebuild values < 2^24 (rel chunk-relative < 2^18,
+        # cls_enc < 2^10, refs <= 0xFFFF). ONE MXU pass where the f32
+        # HIGHEST 3-dot form costs 18 (6-pass bf16 decomposition each) —
+        # that form measured 0.299 ms of the 0.660 ms v5 4K chunk body
+        # (probe_legacy_sharp lv5nometa leg).
+        sel = lane_sel_ref[...]
+        m24 = jnp.concatenate(
+            [offs_ref[0], cls_ref[0], refs_ref[0]], axis=1
+        )  # (b, 24)
+        op = jnp.concatenate(
+            [
+                (m24 & 0xFF).astype(jnp.bfloat16),
+                (jax.lax.shift_right_logical(m24, 8) & 0xFF).astype(
+                    jnp.bfloat16
+                ),
+                jax.lax.shift_right_logical(m24, 16).astype(jnp.bfloat16),
+            ],
+            axis=1,
+        )  # (b, 72)
+        d = jnp.dot(
+            op, sel, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        rel_lane = d[:, 0:128]
+        cls_lane = d[:, 128:256]
+        refs_lane = d[:, 256:384]
+        if sub:
+            cls_lane = cls_lane & 15  # column 0 carries qrel in bits 4+
     elif meta_dot:
         # (b, 8) -> (b, 128) lane expansion as ONE tiny one-hot MXU dot per
         # param (exact: f32 HIGHEST, operands < 2^24 — rel < 2^18 by the
@@ -828,6 +909,7 @@ def _unpack_legacy_pallas_v6_raw(
     plane_mode: str = "packed",
     sub: int | None = None,
     meta_dot: bool = True,
+    meta_mode: str = "bytedot",
     ablate: str | None = None,
     interpret: bool = False,
 ):
@@ -847,7 +929,11 @@ def _unpack_legacy_pallas_v6_raw(
     args = [base_rows, offs, cls, refs]
     if meta_dot:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        args.append(jnp.asarray(_LANE_SEL))
+        args.append(
+            jnp.asarray(_LANE_SEL72, jnp.bfloat16)
+            if meta_mode == "bytedot"
+            else jnp.asarray(_LANE_SEL)
+        )
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(payload2d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -862,7 +948,7 @@ def _unpack_legacy_pallas_v6_raw(
     return pl.pallas_call(
         functools.partial(
             _legacy_kernel_v6, rows=rows, plane_mode=plane_mode, sub=sub,
-            meta_dot=meta_dot, ablate=ablate,
+            meta_dot=meta_dot, meta_mode=meta_mode, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
@@ -941,7 +1027,7 @@ def _v6_legacy_build(offs, bits, refs, *, pw: int, h: int, sub: int | None = Non
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot",
+        "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot", "meta_mode",
         "m24", "ablate", "interpret",
     ),
 )
@@ -958,6 +1044,7 @@ def decode_legacy_device_v6(
     plane_mode: str = "packed",
     sub: int | None = None,
     meta_dot: bool = True,
+    meta_mode: str = "bytedot",
     m24: bool = False,
     ablate: str | None = None,
     interpret: bool = False,
@@ -987,7 +1074,8 @@ def decode_legacy_device_v6(
         out = _unpack_legacy_pallas_v6_raw(
             p32.reshape(-1, 128), base_rows, offs3, cls3, refs3,
             num_chunks=nc, rows=rows, plane_mode=plane_mode, sub=sub,
-            meta_dot=meta_dot, ablate=ablate, interpret=interpret,
+            meta_dot=meta_dot, meta_mode=meta_mode, ablate=ablate,
+            interpret=interpret,
         )
     img = out[: h * segs].reshape(h, segs * 128)
     return img[:, :width]
@@ -996,7 +1084,7 @@ def decode_legacy_device_v6(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot",
+        "pw", "h", "width", "rows", "plane_mode", "sub", "meta_dot", "meta_mode",
         "m24", "interpret",
     ),
 )
@@ -1013,6 +1101,7 @@ def decode_legacy_device_v6_batch(
     plane_mode: str = "packed",
     sub: int | None = None,
     meta_dot: bool = True,
+    meta_mode: str = "bytedot",
     m24: bool = False,
     interpret: bool = False,
 ):
@@ -1042,7 +1131,7 @@ def decode_legacy_device_v6_batch(
             o3.reshape(f * nc, -1, 8), c3.reshape(f * nc, -1, 8),
             r3.reshape(f * nc, -1, 8),
             num_chunks=f * nc, rows=rows, plane_mode=plane_mode, sub=sub,
-            meta_dot=meta_dot, interpret=interpret,
+            meta_dot=meta_dot, meta_mode=meta_mode, interpret=interpret,
         )
     rows_frame = out.shape[0] // f
     out = out.reshape(f, rows_frame, 128)[:, : h * segs]

@@ -413,6 +413,23 @@ def _packed_field_tables_v5() -> np.ndarray:
 
 _MODERN_TABLES_V5 = _packed_field_tables_v5()
 
+# Byte-plane stack of the v5 descriptor table for the DEFAULT-precision
+# desc dot (desc_mode="bytedot"): rows [0:2n] = low bytes, [2n:4n] = mid,
+# [4n:6n] = high (descriptors < 2^19, so 3 bytes suffice). The kernel's
+# one-hot operand carries {1,256,65536} instead of {1}: each product is a
+# byte exponent-shifted by 2^(8k) (bf16-exact), the per-lane sum rebuilds
+# the descriptor < 2^19 — exact under ONE DEFAULT bf16 MXU pass where the
+# f32 HIGHEST form costs 6 (the same structure as the legacy kernels'
+# bytedot meta expansion, pallas_legacy.py).
+_MODERN_TABLES_V5_BYTES = np.concatenate(
+    [
+        _MODERN_TABLES_V5 & 0xFF,
+        (_MODERN_TABLES_V5 >> 8) & 0xFF,
+        _MODERN_TABLES_V5 >> 16,
+    ],
+    axis=0,
+).astype(np.int32)
+
 # Word-level field passes needed per MODERN_CLASSES index: only classes 5
 # and 6 need all 3 funnel passes; classes 3 and 10 need 2; the rest 1
 # (class 0 has none — its lanes are zeroed regardless). The kernel's field
@@ -485,6 +502,12 @@ def _unpack_kernel_v5(
     # sharp with chunk-wide planes, bytes wins 0.652 vs 0.720 ms net
     # (ablate_sharp_null_full_bytes_mergedout_nopick.json) and is the
     # default.
+    desc_mode: str = "bytedot",  # descriptor-dot structure: "bytedot" =
+    # {1,256,65536}-weighted one-hot x byte-plane table, ONE DEFAULT bf16
+    # pass (tables_ref is then _MODERN_TABLES_V5_BYTES, (6*ncls, 384));
+    # "dot3" = plain one-hot x int32 table under f32 HIGHEST (6 bf16
+    # passes; tables_ref is _MODERN_TABLES_V5). chunk_desc always uses
+    # the HIGHEST form.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     if plane_mode not in ("halves", "bytes", "packed"):
@@ -704,6 +727,27 @@ def _unpack_kernel_v5(
             ) & 31
         elif desc_all is not None:  # chunk-wide matmul, static slice
             desc = desc_all[j * sgp : (j + 1) * sgp, :dw]
+        elif desc_mode == "bytedot":
+            # {1,256,65536}-weighted one-hot x byte-plane table: ONE
+            # DEFAULT bf16 MXU pass (see _MODERN_TABLES_V5_BYTES). The
+            # operand repeats the even/odd one-hot pair once per byte
+            # plane with the plane's weight.
+            ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
+            eq_e = ids == cls_e
+            eq_o = ids == cls_o
+            op = jnp.concatenate(
+                [
+                    jnp.where(eq, w, 0.0).astype(jnp.bfloat16)
+                    for w in (1.0, 256.0, 65536.0)
+                    for eq in (eq_e, eq_o)
+                ],
+                axis=1,
+            )  # (sgp, 6*ncls)
+            desc = jnp.dot(
+                op,
+                tables_ref[:, :dw].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)  # (sgp, nf*128)
         else:
             ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, ncls), 1)
             oh2 = jnp.concatenate(
@@ -893,7 +937,7 @@ def _unpack_kernel_v5(
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
         "flat_out", "chunk_mt", "chunk_desc", "wide_store", "plane_mode",
-        "ablate", "interpret",
+        "desc_mode", "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -913,10 +957,13 @@ def _unpack_image_pallas_v5(
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
     plane_mode: str = "bytes",  # pick-operand planes (see kernel)
+    desc_mode: str = "bytedot",  # descriptor-dot structure (see kernel)
     ablate: str = "",
     interpret: bool = False,
 ):
     """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
+    if chunk_desc:
+        desc_mode = "dot3"  # chunk-wide desc matmul needs the int32 table
     bp = meta.shape[2]
     sgp = bp // SUBGROUPS_V5
     if sub_rows is None:
@@ -1005,7 +1052,10 @@ def _unpack_image_pallas_v5(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    tables = jnp.asarray(_MODERN_TABLES_V5)
+    tables = jnp.asarray(
+        _MODERN_TABLES_V5_BYTES if desc_mode == "bytedot"
+        else _MODERN_TABLES_V5
+    )
     kern = functools.partial(
         _unpack_kernel_v5,
         rows=rows,
@@ -1018,6 +1068,7 @@ def _unpack_image_pallas_v5(
         chunk_desc=chunk_desc,
         wide_store=wide_store,
         plane_mode=plane_mode,
+        desc_mode=desc_mode,
         ablate=ablate,
     )
     out = pl.pallas_call(

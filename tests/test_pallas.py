@@ -123,10 +123,14 @@ class TestLegacyPallas:
         )
         assert np.array_equal(np.asarray(out6), img)
 
-    def test_v5_onedot_meta(self, rng):
-        """The fused (b,24)x(24,384) meta lane-expansion dot (onedot) is
-        element-exact: each output lane contracts the same single one-hot
-        row as the default three-dot form."""
+    @pytest.mark.parametrize("meta_mode", ["bytedot", "onedot", "dot3"])
+    def test_v5_meta_modes(self, rng, meta_mode):
+        """Every meta lane-expansion structure is element-exact on both
+        legacy kernels: "bytedot" (ONE DEFAULT bf16 byte-plane dot,
+        {1,256,65536} selector — the default), "onedot" (fused f32 HIGHEST
+        (b,24)x(24,384)), "dot3" (three f32 HIGHEST (b,8)x(8,128) dots).
+        Full 16-bit content so refs exercise all 16 bits."""
+        import jax.numpy as jnp
         from mcraw.kernels import pallas_legacy as PL
 
         h, w = 16, 1920
@@ -135,11 +139,22 @@ class TestLegacyPallas:
         plan = PL.U.prepare_legacy(payload, w, h)
         p2d, base, meta, nc, segs, rows = PL.prepare_chunked_legacy_v5(plan)
         out = PL._unpack_legacy_pallas_v5(
-            p2d, base, meta, num_chunks=nc, rows=rows, onedot=True,
+            p2d, base, meta, num_chunks=nc, rows=rows, meta_mode=meta_mode,
             interpret=True,
         )
         got = np.asarray(out)[: h * segs].reshape(h, segs * 128)[:, :w]
         assert np.array_equal(got, img)
+        if meta_mode == "onedot":
+            return  # v6 kernel has no fused-HIGHEST variant
+        light = PL.prepare_legacy_light(payload, w, h)
+        p32, offs, bits, refs, pw, rows6 = light
+        out6 = PL.decode_legacy_device_v6.__wrapped__(
+            jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+            jnp.asarray(np.asarray(refs, np.int32)),
+            pw=pw, h=h, width=w, rows=rows6, meta_mode=meta_mode,
+            interpret=True,
+        )
+        assert np.array_equal(np.asarray(out6), img)
 
 
 def test_pallas_batched_decode(rng):
@@ -187,6 +202,10 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         # one-dot pair-row pick (c = p0 + (p1 << 8), variable-shift select)
         ("packed", None, 0, (24, 384)),
         ("packed", None, 0, (8, 4096)),
+        # f32 HIGHEST desc dot (6-pass) — the A/B baseline for the
+        # DEFAULT-bf16 byte-plane desc dot that is now the default
+        ("desc_dot3", None, 0, (24, 384)),
+        ("desc_dot3", None, 0, (8, 4096)),
     ],
 )
 def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
@@ -204,6 +223,8 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
     p2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
     if flat_out == "chunk_desc":
         kw = dict(chunk_desc=True)
+    elif flat_out == "desc_dot3":
+        kw = dict(desc_mode="dot3")
     elif flat_out in ("halves", "packed"):
         kw = dict(plane_mode=flat_out)
     else:
