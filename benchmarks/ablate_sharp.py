@@ -60,6 +60,13 @@ VARIANTS = {
     "bytes": ("", {"plane_mode": "bytes"}),  # == full since the default flip
     "halves": ("", {"plane_mode": "halves"}),  # the pre-flip default
     "packed": ("", {"plane_mode": "packed"}),  # one-dot pair-row pick
+    # byte-plane DEFAULT-bf16 desc dot — REJECTED on modern (the weighted
+    # one-hot build x24 subgroups costs 0.20 ms, the saved passes ~0:
+    # 0.867 vs full/dot3 0.666 net, ablate_sharp_null_full_descdot3_
+    # fields0_mergedout.json — that run's "full" was bytedot pre-revert);
+    # kept pinned for A/B. The same trick WINS -40% on legacy (chunk-wide
+    # meta outputs, one operand build per chunk — pallas_legacy.py).
+    "descbyte": ("", {"desc_mode": "bytedot"}),
 }
 
 DEFAULT = [

@@ -502,12 +502,17 @@ def _unpack_kernel_v5(
     # sharp with chunk-wide planes, bytes wins 0.652 vs 0.720 ms net
     # (ablate_sharp_null_full_bytes_mergedout_nopick.json) and is the
     # default.
-    desc_mode: str = "bytedot",  # descriptor-dot structure: "bytedot" =
-    # {1,256,65536}-weighted one-hot x byte-plane table, ONE DEFAULT bf16
-    # pass (tables_ref is then _MODERN_TABLES_V5_BYTES, (6*ncls, 384));
-    # "dot3" = plain one-hot x int32 table under f32 HIGHEST (6 bf16
-    # passes; tables_ref is _MODERN_TABLES_V5). chunk_desc always uses
-    # the HIGHEST form.
+    desc_mode: str = "dot3",  # descriptor-dot structure: "dot3" = plain
+    # one-hot x int32 table under f32 HIGHEST (6 bf16 passes; tables_ref
+    # is _MODERN_TABLES_V5) — the DEFAULT; "bytedot" = {1,256,65536}-
+    # weighted one-hot x byte-plane table, ONE DEFAULT bf16 pass
+    # (tables_ref is _MODERN_TABLES_V5_BYTES). bytedot is a huge win on
+    # the legacy kernels (chunk-wide meta outputs, pallas_legacy.py) but
+    # LOSES here: the 6-block weighted one-hot build x24 subgroups costs
+    # 0.20 ms where the desc dot itself is ~free (sharp A/B 4K net: full/
+    # bytedot 0.867 vs descdot3 0.666 vs mergedout-no-desc-at-all 0.663,
+    # ablate_sharp_null_full_descdot3_fields0_mergedout.json). chunk_desc
+    # always uses the HIGHEST form.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     if plane_mode not in ("halves", "bytes", "packed"):
@@ -957,7 +962,7 @@ def _unpack_image_pallas_v5(
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
     plane_mode: str = "bytes",  # pick-operand planes (see kernel)
-    desc_mode: str = "bytedot",  # descriptor-dot structure (see kernel)
+    desc_mode: str = "dot3",  # descriptor-dot structure (see kernel)
     ablate: str = "",
     interpret: bool = False,
 ):

@@ -202,10 +202,11 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         # one-dot pair-row pick (c = p0 + (p1 << 8), variable-shift select)
         ("packed", None, 0, (24, 384)),
         ("packed", None, 0, (8, 4096)),
-        # f32 HIGHEST desc dot (6-pass) — the A/B baseline for the
-        # DEFAULT-bf16 byte-plane desc dot that is now the default
-        ("desc_dot3", None, 0, (24, 384)),
-        ("desc_dot3", None, 0, (8, 4096)),
+        # DEFAULT-bf16 byte-plane desc dot — rejected on modern (the
+        # weighted one-hot build x24 subgroups outweighs the saved MXU
+        # passes; wins on legacy), pinned as a non-default A/B variant
+        ("desc_byte", None, 0, (24, 384)),
+        ("desc_byte", None, 0, (8, 4096)),
     ],
 )
 def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
@@ -223,8 +224,8 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
     p2d, base_rows, meta, nc, txp, tr_sub = PK.prepare_chunked_v5(plan)
     if flat_out == "chunk_desc":
         kw = dict(chunk_desc=True)
-    elif flat_out == "desc_dot3":
-        kw = dict(desc_mode="dot3")
+    elif flat_out == "desc_byte":
+        kw = dict(desc_mode="bytedot")
     elif flat_out in ("halves", "packed"):
         kw = dict(plane_mode=flat_out)
     else:
