@@ -60,6 +60,11 @@ VARIANTS = {
     "bytes": ("", {"plane_mode": "bytes"}),  # == full since the default flip
     "halves": ("", {"plane_mode": "halves"}),  # the pre-flip default
     "packed": ("", {"plane_mode": "packed"}),  # one-dot pair-row pick
+    # packed with constant-extract select (c & 255 / c >> 8 + where)
+    # instead of packed's variable shift — MEASURED r3: 0.881 ~= packed
+    # 0.876, both lose to bytes 0.658 (the variable shift was not the
+    # loss); on legacy packed2 is 2.4x WORSE than the variable shift.
+    "packed2": ("", {"plane_mode": "packed2"}),
     # byte-plane DEFAULT-bf16 desc dot — REJECTED on modern (the weighted
     # one-hot build x24 subgroups costs 0.20 ms, the saved passes ~0:
     # 0.867 vs full/dot3 0.666 net, ablate_sharp_null_full_descdot3_

@@ -186,6 +186,8 @@ def main():
         "lv6bytes": lambda: make_lv6("bytes"),
         "lv5packed": lambda: make_lv5("packed"),
         "lv6packed": lambda: make_lv6("packed"),
+        "lv5packed2": lambda: make_lv5("packed2"),
+        "lv6packed2": lambda: make_lv6("packed2"),
         # v5-body attribution on the packed+meta-dot base (r3): stage-drop
         # legs (wrong output, no checksum) + exact meta-structure A/Bs.
         "lv5onedot": lambda: make_lv5("packed", meta_mode="onedot"),

@@ -228,7 +228,9 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
     DEFAULT bf16 dot — 256*byte is a pure exponent shift of <= 8
     significand bits, and the two-term f32 sum <= 65535 < 2^24; the
     pair-row select becomes a variable right-shift of the int32 c)."""
-    if plane_mode not in ("halves", "bytes", "packed", "packed-noswap"):
+    if plane_mode not in (
+        "halves", "bytes", "packed", "packed2", "packed-noswap"
+    ):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
     if plane_mode == "packed-noswap":  # benchmark-only byteswap drop
         span_be, plane_mode = span, "packed"
@@ -265,17 +267,32 @@ def _merged_pair_row(span, q, rel0, row_ids, plane_mode):
             )
 
         lanep = jax.lax.broadcasted_iota(jnp.int32, (1, 512), 1) & 127
-        if plane_mode == "packed":
+        if plane_mode in ("packed", "packed2"):
             oh = (row_ids == q).astype(jnp.int32) + (
                 (row_ids == q + 1).astype(jnp.int32) << 8
             )
             c = pick(oh).astype(jnp.int32)
-            pm = (
-                jax.lax.shift_right_logical(
-                    c, jnp.where(lanep >= t0, 0, 8)
+            if plane_mode == "packed2":
+                # Constant-shift extraction + plain select (A/B vs the
+                # variable-shift form; both exact, c = p_q + (p_{q+1}<<8)).
+                # MEASURED (r3, probe_legacy_sharp_null_lv5packed_
+                # lv5packed2_lv6packed_lv6packed2.json): REJECTED — 2.4x
+                # slower than the variable shift (lv5 1.030 vs 0.426,
+                # lv6 1.281 vs 0.673 ms net 4K): materializing BOTH
+                # extracted rows + a select costs more vector work than
+                # one lane-variable shift.
+                pm = jnp.where(
+                    lanep >= t0,
+                    c & 0xFF,
+                    jax.lax.shift_right_logical(c, 8),
                 )
-                & 0xFF
-            )
+            else:
+                pm = (
+                    jax.lax.shift_right_logical(
+                        c, jnp.where(lanep >= t0, 0, 8)
+                    )
+                    & 0xFF
+                )
         else:
             p0 = pick(row_ids == q)
             p1 = pick(row_ids == q + 1)
@@ -779,7 +796,7 @@ def _legacy_kernel_v6(
     # small 8-aligned window dot per subgroup instead of one chunk-span
     # dot per kernel row — the pick reduction depth drops from the chunk
     # span (~200+ rows at 4K) to the subgroup window (~32-48 rows). ----
-    if plane_mode not in ("halves", "bytes", "packed"):
+    if plane_mode not in ("halves", "bytes", "packed", "packed2"):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
     sgr = sub
     wrows = planes_ref.shape[0] - rows  # static window rows (_leg_sub_rows)
@@ -836,7 +853,7 @@ def _legacy_kernel_v6(
         sl = slice(g * sgr, (g + 1) * sgr)
         qrel = qrel_col[sl]  # (sgr, 1) window-relative pick row
         t0 = (rel0[sl] >> 2) & 127
-        if plane_mode == "packed":
+        if plane_mode in ("packed", "packed2"):
             oh = (row_ids == qrel).astype(jnp.int32) + (
                 (row_ids == qrel + 1).astype(jnp.int32) << 8
             )
@@ -845,12 +862,19 @@ def _legacy_kernel_v6(
                 planes,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-            pm = (
-                jax.lax.shift_right_logical(
-                    c, jnp.where(lanep >= t0, 0, 8)
+            if plane_mode == "packed2":
+                pm = jnp.where(
+                    lanep >= t0,
+                    c & 0xFF,
+                    jax.lax.shift_right_logical(c, 8),
                 )
-                & 0xFF
-            )
+            else:
+                pm = (
+                    jax.lax.shift_right_logical(
+                        c, jnp.where(lanep >= t0, 0, 8)
+                    )
+                    & 0xFF
+                )
         elif plane_mode == "bytes":
             p0 = jnp.dot(
                 (row_ids == qrel).astype(jnp.bfloat16),

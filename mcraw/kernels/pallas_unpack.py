@@ -515,7 +515,7 @@ def _unpack_kernel_v5(
     # always uses the HIGHEST form.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
-    if plane_mode not in ("halves", "bytes", "packed"):
+    if plane_mode not in ("halves", "bytes", "packed", "packed2"):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -801,14 +801,19 @@ def _unpack_kernel_v5(
         # source; every field then needs ONE gather at (widx & 127)
         # instead of two + a per-field select. Column c of the plane row
         # belongs to word lane c & 127.
-        if plane_mode == "packed":
+        if plane_mode in ("packed", "packed2"):
             # ONE dot fetches BOTH pair rows: the "one-hot" carries 1 at
             # row q8 and 256 at row q8+1, so c = p0 + (p1 << 8). Exact
             # under a DEFAULT bf16 dot: {1, 256} and byte operands are
             # bf16-exact, each product <= 0xFF00 is a byte's 8 significand
             # bits exponent-shifted, and the two-term f32 accumulation
-            # <= 65535 < 2^24. The pair-row select then becomes a variable
-            # right-shift of the int32 c (p0 = c & 255, p1 = c >> 8).
+            # <= 65535 < 2^24. The pair-row select: "packed" = a variable
+            # right-shift of the int32 c; "packed2" = constant-shift
+            # extraction of both rows (c & 255, c >> 8) + a plain select.
+            # MEASURED (r3, ablate_sharp_null_bytes_packed2_packed.json):
+            # packed2 0.881 ~= packed 0.876 ms net 4K, both REJECTED vs
+            # bytes 0.658 — the variable shift was NOT packed's loss; the
+            # one-dot pick itself doesn't pay on modern.
             oh = (row_ids == q8).astype(jnp.int32) + (
                 (row_ids == q8 + 1).astype(jnp.int32) << 8
             )
@@ -817,12 +822,19 @@ def _unpack_kernel_v5(
                 planes,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
-            pm = (
-                jax.lax.shift_right_logical(
-                    c, jnp.where(lanep >= t0_e, 0, 8)
+            if plane_mode == "packed2":
+                pm = jnp.where(
+                    lanep >= t0_e,
+                    c & 0xFF,
+                    jax.lax.shift_right_logical(c, 8),
                 )
-                & 0xFF
-            )
+            else:
+                pm = (
+                    jax.lax.shift_right_logical(
+                        c, jnp.where(lanep >= t0_e, 0, 8)
+                    )
+                    & 0xFF
+                )
         else:
             if plane_mode == "bytes":
                 def pick(oh):

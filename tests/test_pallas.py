@@ -94,7 +94,9 @@ class TestLegacyPallas:
             )
             assert np.array_equal(out, img), maxv
 
-    @pytest.mark.parametrize("plane_mode", ["halves", "bytes", "packed"])
+    @pytest.mark.parametrize(
+        "plane_mode", ["halves", "bytes", "packed", "packed2"]
+    )
     def test_v5_v6_plane_modes(self, rng, plane_mode):
         """All pick-operand layouts stay exact on both legacy kernels:
         "halves" (f32 16-bit halves, HIGHEST), "bytes" (bf16 byte planes,
@@ -120,6 +122,32 @@ class TestLegacyPallas:
             jnp.asarray(np.asarray(refs, np.int32)),
             pw=pw, h=h, width=w, rows=rows, plane_mode=plane_mode,
             interpret=True,
+        )
+        assert np.array_equal(np.asarray(out6), img)
+
+    @pytest.mark.parametrize(
+        "plane_mode", ["halves", "bytes", "packed", "packed2"]
+    )
+    def test_v6_subgrouped_pick(self, rng, plane_mode):
+        """The pinned non-default subgrouped-window pick (sub=N: modern-
+        style chunk-wide plane scratch + per-subgroup 8-aligned window
+        dots) stays exact for every pick-operand layout. Interpret-only:
+        the sub path SIGABRTs Mosaic on hw (rejected for perf anyway, see
+        CLAUDE.md)."""
+        import jax.numpy as jnp
+        from mcraw.kernels import pallas_legacy as PL
+
+        h, w = 16, 1920
+        img = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+        light = PL.prepare_legacy_light(payload, w, h)
+        assert light is not None
+        p32, offs, bits, refs, pw, rows = light
+        out6 = PL.decode_legacy_device_v6.__wrapped__(
+            jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+            jnp.asarray(np.asarray(refs, np.int32)),
+            pw=pw, h=h, width=w, rows=rows, plane_mode=plane_mode,
+            sub=64, interpret=True,
         )
         assert np.array_equal(np.asarray(out6), img)
 
@@ -199,9 +227,11 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         # branches stay pinned
         ("halves", None, 0, (24, 384)),
         ("halves", None, 0, (8, 4096)),
-        # one-dot pair-row pick (c = p0 + (p1 << 8), variable-shift select)
+        # one-dot pair-row pick (c = p0 + (p1 << 8)): variable-shift
+        # select ("packed") and constant-extract + select ("packed2")
         ("packed", None, 0, (24, 384)),
         ("packed", None, 0, (8, 4096)),
+        ("packed2", None, 0, (24, 384)),
         # DEFAULT-bf16 byte-plane desc dot — rejected on modern (the
         # weighted one-hot build x24 subgroups outweighs the saved MXU
         # passes; wins on legacy), pinned as a non-default A/B variant
