@@ -1,0 +1,240 @@
+#!/usr/bin/env python3
+"""Hardware parity sweep: Mosaic-compiled kernels vs the exact oracle.
+
+Interpret-mode tests (tests/test_pallas.py) prove the kernel MATH; this
+sweep proves the MOSAIC-COMPILED binaries on the real chip — a failure
+class interpret cannot see, and one that has actually occurred (the
+wide_store / chunk_desc / legacy sub=N variants all compile and pass in
+interpret mode but SIGABRT or miscompile only on hardware).
+
+Grid: geometries x content archetypes x both codecs x both device paths
+(v5 host-meta and v6 device-prep). Every decode is verified by an
+on-device uint32 checksum against the known source image (the encoder is
+a tested exact inverse, so the source IS the oracle) — no frame is ever
+materialized to the host (the tunnel's D2H makes that pathological, see
+CLAUDE.md). Each case runs in a SUBPROCESS so a Mosaic crash records a
+"CRASH" row instead of killing the sweep; the persistent compile cache
+(/root/.cache/jax_comp) makes re-runs cheap.
+
+Usage:
+  python tools/hw_parity.py            # full grid -> tools/hw_parity_results.json
+  python tools/hw_parity.py --quick    # 4K + 1080p, default content only
+  python tools/hw_parity.py --case '{"h":..}'   # internal: one case, one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE_DIR = "/root/.cache/mcraw_hwpar"
+
+# (h, w) — chosen to hit distinct Mosaic specializations: the bench 4K
+# geometry, the most common phone sensor (4032 wide: legacy pw % 128 = 64,
+# the ragged device-prep path lifted in r3), 1080p, a tiny clip, and a
+# small ragged-legacy width (pw = 288, % 128 = 32).
+GEOMETRIES = {
+    "4k": (3072, 4096),
+    "phone": (3024, 4032),
+    "1080p": (1080, 1920),
+    "tiny": (96, 320),
+    "ragged": (48, 288),
+}
+
+CONTENTS = ("mid12", "full16", "zeros", "lo10")
+
+
+def make_img(h: int, w: int, content: str, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if content == "zeros":
+        return np.zeros((h, w), np.uint16)
+    if content == "full16":
+        return rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    if content == "lo10":
+        return rng.integers(0, 1 << 10, size=(h, w), dtype=np.uint16)
+    # mid12: smooth 12-bit field + noise — the bench's headline archetype
+    # (mixed block classes, typical camera-ish entropy).
+    base = (
+        np.sin(np.arange(w) / 97)[None, :]
+        * np.cos(np.arange(h) / 61)[:, None]
+        * 1200
+        + 2000
+    )
+    return (base + rng.normal(0, 30, size=(h, w))).clip(0, 4095).astype(
+        np.uint16
+    )
+
+
+def get_payload(h: int, w: int, content: str, codec: int) -> np.ndarray:
+    """Encode (slow on this 1-vCPU host) with a disk cache."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = f"{CACHE_DIR}/{h}x{w}_{content}_c{codec}.npz"
+    try:
+        return np.load(path)["payload"]
+    except Exception:
+        pass
+    from mcraw import encode as E
+
+    img = make_img(h, w, content)
+    enc = E.encode_modern(img) if codec == 7 else E.encode_legacy(img)
+    payload = np.frombuffer(enc, dtype=np.uint8)
+    tmp = path + f".tmp{os.getpid()}"
+    np.savez(tmp, payload=payload)
+    os.replace(tmp + ".npz", path)
+    return payload
+
+
+def run_case(case: dict) -> dict:
+    """Decode one case on the device and checksum-verify. Runs in a
+    subprocess (Mosaic SIGABRTs must not kill the sweep)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from mcraw.kernels import pallas_legacy as PL
+    from mcraw.kernels import pallas_unpack as PK
+    from mcraw.kernels.checksum import device_checksum
+
+    h, w, content, codec, path = (
+        case["h"], case["w"], case["content"], case["codec"], case["path"],
+    )
+    img = make_img(h, w, content)
+    payload = get_payload(h, w, content, codec)
+    want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
+
+    t0 = time.perf_counter()
+    if codec == 7 and path == "v5":
+        out = PK.decode_modern_pallas_v5(payload, w, h)
+    elif codec == 7 and path == "v6":
+        p32, bits, refs, ty, tx, spans = PK.prepare_modern_light(
+            payload, w, h
+        )
+        out = PK.decode_modern_device_v6(
+            jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
+            ty=ty, tx=tx, height=h, width=w,
+            rows=spans[0], sub_rows=spans[1], nfields=spans[2],
+        )
+    elif codec == 6 and path == "v5":
+        out = PL.decode_legacy_pallas_v5(payload, w, h)
+    elif codec == 6 and path == "v6":
+        light = PL.prepare_legacy_light(payload, w, h)
+        if light is None:
+            return {**case, "status": "SKIP", "note": "no light-prep path"}
+        p32, offs, bits, refs, pw, rows = light
+        out = PL.decode_legacy_device_v6(
+            jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+            jnp.asarray(np.asarray(refs, np.int32)),
+            pw=pw, h=h, width=w, rows=rows,
+        )
+    else:
+        return {**case, "status": "SKIP", "note": f"unknown path {path}"}
+
+    got = int(jax.block_until_ready(device_checksum(out))) & 0xFFFFFFFF
+    dt = time.perf_counter() - t0
+    status = "OK" if got == want else "MISMATCH"
+    return {
+        **case, "status": status, "got": got, "want": want,
+        "wall_s": round(dt, 2),
+    }
+
+
+def main() -> int:
+    if "--case" in sys.argv:
+        case = json.loads(sys.argv[sys.argv.index("--case") + 1])
+        try:
+            res = run_case(case)
+        except Exception as e:  # report, don't crash the line protocol
+            res = {**case, "status": "ERROR", "note": repr(e)[:300]}
+        print("HWPAR " + json.dumps(res))
+        return 0 if res["status"] in ("OK", "SKIP") else 1
+
+    quick = "--quick" in sys.argv
+    geoms = ["4k", "1080p"] if quick else list(GEOMETRIES)
+    contents = ["mid12"] if quick else list(CONTENTS)
+    if "--geoms" in sys.argv:  # comma-separated subset, e.g. --geoms 4k,phone
+        geoms = sys.argv[sys.argv.index("--geoms") + 1].split(",")
+    if "--contents" in sys.argv:
+        contents = sys.argv[sys.argv.index("--contents") + 1].split(",")
+    tag = ""
+    if "--tag" in sys.argv:  # results suffix so partial grids don't clobber
+        tag = "_" + sys.argv[sys.argv.index("--tag") + 1]
+
+    cases = []
+    for g in geoms:
+        h, w = GEOMETRIES[g]
+        for content in contents:
+            for codec in (7, 6):
+                for path in ("v5", "v6"):
+                    cases.append(
+                        {
+                            "geom": g, "h": h, "w": w, "content": content,
+                            "codec": codec, "path": path,
+                        }
+                    )
+
+    results = []
+    for i, case in enumerate(cases):
+        label = (
+            f"{case['geom']} {case['content']} c{case['codec']} "
+            f"{case['path']}"
+        )
+        print(f"[{i + 1}/{len(cases)}] {label} ...", flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--case",
+                 json.dumps(case)],
+                capture_output=True, text=True, timeout=2400,
+                cwd="/root/repo",  # axon plugin only initializes from here
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines()
+                 if l.startswith("HWPAR ")),
+                None,
+            )
+            if line:
+                res = json.loads(line[len("HWPAR "):])
+            else:
+                res = {
+                    **case, "status": "CRASH", "rc": proc.returncode,
+                    "note": (proc.stderr or "")[-300:],
+                }
+        except subprocess.TimeoutExpired:
+            res = {**case, "status": "TIMEOUT"}
+        results.append(res)
+        print(f"    -> {res['status']}", flush=True)
+
+    out = {
+        "results": results,
+        "summary": {
+            s: sum(1 for r in results if r["status"] == s)
+            for s in ("OK", "MISMATCH", "CRASH", "ERROR", "TIMEOUT", "SKIP")
+        },
+    }
+    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f"hw_parity_results{tag}.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["summary"]))
+    bad = [
+        r for r in results
+        if r["status"] not in ("OK", "SKIP")
+    ]
+    for r in bad:
+        print("FAILED:", json.dumps(r))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
