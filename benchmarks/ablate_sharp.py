@@ -50,6 +50,15 @@ VARIANTS = {
     "mergedout": ("mergedout", {}),
     "nodesc": ("nodesc", {}),
     "nopick": ("nopick", {}),
+    # pick-complex splits (r3 cont.): both dots + convert live, no pair
+    # select / no byte merge — the 0.42 ms pick complex's VPU halves.
+    "noselect": ("noselect", {}),
+    "nomerge": ("nomerge", {}),
+    "noselmerge": ("noselect nomerge", {}),
+    # chunk-wide pick one-hot build — only the dots stay in the
+    # per-subgroup chain (r3 pick-split: select/merge free, 0.42 ms is
+    # dots + one-hot builds)
+    "chunkoh": ("", {"chunk_oh": True}),
     "nometa": ("nometa", {}),
     "rawout": ("rawout", {}),
     "legacy3d": ("", {"flat_out": False}),

@@ -502,6 +502,14 @@ def _unpack_kernel_v5(
     # sharp with chunk-wide planes, bytes wins 0.652 vs 0.720 ms net
     # (ablate_sharp_null_full_bytes_mergedout_nopick.json) and is the
     # default.
+    chunk_oh: bool = False,  # build the two pick one-hots chunk-wide
+    # ((BP, sub_rows+8) once, bf16/f32 per plane_mode) instead of inside
+    # each subgroup iteration — only the dots stay in the per-subgroup
+    # chain. Valid because q8 is window-relative per PAIR ROW (prep folds
+    # each subgroup's off-off8 remainder into its rows' q8), so the
+    # one-hot depends only on the meta row, not the subgroup. A/B flag:
+    # the r3 pick-split (noselect/nomerge) showed the 0.42 ms pick
+    # complex is all dots + one-hot builds.
     desc_mode: str = "dot3",  # descriptor-dot structure: "dot3" = plain
     # one-hot x int32 table under f32 HIGHEST (6 bf16 passes; tables_ref
     # is _MODERN_TABLES_V5) — the DEFAULT; "bytedot" = {1,256,65536}-
@@ -649,9 +657,19 @@ def _unpack_kernel_v5(
 
     mt_all = (
         jnp.transpose(meta, (1, 0))  # (BP, 8): one lane->sublane relayout
-        if (chunk_mt or chunk_desc) and "nometa" not in ablate
+        if (chunk_mt or chunk_desc or chunk_oh) and "nometa" not in ablate
         else None
     )
+
+    oh0_all = oh1_all = None
+    if chunk_oh and plane_mode in ("bytes", "halves") and mt_all is not None:
+        oh_dt = jnp.bfloat16 if plane_mode == "bytes" else jnp.float32
+        q8_all = mt_all[:, 6:7]  # (BP, 1) window-relative pick rows
+        rid_bp = jax.lax.broadcasted_iota(
+            jnp.int32, (bp, sub_rows + 8), 1
+        )
+        oh0_all = (rid_bp == q8_all).astype(oh_dt)
+        oh1_all = (rid_bp == q8_all + 1).astype(oh_dt)
 
     desc_all = None
     if chunk_desc and "nometa" not in ablate and "nodesc" not in ablate:
@@ -854,14 +872,28 @@ def _unpack_kernel_v5(
 
             # A pair spans <= 64 words, so rows q8, q8+1 always cover both
             # windows of the off8-based plane slice.
-            p0 = pick(row_ids == q8)
-            p1 = pick(row_ids == q8 + 1)
+            if oh0_all is not None:  # chunk-wide one-hot build (chunk_oh):
+                # astype is an identity on the pre-cast slices
+                p0 = pick(oh0_all[sl])
+                p1 = pick(oh1_all[sl])
+            else:
+                p0 = pick(row_ids == q8)
+                p1 = pick(row_ids == q8 + 1)
 
             # The select runs in f32 plane space BEFORE the int32 convert
             # + plane-combine, so convert/shift/or happen once, not twice
             # (f32 select of exact integers < 2^24 stays exact).
-            pm = jnp.where(lanep >= t0_e, p0, p1).astype(jnp.int32)
-        if plane_mode != "halves":
+            if "noselect" in ablate:  # (timing ablation: wrong results;
+                # keeps both pick dots + the convert live, drops the
+                # per-lane pair select — isolates the where cost)
+                pm = (p0 + p1).astype(jnp.int32)
+            else:
+                pm = jnp.where(lanep >= t0_e, p0, p1).astype(jnp.int32)
+        if "nomerge" in ablate:  # (timing ablation: wrong results; keeps
+            # dots + select + convert live, drops the shift/or plane
+            # combine — isolates the byte-merge cost)
+            merged = pm[:, 0:128]
+        elif plane_mode != "halves":
             merged = (
                 pm[:, 0:128]
                 | (pm[:, 128:256] << 8)
@@ -953,8 +985,8 @@ def _unpack_kernel_v5(
     jax.jit,
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
-        "flat_out", "chunk_mt", "chunk_desc", "wide_store", "plane_mode",
-        "desc_mode", "ablate", "interpret",
+        "flat_out", "chunk_mt", "chunk_desc", "chunk_oh", "wide_store",
+        "plane_mode", "desc_mode", "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -972,6 +1004,7 @@ def _unpack_image_pallas_v5(
     flat_out: bool = True,  # 2D out block, 2 stores/subgroup (see kernel)
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
+    chunk_oh: bool = False,  # chunk-wide pick one-hot build (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
     plane_mode: str = "bytes",  # pick-operand planes (see kernel)
     desc_mode: str = "dot3",  # descriptor-dot structure (see kernel)
@@ -1083,6 +1116,7 @@ def _unpack_image_pallas_v5(
         flat_out=flat_out,
         chunk_mt=chunk_mt,
         chunk_desc=chunk_desc,
+        chunk_oh=chunk_oh,
         wide_store=wide_store,
         plane_mode=plane_mode,
         desc_mode=desc_mode,

@@ -91,6 +91,53 @@ def get_payload(h: int, w: int, content: str, codec: int) -> np.ndarray:
     return payload
 
 
+def _dev_setup(h: int, w: int):
+    """Shared develop-case inputs (realistic non-diagonal color model)."""
+    black = np.array([64, 64, 64, 64], np.float32)
+    white = 4095.0
+    neutral = np.array([0.61, 1.0, 0.72], np.float32)
+    fwd = np.array(
+        [
+            [0.86, 0.08, 0.02],
+            [0.04, 0.91, 0.05],
+            [0.01, 0.06, 0.76],
+        ],
+        np.float32,
+    )
+    cfa = (0, 1, 1, 2)
+    return black, white, neutral, fwd, cfa
+
+
+def golden_develop(case: dict) -> str:
+    """CPU-interpret golden RGBA for a develop case (run with
+    JAX_PLATFORMS=cpu in a subprocess; Mosaic never touches it). The
+    interpret kernel is the tested reference: <= 1 LSB vs the f64 model
+    (tests/test_preview.py)."""
+    h, w, content = case["h"], case["w"], case["content"]
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = f"{CACHE_DIR}/dev_{h}x{w}_{content}.npz"
+    if not os.path.exists(path):
+        import jax.numpy as jnp
+
+        from mcraw import preview
+        from mcraw.kernels import pallas_develop as PD
+
+        black, white, neutral, fwd, cfa = _dev_setup(h, w)
+        img = make_img(h, w, content)
+        inv2d = preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+        params = jnp.asarray(
+            PD.pack_develop_params(black, white, neutral, fwd)
+        )
+        rgba = PD.develop_rgba_pallas(
+            jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa,
+            interpret=True,
+        )
+        tmp = path + f".tmp{os.getpid()}"
+        np.savez(tmp, rgba=np.asarray(rgba))
+        os.replace(tmp + ".npz", path)
+    return path
+
+
 def run_case(case: dict) -> dict:
     """Decode one case on the device and checksum-verify. Runs in a
     subprocess (Mosaic SIGABRTs must not kill the sweep)."""
@@ -111,6 +158,60 @@ def run_case(case: dict) -> dict:
         case["h"], case["w"], case["content"], case["codec"], case["path"],
     )
     img = make_img(h, w, content)
+
+    if path == "dev":
+        # Fused develop kernel: Mosaic output vs the CPU-interpret golden
+        # (computed by a JAX_PLATFORMS=cpu subprocess; cached). exp/log
+        # ulp differences CPU<->TPU may move a u8 by 1 at rounding
+        # boundaries, so the gate is per-channel max |diff| <= 1.
+        import jax.numpy as jnp
+
+        from mcraw import preview
+        from mcraw.kernels import pallas_develop as PD
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--golden",
+             json.dumps(case)],
+            capture_output=True, text=True, timeout=2400, env=env,
+            cwd="/tmp",  # keep the axon plugin out of the golden process
+        )
+        gline = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("GOLDEN ")),
+            None,
+        )
+        if gline is None:
+            return {
+                **case, "status": "ERROR",
+                "note": "golden failed: " + (proc.stderr or "")[-200:],
+            }
+        golden = np.load(gline[len("GOLDEN "):])["rgba"]
+
+        black, white, neutral, fwd, cfa = _dev_setup(h, w)
+        inv2d = preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+        params = jnp.asarray(
+            PD.pack_develop_params(black, white, neutral, fwd)
+        )
+        t0 = time.perf_counter()
+        rgba = PD.develop_rgba_pallas(
+            jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa
+        )
+
+        @jax.jit
+        def maxdiff(a, b):
+            d = jnp.int32(0)
+            for sh in (0, 8, 16):
+                ca = ((a >> jnp.uint32(sh)) & 0xFF).astype(jnp.int32)
+                cb = ((b >> jnp.uint32(sh)) & 0xFF).astype(jnp.int32)
+                d = jnp.maximum(d, jnp.max(jnp.abs(ca - cb)))
+            return d
+
+        md = int(jax.block_until_ready(maxdiff(rgba, jnp.asarray(golden))))
+        dt = time.perf_counter() - t0
+        return {
+            **case, "status": "OK" if md <= 1 else "MISMATCH",
+            "max_u8_diff": md, "wall_s": round(dt, 2),
+        }
     payload = get_payload(h, w, content, codec)
     want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
 
@@ -151,6 +252,14 @@ def run_case(case: dict) -> dict:
 
 
 def main() -> int:
+    if "--golden" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        case = json.loads(sys.argv[sys.argv.index("--golden") + 1])
+        print("GOLDEN " + golden_develop(case))
+        return 0
+
     if "--case" in sys.argv:
         case = json.loads(sys.argv[sys.argv.index("--case") + 1])
         try:
@@ -167,6 +276,9 @@ def main() -> int:
         geoms = sys.argv[sys.argv.index("--geoms") + 1].split(",")
     if "--contents" in sys.argv:
         contents = sys.argv[sys.argv.index("--contents") + 1].split(",")
+    paths = ["v5", "v6", "dev"]
+    if "--paths" in sys.argv:
+        paths = sys.argv[sys.argv.index("--paths") + 1].split(",")
     tag = ""
     if "--tag" in sys.argv:  # results suffix so partial grids don't clobber
         tag = "_" + sys.argv[sys.argv.index("--tag") + 1]
@@ -177,12 +289,23 @@ def main() -> int:
         for content in contents:
             for codec in (7, 6):
                 for path in ("v5", "v6"):
+                    if path not in paths:
+                        continue
                     cases.append(
                         {
                             "geom": g, "h": h, "w": w, "content": content,
                             "codec": codec, "path": path,
                         }
                     )
+            if "dev" in paths:
+                # develop takes a raw image, not a codec payload — one
+                # case per (geometry, content)
+                cases.append(
+                    {
+                        "geom": g, "h": h, "w": w, "content": content,
+                        "codec": 0, "path": "dev",
+                    }
+                )
 
     results = []
     for i, case in enumerate(cases):
