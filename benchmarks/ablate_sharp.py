@@ -74,6 +74,9 @@ VARIANTS = {
     # 0.876, both lose to bytes 0.658 (the variable shift was not the
     # loss); on legacy packed2 is 2.4x WORSE than the variable shift.
     "packed2": ("", {"plane_mode": "packed2"}),
+    # int8 byte planes (bias -128): s8 x s8 -> s32 pick dots run at 2x the
+    # bf16 MXU rate; windows start 32-aligned (remainder folded into q8).
+    "s8": ("", {"plane_mode": "s8"}),
     # byte-plane DEFAULT-bf16 desc dot — REJECTED on modern (the weighted
     # one-hot build x24 subgroups costs 0.20 ms, the saved passes ~0:
     # 0.867 vs full/dot3 0.666 net, ablate_sharp_null_full_descdot3_

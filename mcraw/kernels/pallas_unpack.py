@@ -496,7 +496,11 @@ def _unpack_kernel_v5(
     # "packed" = byte planes with BOTH pair rows fetched in ONE dot (the
     # one-hot carries {1, 256}: c = p0 + (p1 << 8) <= 65535 stays exact,
     # the pair-row select becomes a variable right-shift), "halves" = f32
-    # 16-bit half planes (256 wide, HIGHEST 6-pass dot).
+    # 16-bit half planes (256 wide, HIGHEST 6-pass dot), "s8" = int8 byte
+    # planes biased -128 (s8 x s8 -> s32 dots at 2x the bf16 MXU rate,
+    # 32-aligned windows; MEASURED r3 and REJECTED: 0.876 vs bytes 0.669
+    # ms net 4K — the int8 plane-build converts + (32,128)-tile relayouts
+    # eat the rate win; ablate_sharp_null_s8_full_fields0.json).
     # Same VMEM bytes either way. The v5.1 byte-plane rejection predated
     # chunk-wide planes (per-subgroup build cost dominated); re-measured
     # sharp with chunk-wide planes, bytes wins 0.652 vs 0.720 ms net
@@ -509,7 +513,10 @@ def _unpack_kernel_v5(
     # each subgroup's off-off8 remainder into its rows' q8), so the
     # one-hot depends only on the meta row, not the subgroup. A/B flag:
     # the r3 pick-split (noselect/nomerge) showed the 0.42 ms pick
-    # complex is all dots + one-hot builds.
+    # complex is all dots + one-hot builds. MEASURED r3 and REJECTED:
+    # 0.731 vs 0.660 ms net 4K (ablate_sharp_null_chunkoh_full_fields0
+    # .json) — same total one-hot elements, but the chunk-wide (BP, 56)
+    # builds + per-subgroup sublane slices lose to in-loop iota compares.
     desc_mode: str = "dot3",  # descriptor-dot structure: "dot3" = plain
     # one-hot x int32 table under f32 HIGHEST (6 bf16 passes; tables_ref
     # is _MODERN_TABLES_V5) — the DEFAULT; "bytedot" = {1,256,65536}-
@@ -523,7 +530,7 @@ def _unpack_kernel_v5(
     # always uses the HIGHEST form.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
-    if plane_mode not in ("halves", "bytes", "packed", "packed2"):
+    if plane_mode not in ("halves", "bytes", "packed", "packed2", "s8"):
         raise ValueError(f"unknown plane_mode {plane_mode!r}")
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -627,14 +634,32 @@ def _unpack_kernel_v5(
     # convert work and 24x the instruction issue). The 8 tail rows past the
     # DMA span are zeroed once so the 8-aligned subgroup slices below never
     # contract garbage.
+    plane_pad = 32 if plane_mode == "s8" else 8
     @pl.when(i == 0)
     def _():
-        planes_ref[pl.ds(rows, 8), :] = jnp.zeros(
-            (8, planes_ref.shape[1]), planes_ref.dtype
+        planes_ref[pl.ds(rows, plane_pad), :] = jnp.zeros(
+            (plane_pad, planes_ref.shape[1]), planes_ref.dtype
         )
 
     local_all = scratch_ref[slot]  # (rows, 128)
-    if plane_mode != "halves":
+    if plane_mode == "s8":
+        # int8 byte planes, bias -128 so [0,255] fits s8; the s8 x s8 -> s32
+        # MXU dot runs at 2x the bf16 rate, the one-hot row restores the
+        # bias exactly (+128 after the pair select). int8 operand tiles are
+        # (32, 128), so the subgroup window below starts 32-aligned.
+        planes_ref[pl.ds(0, rows), 0:128] = (
+            (local_all & 0xFF) - 128
+        ).astype(jnp.int8)
+        planes_ref[pl.ds(0, rows), 128:256] = (
+            (jax.lax.shift_right_logical(local_all, 8) & 0xFF) - 128
+        ).astype(jnp.int8)
+        planes_ref[pl.ds(0, rows), 256:384] = (
+            (jax.lax.shift_right_logical(local_all, 16) & 0xFF) - 128
+        ).astype(jnp.int8)
+        planes_ref[pl.ds(0, rows), 384:512] = (
+            jax.lax.shift_right_logical(local_all, 24) - 128
+        ).astype(jnp.int8)
+    elif plane_mode != "halves":
         planes_ref[pl.ds(0, rows), 0:128] = (local_all & 0xFF).astype(
             jnp.bfloat16
         )
@@ -797,9 +822,22 @@ def _unpack_kernel_v5(
         # the plane load feeding the matmul: the subgroup offset is rounded
         # down to off8 and the remainder is already folded into the q8 meta
         # row by prep.
-        planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
-
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (sgp, sub_rows + 8), 1)
+        if plane_mode == "s8":
+            # int8 operand tiles are (32, 128): round the window start down
+            # to 32 and add the 0/8/16/24 remainder to the pick row index
+            # (same fold-the-remainder trick as off8, one scalar->vector
+            # add per subgroup).
+            off32 = pl.multiple_of((off >> 5) << 5, 32)
+            planes = planes_ref[pl.ds(off32, sub_rows + 32), :]
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (sgp, sub_rows + 32), 1
+            )
+            q8 = q8 + (off8 - off32)
+        else:
+            planes = planes_ref[pl.ds(off8, sub_rows + 8), :]
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (sgp, sub_rows + 8), 1
+            )
 
         # Pick precision note: a 3-pass bf16 decomposition (HIGH) would be
         # exact for one-hot x 16-bit-half operands (the one-hot is a
@@ -861,6 +899,15 @@ def _unpack_kernel_v5(
                         planes,
                         preferred_element_type=jnp.float32,
                     )
+            elif plane_mode == "s8":
+                # s8 x s8 -> s32: exact by construction (integer MACs), and
+                # the MXU runs int8 at 2x the bf16 pass rate.
+                def pick(oh):
+                    return jnp.dot(
+                        oh.astype(jnp.int8),
+                        planes,
+                        preferred_element_type=jnp.int32,
+                    )
             else:
                 def pick(oh):
                     return jnp.dot(
@@ -889,6 +936,8 @@ def _unpack_kernel_v5(
                 pm = (p0 + p1).astype(jnp.int32)
             else:
                 pm = jnp.where(lanep >= t0_e, p0, p1).astype(jnp.int32)
+            if plane_mode == "s8":
+                pm = pm + 128  # undo the int8 plane bias (one-hot sum == 1)
         if "nomerge" in ablate:  # (timing ablation: wrong results; keeps
             # dots + select + convert live, drops the shift/or plane
             # combine — isolates the byte-merge cost)
@@ -1094,9 +1143,13 @@ def _unpack_image_pallas_v5(
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, rows, 128), jnp.int32),
-            # +8 tail rows: zeroed overhang for the 8-aligned slices.
-            # Same VMEM bytes either way: 256 f32 lanes == 512 bf16 lanes.
-            pltpu.VMEM((rows + 8, 512), jnp.bfloat16)
+            # +8 tail rows: zeroed overhang for the 8-aligned slices (+32
+            # for s8, whose operand tiles force 32-aligned window starts).
+            # Same VMEM bytes bytes-vs-halves: 256 f32 lanes == 512 bf16
+            # lanes; s8 is half that.
+            pltpu.VMEM((rows + 32, 512), jnp.int8)
+            if plane_mode == "s8"
+            else pltpu.VMEM((rows + 8, 512), jnp.bfloat16)
             if plane_mode != "halves"
             else pltpu.VMEM((rows + 8, 256), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

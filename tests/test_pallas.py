@@ -232,6 +232,16 @@ def test_pallas_v5_fused_deinterleave(rng, shape):
         ("packed", None, 0, (24, 384)),
         ("packed", None, 0, (8, 4096)),
         ("packed2", None, 0, (24, 384)),
+        # int8 byte planes (bias -128, s8 x s8 -> s32 picks, 32-aligned
+        # windows) — MEASURED r3 and rejected (0.876 vs bytes 0.669 ms
+        # net 4K, ablate_sharp_null_s8_full_fields0.json); pinned
+        ("s8", None, 0, (24, 384)),
+        ("s8", None, 0, (8, 4096)),
+        # chunk-wide pick one-hot build — MEASURED r3 and rejected
+        # (0.731 vs 0.660 net, ablate_sharp_null_chunkoh_full_fields0);
+        # pinned at both plane dtypes
+        ("chunk_oh", None, 0, (24, 384)),
+        ("chunk_oh_halves", None, 0, (8, 4096)),
         # DEFAULT-bf16 byte-plane desc dot — rejected on modern (the
         # weighted one-hot build x24 subgroups outweighs the saved MXU
         # passes; wins on legacy), pinned as a non-default A/B variant
@@ -256,7 +266,11 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
         kw = dict(chunk_desc=True)
     elif flat_out == "desc_byte":
         kw = dict(desc_mode="bytedot")
-    elif flat_out in ("halves", "packed"):
+    elif flat_out == "chunk_oh":
+        kw = dict(chunk_oh=True)
+    elif flat_out == "chunk_oh_halves":
+        kw = dict(chunk_oh=True, plane_mode="halves")
+    elif flat_out in ("halves", "packed", "packed2", "s8"):
         kw = dict(plane_mode=flat_out)
     else:
         kw = dict(flat_out=flat_out, chunk_mt=chunk_mt,
