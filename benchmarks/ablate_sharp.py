@@ -77,6 +77,13 @@ VARIANTS = {
     # int8 byte planes (bias -128): s8 x s8 -> s32 pick dots run at 2x the
     # bf16 MXU rate; windows start 32-aligned (remainder folded into q8).
     "s8": ("", {"plane_mode": "s8"}),
+    # both pick one-hots M-stacked into ONE dot per subgroup (same MACs,
+    # half the MXU dispatches) — dot-issue-count probe
+    "pstack": ("", {"pick_stack": True}),
+    # pick-cost split: dots with meta-independent constant one-hots
+    # (pure MXU streaming) vs real one-hot builds without dots
+    "ohcheap": ("ohcheap", {}),
+    "ohonly": ("ohonly", {}),
     # byte-plane DEFAULT-bf16 desc dot — REJECTED on modern (the weighted
     # one-hot build x24 subgroups costs 0.20 ms, the saved passes ~0:
     # 0.867 vs full/dot3 0.666 net, ablate_sharp_null_full_descdot3_

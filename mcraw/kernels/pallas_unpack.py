@@ -528,6 +528,10 @@ def _unpack_kernel_v5(
     # bytedot 0.867 vs descdot3 0.666 vs mergedout-no-desc-at-all 0.663,
     # ablate_sharp_null_full_descdot3_fields0_mergedout.json). chunk_desc
     # always uses the HIGHEST form.
+    pick_stack: bool = False,  # stack the two pick one-hots along M so
+    # each subgroup issues ONE pick dot instead of two (same MACs and
+    # tile-passes, half the MXU dispatches) — probes whether the 0.42 ms
+    # pick complex is dot ISSUE count rather than pass count.
     ablate: str = "",  # stage-skip flags for on-chip cost attribution ONLY
 ):
     if plane_mode not in ("halves", "bytes", "packed", "packed2", "s8"):
@@ -923,6 +927,41 @@ def _unpack_kernel_v5(
                 # astype is an identity on the pre-cast slices
                 p0 = pick(oh0_all[sl])
                 p1 = pick(oh1_all[sl])
+            elif pick_stack:
+                # Both pick one-hots stacked along M: ONE MXU dispatch per
+                # subgroup instead of two — identical MACs/passes, half
+                # the dot issues; static sublane slices split the result.
+                # MEASURED r3: exactly neutral (0.662 vs 0.661 ms net 4K,
+                # ablate_sharp_null_pstack_full_fields0.json) — dispatch
+                # count is not the pick cost; pinned non-default.
+                pp = pick(
+                    jnp.concatenate(
+                        [row_ids == q8, row_ids == q8 + 1], axis=0
+                    )
+                )
+                p0 = pp[0:sgp]
+                p1 = pp[sgp : 2 * sgp]
+            elif "ohcheap" in ablate:
+                # (timing ablation: wrong results) dots with a meta-
+                # independent one-hot (same compare shape, constant
+                # pattern CSE-able across subgroups): isolates pure MXU
+                # streaming from the meta->compare->operand-relayout
+                # chain the real picks carry.
+                q8c = jax.lax.broadcasted_iota(jnp.int32, (sgp, 1), 0) & 7
+                p0 = pick(row_ids == q8c)
+                p1 = pick(row_ids == q8c + 1)
+            elif "ohonly" in ablate:
+                # (timing ablation: wrong results) real one-hot builds
+                # kept live through a 1-column consumer, dots dropped:
+                # the complement of ohcheap.
+                dt = jnp.bfloat16 if plane_mode != "halves" else jnp.float32
+                z = (row_ids == q8).astype(dt)[:, 0:1] + (
+                    row_ids == q8 + 1
+                ).astype(dt)[:, 0:1]
+                p0 = p1 = (
+                    jnp.zeros((sgp, planes.shape[1]), jnp.float32)
+                    + z.astype(jnp.float32)
+                )
             else:
                 p0 = pick(row_ids == q8)
                 p1 = pick(row_ids == q8 + 1)
@@ -1035,7 +1074,7 @@ def _unpack_kernel_v5(
     static_argnames=(
         "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
         "flat_out", "chunk_mt", "chunk_desc", "chunk_oh", "wide_store",
-        "plane_mode", "desc_mode", "ablate", "interpret",
+        "plane_mode", "desc_mode", "pick_stack", "ablate", "interpret",
     ),
 )
 def _unpack_image_pallas_v5(
@@ -1054,6 +1093,7 @@ def _unpack_image_pallas_v5(
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
     chunk_oh: bool = False,  # chunk-wide pick one-hot build (see kernel)
+    pick_stack: bool = False,  # one M-stacked pick dot per subgroup (see kernel)
     wide_store: int = 0,  # 128-lane out block via 2D reshape (see kernel)
     plane_mode: str = "bytes",  # pick-operand planes (see kernel)
     desc_mode: str = "dot3",  # descriptor-dot structure (see kernel)
@@ -1173,6 +1213,7 @@ def _unpack_image_pallas_v5(
         wide_store=wide_store,
         plane_mode=plane_mode,
         desc_mode=desc_mode,
+        pick_stack=pick_stack,
         ablate=ablate,
     )
     out = pl.pallas_call(
