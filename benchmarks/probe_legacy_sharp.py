@@ -194,6 +194,9 @@ def main():
         "lv5dot3": lambda: make_lv5("packed", meta_mode="dot3"),
         "lv6dot3": lambda: make_lv6("packed", meta_mode="dot3"),
         "lv6m24": lambda: make_lv6("packed", m24=True),
+        # lane-major (nc, 24, b) DENSE device meta -> v5 kernel with one
+        # in-kernel transpose (kills the minor-dim-8 padded materialize)
+        "lv6lm": lambda: make_lv6("packed", m24="lanes"),
         "lv5merged": lambda: make_lv5("packed", ablate="merged"),
         "lv5nometa": lambda: make_lv5("packed", ablate="nometa"),
         "lv5noswap": lambda: make_lv5("packed", ablate="noswap"),

@@ -336,6 +336,13 @@ def _legacy_kernel_v5(
     sems,
     rows: int = None,
     plane_mode: str = "packed",
+    meta_layout: str = "rows",  # meta_ref orientation: "rows" = (1, B, 24)
+    # sublane-major (host-built; 24 of 128 lanes used -> 5.3x padded HBM
+    # reads), "lanes" = (1, 24, B) lane-major (DENSE in TPU tiling — B is
+    # a lane multiple — transposed once in-kernel, the modern kernel's
+    # chunk_mt trick). Lane-major is what makes the v6 device prologue
+    # cheap: reshaping the (nblk,) scan outputs to minor-dim-8/24 blocks
+    # physically materializes 16x/5.3x padded arrays on TPU.
     meta_mode: str = "bytedot",  # lane-expansion dot structure:
     # "bytedot" (DEFAULT) = byte-split the int32 meta into three bf16 byte
     #   planes (b,72) and expand ALL params in ONE DEFAULT bf16 dot against
@@ -393,8 +400,12 @@ def _legacy_kernel_v5(
     def _():
         span_dma(i + 1, jax.lax.rem(i + 1, 2)).start()
 
-    b = meta_ref.shape[1]
-    meta = meta_ref[0]  # (b, 24)
+    if meta_layout == "lanes":
+        b = meta_ref.shape[2]
+        meta = jnp.transpose(meta_ref[0], (1, 0))  # one (24,B)->(B,24)
+    else:
+        b = meta_ref.shape[1]
+        meta = meta_ref[0]  # (b, 24)
     sel = lane_sel_ref[...]
     hi = jax.lax.Precision.HIGHEST
 
@@ -495,22 +506,25 @@ def _legacy_kernel_v5(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_chunks", "rows", "plane_mode", "meta_mode", "ablate", "interpret"
+        "num_chunks", "rows", "plane_mode", "meta_layout", "meta_mode",
+        "ablate", "interpret",
     ),
 )
 def _unpack_legacy_pallas_v5(
     payload2d: jnp.ndarray,
     base_rows: jnp.ndarray,
-    meta: jnp.ndarray,  # (num_chunks, B, 24) — see _legacy_kernel_v5
+    meta: jnp.ndarray,  # (num_chunks, B, 24), or (num_chunks, 24, B) when
+    # meta_layout == "lanes" — see _legacy_kernel_v5
     *,
     num_chunks: int,
     rows: int | None = None,  # content-aware chunk span (None = worst)
     plane_mode: str = "packed",
+    meta_layout: str = "rows",
     meta_mode: str = "bytedot",
     ablate: str | None = None,
     interpret: bool = False,
 ):
-    b = meta.shape[1]
+    b = meta.shape[2] if meta_layout == "lanes" else meta.shape[1]
     rows_worst = (b * 8 * 34) // 512 + 2
     rows_worst += (-rows_worst) % 8
     rows = rows_worst if rows is None else min(rows_worst, rows)
@@ -519,7 +533,8 @@ def _unpack_legacy_pallas_v5(
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, b, 24), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 24, b) if meta_layout == "lanes" else (1, b, 24),
+                lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lane-sel table, whole
             pl.BlockSpec(memory_space=pl.ANY),
@@ -539,7 +554,7 @@ def _unpack_legacy_pallas_v5(
     return pl.pallas_call(
         functools.partial(
             _legacy_kernel_v5, rows=rows, plane_mode=plane_mode,
-            meta_mode=meta_mode, ablate=ablate,
+            meta_layout=meta_layout, meta_mode=meta_mode, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_chunks * b, 128), jnp.uint16),
@@ -1081,13 +1096,34 @@ def decode_legacy_device_v6(
     input pipeline it removes (sharp A/B at 4K, same run: m24 0.930 vs
     3-block 0.767 ms net; v5 with HOST-built (b,24) meta is 0.60-0.66 —
     probe_legacy_sharp_null_lv6packed_lv6blocks_lv5packed.json). Kept as
-    a pinned interpret-tested variant."""
+    a pinned interpret-tested variant.
+
+    m24="lanes" builds ONE (nc, 24, b) LANE-MAJOR meta instead — dense
+    in TPU tiling (b is a lane multiple), where every minor-dim-8/24
+    block layout physically materializes 16x/5.3x padded HBM arrays.
+    The v5 kernel transposes it once per chunk in VMEM (chunk_mt
+    trick)."""
     idx = _legacy_indices(pw, h)
     nc, segs = idx["num_chunks"], idx["segs"]
     base_rows, offs3, cls3, refs3 = _v6_legacy_build(
         offs, bits, refs, pw=pw, h=h, sub=sub
     )
-    if m24 and not sub and ablate is None:
+    if m24 == "lanes" and not sub and ablate is None:
+        meta_lm = jnp.concatenate(
+            [
+                jnp.swapaxes(offs3, 1, 2),
+                jnp.swapaxes(cls3, 1, 2),
+                jnp.swapaxes(refs3, 1, 2),
+            ],
+            axis=1,
+        )  # (nc, 24, b) — fuses with the build into one dense copy
+        out = _unpack_legacy_pallas_v5.__wrapped__(
+            p32.reshape(-1, 128), base_rows, meta_lm,
+            num_chunks=nc, rows=rows, plane_mode=plane_mode,
+            meta_layout="lanes", meta_mode=meta_mode,
+            interpret=interpret,
+        )
+    elif m24 and not sub and ablate is None:
         meta24 = jnp.concatenate([offs3, cls3, refs3], axis=2)
         out = _unpack_legacy_pallas_v5.__wrapped__(
             p32.reshape(-1, 128), base_rows, meta24,
@@ -1140,7 +1176,23 @@ def decode_legacy_device_v6_batch(
     shift = jnp.arange(f, dtype=jnp.int32) * frame_rows
     base = (base + shift[:, None]).reshape(-1)
     # offsets are chunk-relative (see _v6_legacy_build) — no per-frame rebase
-    if m24 and not sub:
+    if m24 == "lanes" and not sub:
+        meta_lm = jnp.concatenate(
+            [
+                jnp.swapaxes(o3, 2, 3),
+                jnp.swapaxes(c3, 2, 3),
+                jnp.swapaxes(r3, 2, 3),
+            ],
+            axis=2,
+        )  # (f, nc, 24, b)
+        out = _unpack_legacy_pallas_v5.__wrapped__(
+            p32s.reshape(-1, 128), base,
+            meta_lm.reshape(f * nc, 24, -1),
+            num_chunks=f * nc, rows=rows, plane_mode=plane_mode,
+            meta_layout="lanes", meta_mode=meta_mode,
+            interpret=interpret,
+        )
+    elif m24 and not sub:
         meta24 = jnp.concatenate(
             [o3, c3, r3], axis=3
         ).reshape(f * nc, -1, 24)
