@@ -1084,7 +1084,7 @@ def decode_legacy_device_v6(
     sub: int | None = None,
     meta_dot: bool = True,
     meta_mode: str = "bytedot",
-    m24: bool = False,
+    m24: bool | str = False,  # True = (b,24) block-major; "lanes" = (24,b) lane-major
     ablate: str | None = None,
     interpret: bool = False,
 ):
@@ -1162,7 +1162,7 @@ def decode_legacy_device_v6_batch(
     sub: int | None = None,
     meta_dot: bool = True,
     meta_mode: str = "bytedot",
-    m24: bool = False,
+    m24: bool | str = False,  # True = (b,24) block-major; "lanes" = (24,b) lane-major
     interpret: bool = False,
 ):
     """(F, H, W) legacy decode, device-side prep, ONE kernel launch."""

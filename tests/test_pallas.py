@@ -184,6 +184,47 @@ class TestLegacyPallas:
         )
         assert np.array_equal(np.asarray(out6), img)
 
+    @pytest.mark.parametrize("m24", [True, "lanes"])
+    def test_v6_m24_meta_layouts(self, rng, m24):
+        """Pinned non-default v6 meta layouts stay exact, single AND batch:
+        m24=True (device-concat (b,24) block-major meta -> v5 kernel,
+        rejected 0.930 vs 0.767 net) and m24="lanes" ((24,b) lane-major,
+        dense in TPU tiling, transposed once per chunk in VMEM)."""
+        import jax.numpy as jnp
+        from mcraw.kernels import pallas_legacy as PL
+
+        h, w = 16, 1920
+        imgs = [
+            rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+            for _ in range(2)
+        ]
+        lights = []
+        for img in imgs:
+            payload = np.frombuffer(E.encode_legacy(img), dtype=np.uint8)
+            light = PL.prepare_legacy_light(payload, w, h)
+            assert light is not None
+            lights.append(light)
+        p32, offs, bits, refs, pw, rows = lights[0]
+        out6 = PL.decode_legacy_device_v6.__wrapped__(
+            jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
+            jnp.asarray(np.asarray(refs, np.int32)),
+            pw=pw, h=h, width=w, rows=rows, m24=m24, interpret=True,
+        )
+        assert np.array_equal(np.asarray(out6), imgs[0])
+        # batch: per-frame device prep, one launch
+        rows_b = max(l[5] for l in lights)
+        outb = PL.decode_legacy_device_v6_batch.__wrapped__(
+            jnp.stack([jnp.asarray(l[0]) for l in lights]),
+            jnp.stack([jnp.asarray(l[1]) for l in lights]),
+            jnp.stack([jnp.asarray(l[2]) for l in lights]),
+            jnp.stack(
+                [jnp.asarray(np.asarray(l[3], np.int32)) for l in lights]
+            ),
+            pw=pw, h=h, width=w, rows=rows_b, m24=m24, interpret=True,
+        )
+        for k, img in enumerate(imgs):
+            assert np.array_equal(np.asarray(outb)[k], img)
+
 
 def test_pallas_batched_decode(rng):
     """Multi-frame single-launch decode (stacked chunks)."""
@@ -273,6 +314,11 @@ def test_pallas_v5_store_variants(rng, flat_out, chunk_mt, wide_store, shape):
     elif flat_out in ("halves", "packed", "packed2", "s8"):
         kw = dict(plane_mode=flat_out)
     else:
+        # Unknown string modes must be mapped explicitly above: coercing
+        # them into flat_out=<truthy str> would pass while exercising the
+        # wrong path (the gap that once hid packed2).
+        if not isinstance(flat_out, bool):
+            raise ValueError(f"unmapped store-variant mode: {flat_out!r}")
         kw = dict(flat_out=flat_out, chunk_mt=chunk_mt,
                   wide_store=wide_store)
     img3 = PK._unpack_image_pallas_v5(

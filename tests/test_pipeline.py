@@ -564,25 +564,33 @@ def test_legacy_corrupt_embedded_table_decodes_exactly(rng, monkeypatch):
 
 def test_frame_decoder_persistent_program(rng):
     """FrameDecoder (the latency path): AOT-compiled persistent program,
-    one executable reused across same-geometry frames, exact output."""
-    blob, frames = make_clip(rng, num_frames=3)
-    d = Decoder(blob, backend="jax", kernel="pallas")
-    fd = d.make_frame_decoder()
-    for ts, img in zip(d.frames, frames):
-        out, meta = fd(ts)
-        assert np.array_equal(np.asarray(out), img)
-        assert meta["width"] == 128
-    assert fd.num_programs == 1  # one geometry -> one compiled program
+    one executable reused across same-geometry frames, exact output.
+    Donation warnings ("Some donated buffers were not usable") fail the
+    test: the latency path must not churn the allocator (VERDICT r3 #5)."""
+    import warnings
 
-    # legacy frames compile their own persistent program (VERDICT r2 #6):
-    # one geometry -> one executable, exact output
-    blob6, frames6 = make_clip(rng, num_frames=3, codec=6)
-    d6 = Decoder(blob6, backend="jax", kernel="pallas")
-    fd6 = d6.make_frame_decoder()
-    for ts, img in zip(d6.frames, frames6):
-        out, _ = fd6(ts)
-        assert np.array_equal(np.asarray(out), img)
-    assert fd6.num_programs == 1
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*[Dd]onated buffers.*"
+        )
+        blob, frames = make_clip(rng, num_frames=3)
+        d = Decoder(blob, backend="jax", kernel="pallas")
+        fd = d.make_frame_decoder()
+        for ts, img in zip(d.frames, frames):
+            out, meta = fd(ts)
+            assert np.array_equal(np.asarray(out), img)
+            assert meta["width"] == 128
+        assert fd.num_programs == 1  # one geometry -> one compiled program
+
+        # legacy frames compile their own persistent program (VERDICT r2
+        # #6): one geometry -> one executable, exact output
+        blob6, frames6 = make_clip(rng, num_frames=3, codec=6)
+        d6 = Decoder(blob6, backend="jax", kernel="pallas")
+        fd6 = d6.make_frame_decoder()
+        for ts, img in zip(d6.frames, frames6):
+            out, _ = fd6(ts)
+            assert np.array_equal(np.asarray(out), img)
+        assert fd6.num_programs == 1
 
 
 def test_single_legacy_frame_sharded_across_devices(rng, monkeypatch):
