@@ -7,9 +7,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   frames on one chip, host prep excluded (it overlaps device work in the
   streaming pipeline), outputs kept live via on-device checksums.
 - vs_baseline: speedup vs the compiled C++ reference decoder (raw::Decode)
-  measured on this machine's CPU over the same payloads. Falls back to the
-  driver north-star floor (30x realtime = 720 fps at 24 fps content) if the
-  reference toolchain is unavailable.
+  measured on this machine's CPU over the same payloads — best-ever across
+  runs, persisted to /root/.cache/mcraw_ref_floor.json (this 1-vCPU box's
+  host timings swing 2x with load; the cached max is the stable capability
+  estimate). Falls back to the driver north-star floor (30x realtime =
+  720 fps at 24 fps content) if the reference toolchain is unavailable.
+- worst_case_fps: all-16-bit content (the format's guaranteed floor).
+- legacy_fps_4k: legacy-codec (type 6) 4K decode, fused v5 kernel.
+- decode_develop_fps: fused RAW->RGBA8888 preview (decode + develop).
+All legs share the inline-xN + amortized-force + checksum-gate harness.
 
 Correctness is asserted before timing: the device checksum must equal the
 NumPy oracle's.
@@ -146,19 +152,21 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         # (typical content needs 2 of the 3 funnel passes, 16-bit 1).
         nf = max(s[2] for s in spans)
 
+        tx = plans[0].tiles_x  # enables the uniform16 fast path (nf == -1)
+
         @functools.partial(
             jax.jit,
             static_argnames=(
-                "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nf"
+                "num_chunks", "txp", "tr_sub", "tx", "rows", "sub_rows", "nf"
             ),
         )
         def step(
-            payload2d, base_rows, meta, *, num_chunks, txp, tr_sub, rows,
+            payload2d, base_rows, meta, *, num_chunks, txp, tr_sub, tx, rows,
             sub_rows, nf
         ):
             img3 = PK._unpack_image_pallas_v5.__wrapped__(
                 payload2d, base_rows, meta,
-                num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+                num_chunks=num_chunks, txp=txp, tr_sub=tr_sub, tx=tx,
                 rows=rows, sub_rows=sub_rows, nfields=nf,
             )
             im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
@@ -166,7 +174,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
 
         run = lambda i: step(
             *args[i % FRAMES],
-            num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+            num_chunks=num_chunks, txp=txp, tr_sub=tr_sub, tx=tx,
             rows=rows, sub_rows=sub_rows, nf=nf,
         )
 
@@ -182,18 +190,18 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         @functools.partial(
             jax.jit,
             static_argnames=(
-                "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nf"
+                "num_chunks", "txp", "tr_sub", "tx", "rows", "sub_rows", "nf"
             ),
         )
         def step_x8(
-            flat, *, num_chunks, txp, tr_sub, rows, sub_rows, nf
+            flat, *, num_chunks, txp, tr_sub, tx, rows, sub_rows, nf
         ):
             acc = None
             for k in range(INLINE):
                 payload2d, base_rows, meta = flat[3 * k : 3 * k + 3]
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
                     payload2d, base_rows, meta,
-                    num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+                    num_chunks=num_chunks, txp=txp, tr_sub=tr_sub, tx=tx,
                     rows=rows, sub_rows=sub_rows, nfields=nf,
                 )
                 im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
@@ -204,7 +212,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         flat_args = tuple(a for k in range(INLINE) for a in args[k % FRAMES])
         run_x8 = lambda: step_x8(
             flat_args,
-            num_chunks=num_chunks, txp=txp, tr_sub=tr_sub,
+            num_chunks=num_chunks, txp=txp, tr_sub=tr_sub, tx=tx,
             rows=rows, sub_rows=sub_rows, nf=nf,
         )
     else:
@@ -297,13 +305,207 @@ def _timed(f):
     return time.perf_counter() - t0
 
 
+def _bench_inline_xn(build_call, argsets, want_mod32):
+    """Shared device-throughput discipline for the extra legs: N inline
+    calls with DISTINCT jit parameters (trap #5: XLA CSEs identical pure
+    pallas calls), fold checksums, ONE amortized scalar force per burst
+    (trap #7), best-of-rounds. Returns seconds/frame."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(argsets)
+    flat = [x for a in argsets for x in a]
+    na = len(argsets[0])
+
+    def xn(*flat_args):
+        acc = jnp.uint32(0)
+        for k in range(n):
+            acc = acc + build_call(*flat_args[na * k : na * k + na])
+        return acc
+
+    fn = jax.jit(xn)
+    got = int(jax.block_until_ready(fn(*flat))) % (1 << 32)
+    assert got == want_mod32, f"inline-xN checksum: got {got} want {want_mod32}"
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(ITERS_XN):
+            o = fn(*flat)
+            acc = o if acc is None else acc + o
+        total = int(acc) % (1 << 32)
+        best = min(best, (time.perf_counter() - t0) / (ITERS_XN * n))
+        assert total == (want_mod32 * ITERS_XN) % (1 << 32), \
+            "burst checksum mismatch"
+    return best
+
+
+def bench_legacy_tpu(imgs):
+    """Official legacy-codec leg (VERDICT r3 #2): 4K legacy decode fps on
+    the fastest shipping path (host-built meta + fused v5 kernel,
+    RawData_Legacy.cpp:445-495 parity), same harness discipline and
+    correctness gate as the headline."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from mcraw import encode as E
+    from mcraw.kernels import pallas_legacy as PL
+    from mcraw.kernels import unpack as U
+    from mcraw.kernels.checksum import device_checksum
+
+    nleg = 4
+    cache = f"/root/.cache/mcraw_bench_legacy_{H}x{W}_{nleg}.npz"
+    try:
+        z = np.load(cache)
+        imgs_l = [z[f"img{k}"] for k in range(nleg)]
+        payloads = [z[f"pay{k}"] for k in range(nleg)]
+    except Exception:
+        imgs_l = imgs[:nleg]
+        payloads = [
+            np.frombuffer(E.encode_legacy(im), dtype=np.uint8)
+            for im in imgs_l
+        ]
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = cache + ".tmp.npz"
+            np.savez(
+                tmp[:-4],
+                **{f"img{k}": imgs_l[k] for k in range(nleg)},
+                **{f"pay{k}": payloads[k] for k in range(nleg)},
+            )
+            os.replace(tmp, cache)
+        except Exception:
+            pass
+
+    expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs_l]
+    plans = [U.prepare_legacy(p, W, H) for p in payloads]
+    chunked = [PL.prepare_chunked_legacy_v5(pl) for pl in plans]
+    nc, segs = chunked[0][3], chunked[0][4]
+    lrows = max(c[5] for c in chunked)
+    n = 8
+    argsets = [
+        tuple(map(jax.device_put, chunked[k % nleg][:3])) for k in range(n)
+    ]
+
+    def call(p2d, base, meta):
+        out = PL._unpack_legacy_pallas_v5.__wrapped__(
+            p2d, base, meta, num_chunks=nc, rows=lrows
+        )
+        im = out[: H * segs].reshape(H, segs * 128)[:, :W]
+        return device_checksum(im, interpret=False)
+
+    want = sum(expected[k % nleg] for k in range(n)) % (1 << 32)
+    return 1.0 / _bench_inline_xn(call, argsets, want)
+
+
+def bench_preview_tpu(payloads):
+    """Official fused decode->develop preview leg (VERDICT r3 #2):
+    4K RAW payload -> RGBA8888 on device (decode_modern_device_v6 +
+    pallas_develop), the consumer-side pipeline of example.cpp:96-130.
+    Gated on run-to-run checksum stability (the RGBA accuracy contract —
+    <= 1 LSB of the f64 model — is pinned by tests/test_preview.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcraw import preview
+    from mcraw.kernels import pallas_develop as PD
+    from mcraw.kernels import pallas_unpack as PK
+    from mcraw.kernels.checksum import device_checksum
+
+    cfa = (0, 1, 1, 2)
+    params = jnp.asarray(
+        PD.pack_develop_params(
+            np.zeros(4, np.float32), 4095.0, np.ones(3, np.float32),
+            np.diag([0.9642, 1.0, 0.8249]).astype(np.float32),
+        )
+    )
+    inv2d = jax.device_put(
+        preview._inv_dens_device(H, W, cfa).reshape(3 * H, W)
+    )
+    n = 8
+    lights = [
+        PK.prepare_modern_light(p, W, H) for p in payloads[: n // 2]
+    ]
+    spans = [l[5] for l in lights]
+    rows = max(s[0] for s in spans)
+    sub_rows = max(s[1] for s in spans)
+    nf = max(s[2] for s in spans)
+    ty, tx = lights[0][3], lights[0][4]
+    rmax = max(len(l[0]) for l in lights)
+    argsets = [
+        (
+            jax.device_put(
+                np.pad(lights[k % len(lights)][0], (0, rmax - len(lights[k % len(lights)][0])))
+            ),
+            jax.device_put(lights[k % len(lights)][1]),
+            jax.device_put(lights[k % len(lights)][2]),
+            params,
+            inv2d,
+        )
+        for k in range(n)
+    ]
+
+    def call(p32, bits, refs, prm, inv):
+        im = PK.decode_modern_device_v6.__wrapped__(
+            p32, bits, refs, ty=ty, tx=tx, height=H, width=W,
+            rows=rows, sub_rows=sub_rows, nfields=nf,
+        )
+        rgba = PD.develop_rgba_pallas.__wrapped__(
+            im, prm, inv, height=H, width=W, cfa=cfa
+        )
+        return device_checksum(rgba, interpret=False)
+
+    # Self-consistency want: one gated single-call evaluation per frame.
+    single = jax.jit(call)
+    want = 0
+    for k in range(n):
+        want = (want + int(jax.block_until_ready(single(*argsets[k])))) % (
+            1 << 32
+        )
+    return 1.0 / _bench_inline_xn(call, argsets, want)
+
+
+_REF_FLOOR_CACHE = "/root/.cache/mcraw_ref_floor.json"
+
+
+def _ref_floor(key: str, fps: float | None) -> float | None:
+    """Best-ever compiled-reference fps across runs (VERDICT r3 #6/#7):
+    this box's 1-vCPU host timings swing 2x with load, and a per-run
+    denominator made vs_baseline meaningless (11.02 -> 18.33 at flat
+    device fps). Host noise only ever makes the reference LOOK slower,
+    so the max over history is the stable capability estimate."""
+    import json as _json
+    import os
+
+    hist = {}
+    try:
+        with open(_REF_FLOOR_CACHE) as f:
+            hist = _json.load(f)
+    except Exception:
+        pass
+    if fps is not None:
+        hist[key] = max(float(hist.get(key, 0.0)), fps)
+        try:
+            os.makedirs(os.path.dirname(_REF_FLOOR_CACHE), exist_ok=True)
+            tmp = _REF_FLOOR_CACHE + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(hist, f)
+            os.replace(tmp, _REF_FLOOR_CACHE)
+        except Exception:
+            pass
+    return hist.get(key)
+
+
 def bench_reference_cpu(payloads):
     try:
         sys.path.insert(0, ".")
         from tools import ref_shim
 
         if ref_shim.get_lib() is None:
-            return None
+            return _ref_floor(f"modern_{W}x{H}", None)
         # warm
         ref_shim.ref_decode(payloads[0], W, H)
         # Best-of-run per frame: the mean is hostage to transient load.
@@ -313,9 +515,9 @@ def bench_reference_cpu(payloads):
             for i in range(FRAMES):
                 ref_shim.ref_decode(payloads[i], W, H)
             best = min(best, (time.perf_counter() - t0) / FRAMES)
-        return 1.0 / best
+        return _ref_floor(f"modern_{W}x{H}", 1.0 / best)
     except Exception:
-        return None
+        return _ref_floor(f"modern_{W}x{H}", None)
 
 
 def _tpu_preflight(tries=6, probe_timeout=100, sleep_s=60):
@@ -418,6 +620,22 @@ def _run(imgs, payloads):
         print(f"warning: worst-case leg failed ({e!r})", file=sys.stderr)
         fps_worst = None
 
+    # Legacy codec (the other half of the reference's L2) and the fused
+    # decode->develop preview: certified in the SAME driver-visible
+    # artifact with the same discipline (VERDICT r3 #2).
+    try:
+        fps_legacy = bench_legacy_tpu(imgs) if use_pallas is None else None
+    except Exception as e:
+        print(f"warning: legacy leg failed ({e!r})", file=sys.stderr)
+        fps_legacy = None
+    try:
+        fps_preview = (
+            bench_preview_tpu(payloads) if use_pallas is None else None
+        )
+    except Exception as e:
+        print(f"warning: preview leg failed ({e!r})", file=sys.stderr)
+        fps_preview = None
+
     ref_fps = bench_reference_cpu(payloads)
     vs = fps / ref_fps if ref_fps else fps / 720.0
     print(
@@ -430,6 +648,12 @@ def _run(imgs, payloads):
                 "unpack_gbps": round(gbps, 2),
                 "worst_case_fps": (
                     round(fps_worst, 1) if fps_worst else None
+                ),
+                "legacy_fps_4k": (
+                    round(fps_legacy, 1) if fps_legacy else None
+                ),
+                "decode_develop_fps": (
+                    round(fps_preview, 1) if fps_preview else None
                 ),
                 "latency_ms_single_frame": round(latency_ms, 3),
             }

@@ -84,6 +84,9 @@ VARIANTS = {
     # (pure MXU streaming) vs real one-hot builds without dots
     "ohcheap": ("ohcheap", {}),
     "ohonly": ("ohonly", {}),
+    # uniform class-16 static-slice fast path (VERDICT r3 #1): only valid
+    # on worst-case frames (WORST=1); pass nfields=UNIFORM16 + tx.
+    "uni16": ("", {"_uni16": True}),
     # byte-plane DEFAULT-bf16 desc dot — REJECTED on modern (the weighted
     # one-hot build x24 subgroups costs 0.20 ms, the saved passes ~0:
     # 0.867 vs full/dot3 0.666 net, ablate_sharp_null_full_descdot3_
@@ -114,17 +117,27 @@ def main():
     from mcraw.kernels import pallas_unpack as PK
     from mcraw.kernels.checksum import device_checksum
 
-    imgs, payloads = make_frames()
+    import os
+
+    worst = os.environ.get("WORST", "") == "1"
+    imgs, payloads = make_frames(worst_case=worst)
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
     plans = [U.prepare_modern(p, W, H) for p in payloads]
     chunked = [PK.prepare_chunked_v5(pl) for pl in plans]
     nc, txp, tr_sub = chunked[0][3:]
+    tx = plans[0].tiles_x
     lights = [PK.prepare_modern_light(p, W, H) for p in payloads]
     rows = max(l[5][0] for l in lights)
     sub_rows = max(l[5][1] for l in lights)
     nf = max(l[5][2] for l in lights)
 
     def make_xn(ablate, kw, check):
+        kw = dict(kw)
+        nf_v = nf
+        if kw.pop("_uni16", False):
+            assert nf == PK.UNIFORM16, "uni16 needs worst-case frames (WORST=1)"
+            kw["tx"] = tx
+            nf_v = PK.UNIFORM16
         argsets = [
             tuple(map(jax.device_put, chunked[k % 4][:3])) for k in range(N)
         ]
@@ -136,7 +149,7 @@ def main():
                 a = flat_args[3 * k : 3 * k + 3]
                 img3 = PK._unpack_image_pallas_v5.__wrapped__(
                     *a, num_chunks=nc, txp=txp, tr_sub=tr_sub,
-                    rows=rows, sub_rows=sub_rows, nfields=nf,
+                    rows=rows, sub_rows=sub_rows, nfields=nf_v,
                     ablate=ablate, **kw,
                 )
                 if check:

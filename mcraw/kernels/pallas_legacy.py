@@ -952,6 +952,19 @@ def _unpack_legacy_pallas_v6_raw(
     ablate: str | None = None,
     interpret: bool = False,
 ):
+    if sub and not interpret:
+        # Quarantine (VERDICT r3 #8): the subgrouped-window pick is
+        # interpret-exact but SIGABRTs Mosaic on TPU hardware for every
+        # full variant (r3 ledger; tools/hw_parity.py flags sweep
+        # re-checks each round). Keep it out of the default namespace.
+        import os
+
+        if not os.environ.get("MCRAW_UNSAFE_VARIANTS"):
+            raise ValueError(
+                "sub=N is interpret-only: it crashes Mosaic on TPU "
+                "hardware. Set MCRAW_UNSAFE_VARIANTS=1 to bypass for "
+                "compiler-regression probes."
+            )
     b = offs.shape[1]
     spec = pl.BlockSpec(
         (1, b, 8), lambda i, base: (i, 0, 0), memory_space=pltpu.VMEM

