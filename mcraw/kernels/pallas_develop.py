@@ -13,10 +13,14 @@ gamma — in one pass over row bands held in VMEM:
     pass over the halo band, horizontal pass via pltpu.roll lane rotates
     with the wrapped border lane zeroed); K_CROSS is vertical + horizontal
     + center;
-  - the mask normalizers 1/conv(mask) stream from HBM per band (they are
-    0.25 everywhere except the one-pixel image border; sharing the
-    precomputed tables with the XLA path keeps the two exact-equal in
-    structure);
+  - the mask normalizers 1/conv(mask) are computed IN-KERNEL by running
+    the same separable convs over the 0/1 CFA masks (inv_mode="compute",
+    the default): the sums are small exact integers, so 1.0/den is
+    bitwise-identical to the precomputed numpy table — and it removes the
+    (3H, W) f32 table stream that was 151 MB of the kernel's ~226 MB
+    per-frame HBM traffic at 4K (plus the one-time ~150 MB host build +
+    upload per geometry). inv_mode="table" keeps the streamed-table path
+    as the A/B baseline (shared with the XLA pipeline);
   - white balance folds into the normalizer multiply; the sRGB curve uses
     exp(log(x)/2.4) (Mosaic-supported);
   - output is ONE uint32 plane per pixel: R | G<<8 | B<<16 | 0xFF<<24
@@ -38,22 +42,33 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BAND_ROWS = 32  # 64 exceeds the 16MB VMEM budget at W=4096 (19.3M)
+BAND_ROWS = 32  # table mode: 64 exceeds the 16MB VMEM budget at W=4096
+BAND_ROWS_COMPUTE = 64  # compute mode drops the (2,3,BR,W) f32 scratch
 
 
 def _develop_kernel(
-    params_ref,  # (1, 128) f32: [b0..b3, wf, g0..g2, m00..m22]
-    raw_ref,  # HBM (H, W) uint16
-    inv_ref,  # HBM (3*H, W) f32 1/conv(mask) per channel
-    out_ref,  # (BR, W) uint32 RGBA band
-    rscr,  # VMEM (2, BR+16, W) uint16 (u16 DMA slices need
-    #         16-sublane alignment; only the first BR+2 rows are used)
-    iscr,  # VMEM (2, 3, BR, W) f32
-    sems,  # DMA sems (2, 4)
-    H: int = None,
-    W: int = None,
+    *refs,
+    H: int = None,  # padded height (grid rows)
+    W: int = None,  # padded (lane-multiple) width
+    real_h: int = None,  # true image rows (mask border predicate)
+    real_w: int = None,  # true image cols (mask border predicate)
     cfa: tuple = None,
+    use_table: bool = True,
+    ablate: str = "",
 ):
+    if use_table:
+        params_ref, raw_ref, inv_ref, out_ref, rscr, iscr, sems = refs
+    else:
+        params_ref, raw_ref, out_ref, rscr, sems = refs
+        inv_ref = iscr = None
+    # params_ref: (1, 128) f32 [b0..b3, wf, g0..g2, m00..m22]
+    # raw_ref:    HBM (H, W) uint16
+    # inv_ref:    HBM (3*H, W) f32 1/conv(mask) (table mode only)
+    # out_ref:    (BR, W) uint32 RGBA band
+    # rscr:       VMEM (2, BR+16, W) uint16 (u16 DMA slices need 16-sublane
+    #             alignment; only the first BR+2 rows are used)
+    # iscr:       VMEM (2, 3, BR, W) f32 (table mode only)
+    # sems:       DMA sems (2, 4)
     i = pl.program_id(0)
     n = pl.num_programs(0)
     BR = out_ref.shape[0]
@@ -68,14 +83,15 @@ def _develop_kernel(
                 sems.at[dst, 0],
             )
         ]
-        for c in range(3):
-            cp.append(
-                pltpu.make_async_copy(
-                    inv_ref.at[pl.ds(c * H + b * BR, BR), :],
-                    iscr.at[dst, c],
-                    sems.at[dst, 1 + c],
+        if use_table:
+            for c in range(3):
+                cp.append(
+                    pltpu.make_async_copy(
+                        inv_ref.at[pl.ds(c * H + b * BR, BR), :],
+                        iscr.at[dst, c],
+                        sems.at[dst, 1 + c],
+                    )
                 )
-            )
         return cp
 
     @pl.when(i == 0)
@@ -88,17 +104,18 @@ def _develop_kernel(
         for cp in start_band(i + 1, jax.lax.rem(i + 1, 2)):
             cp.start()
 
-    # Wait all four copies of this band's slot.
+    # Wait this band's slot copies.
     sl = slot
     pltpu.make_async_copy(
         raw_ref.at[pl.ds(i * BR, BR + 16), :], rscr.at[sl], sems.at[sl, 0]
     ).wait()
-    for c in range(3):
-        pltpu.make_async_copy(
-            inv_ref.at[pl.ds(c * H + i * BR, BR), :],
-            iscr.at[sl, c],
-            sems.at[sl, 1 + c],
-        ).wait()
+    if use_table:
+        for c in range(3):
+            pltpu.make_async_copy(
+                inv_ref.at[pl.ds(c * H + i * BR, BR), :],
+                iscr.at[sl, c],
+                sems.at[sl, 1 + c],
+            ).wait()
 
     p = params_ref[0]
     b0, b1, b2, b3 = p[0], p[1], p[2], p[3]
@@ -123,6 +140,10 @@ def _develop_kernel(
     )
     x = jnp.clip((raw - bl) * inv_sc, 0.0, 1.0)
 
+    if "dma" in ablate:  # (timing ablation) DMA + normalize only
+        out_ref[:] = jax.lax.bitcast_convert_type(x[1 : BR + 1], jnp.uint32)
+        return
+
     # CFA channel of each site -> masked planes.
     chan = jnp.where(
         yy,
@@ -138,6 +159,13 @@ def _develop_kernel(
         r = pltpu.roll(v, 1, 1)
         return jnp.where(cc == 0, 0.0, r)
 
+    if not use_table:
+        # In-kernel normalizer: the mask must be zeroed OUTSIDE the real
+        # image (pad rows/cols) so the borders see exactly the clipped
+        # neighborhoods the precomputed table encodes. (The DATA conv
+        # needs no such predicate — x is already 0 on pad sites.)
+        in_img = (rr >= 0) & (rr < real_h) & (cc < real_w)
+
     rgb = []
     for c in range(3):
         xc = jnp.where(chan == c, x, 0.0)
@@ -147,17 +175,44 @@ def _develop_kernel(
         else:  # K_FULL separable: [1,2,1]^T x [1,2,1]
             v = up + 2.0 * mid + dn
             num = 2.0 * v + hshift(v, 1) + hshift(v, -1)
-        rgb.append(jnp.clip(num * iscr[sl, c] * g[c], 0.0, 1.0))
+        if use_table:
+            inv = iscr[sl, c]
+        else:
+            # Same conv over the 0/1 mask: den is a small exact-integer
+            # f32 (<= 16), so 1.0/den rounds identically to the numpy
+            # table and the output stays bitwise-equal to table mode.
+            # den >= 1 on every real pixel (H, W >= 2: each channel has a
+            # kernel-weighted site in every clipped neighborhood); the
+            # max(den, 1) only rewrites pad columns, which are cropped.
+            mc = jnp.where((chan == c) & in_img, 1.0, 0.0)
+            um, mm, dm = mc[0:BR], mc[1 : BR + 1], mc[2 : BR + 2]
+            if c == 1:
+                den = 4.0 * mm + um + dm + hshift(mm, 1) + hshift(mm, -1)
+            else:
+                vm = um + 2.0 * mm + dm
+                den = 2.0 * vm + hshift(vm, 1) + hshift(vm, -1)
+            inv = 1.0 / jnp.maximum(den, 1.0)
+        rgb.append(jnp.clip(num * inv * g[c], 0.0, 1.0))
+
+    if "demosaic" in ablate:  # (timing ablation) through the demosaic
+        out_ref[:] = jax.lax.bitcast_convert_type(
+            rgb[0] + rgb[1] + rgb[2], jnp.uint32
+        )
+        return
 
     out = []
     for r in range(3):
         lin = m[r][0] * rgb[0] + m[r][1] * rgb[1] + m[r][2] * rgb[2]
         lin = jnp.clip(lin, 0.0, 1.0)
-        srgb = jnp.where(
-            lin <= 0.0031308,
-            12.92 * lin,
-            1.055 * jnp.exp(jnp.log(jnp.maximum(lin, 1e-12)) / 2.4) - 0.055,
-        )
+        if "nogamma" in ablate:  # (timing ablation) skip the sRGB curve
+            srgb = lin
+        else:
+            srgb = jnp.where(
+                lin <= 0.0031308,
+                12.92 * lin,
+                1.055 * jnp.exp(jnp.log(jnp.maximum(lin, 1e-12)) / 2.4)
+                - 0.055,
+            )
         out.append(
             jnp.round(jnp.clip(srgb, 0.0, 1.0) * 255.0).astype(jnp.int32)
         )
@@ -167,16 +222,23 @@ def _develop_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "cfa", "interpret")
+    jax.jit,
+    static_argnames=(
+        "height", "width", "cfa", "band_rows", "ablate", "interpret"
+    ),
 )
 def develop_rgba_pallas(
     raw_u16: jnp.ndarray,  # (H, W) uint16
     params: jnp.ndarray,  # (1, 128) f32, see _develop_kernel
-    inv2d: jnp.ndarray,  # (3*H, W) f32
+    inv2d: jnp.ndarray | None = None,  # (3*H, W) f32 table, or None to
+    # compute the normalizer in-kernel (bitwise-identical, no HBM stream)
     *,
     height: int,
     width: int,
     cfa: tuple,
+    band_rows: int | None = None,  # grid band height (None = mode default)
+    ablate: str = "",  # timing ablations (wrong results): dma|demosaic|
+    # nogamma — benchmarks/ablate_develop.py
     interpret: bool = False,
 ):
     """(H, W) uint32 RGBA8888 preview, fully fused in one kernel.
@@ -187,7 +249,8 @@ def develop_rgba_pallas(
     they contribute 0 to their real neighbors' convs, and the true right
     border's mask normalizer (column width-1) already encodes the missing
     neighbor. Padded output columns are cropped."""
-    BR = BAND_ROWS
+    use_table = inv2d is not None
+    BR = band_rows or (BAND_ROWS if use_table else BAND_ROWS_COMPUTE)
     nb = -(-height // BR)
     hp = nb * BR
     wp = width + (-width) % 128
@@ -197,37 +260,41 @@ def develop_rgba_pallas(
     raw_u16 = jnp.pad(
         raw_u16, ((1, hp + 15 - height), (0, wp - width))
     )
-    if hp != height or wp != width:
-        inv2d = jnp.pad(
-            inv2d.reshape(3, height, width),
-            ((0, 0), (0, hp - height), (0, wp - width)),
-            constant_values=1.0,
-        ).reshape(3 * hp, wp)
+    inputs = [params, raw_u16]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # params
+        pl.BlockSpec(memory_space=pl.ANY),  # raw
+    ]
+    scratch = [pltpu.VMEM((2, BR + 16, wp), jnp.uint16)]
+    if use_table:
+        if hp != height or wp != width:
+            inv2d = jnp.pad(
+                inv2d.reshape(3, height, width),
+                ((0, 0), (0, hp - height), (0, wp - width)),
+                constant_values=1.0,
+            ).reshape(3 * hp, wp)
+        inputs.append(inv2d)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # inv
+        scratch.append(pltpu.VMEM((2, 3, BR, wp), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # params
-            pl.BlockSpec(memory_space=pl.ANY),  # raw
-            pl.BlockSpec(memory_space=pl.ANY),  # inv
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (BR, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, BR + 16, wp), jnp.uint16),
-            pltpu.VMEM((2, 3, BR, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(
-            _develop_kernel, H=hp, W=wp, cfa=tuple(cfa)
+            _develop_kernel, H=hp, W=wp, real_h=height, real_w=width,
+            cfa=tuple(cfa), use_table=use_table, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * BR, wp), jnp.uint32),
         interpret=interpret,
-    )(params, raw_u16, inv2d)
+    )(*inputs)
     return out[:height, :width]
 
 

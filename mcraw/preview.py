@@ -249,13 +249,20 @@ def develop_rgba(
     height: int,
     width: int,
     cfa: tuple,
+    use_table: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """(H, W) uint32 RGBA8888 via the fused Pallas develop kernel
     (kernels/pallas_develop.py) — one pass over row bands instead of the
     XLA pipeline's HBM-crossing fusions (~3.7 -> ~1 ms at 4K). Matches
     `develop` to <= 1 LSB (conv fp add order differs). Requires
-    any width (lane-padded internally); only height <= 2 falls back."""
+    any width (lane-padded internally); only height <= 2 falls back.
+
+    Default: the mask normalizer is computed in-kernel (bitwise-identical
+    to the precomputed table — exact small-integer conv sums — while
+    skipping the (3H, W) f32 HBM stream AND the ~150 MB host table build +
+    upload per geometry). use_table=True keeps the streamed-table A/B
+    baseline shared with the XLA pipeline."""
     from .kernels import pallas_develop as PD
 
     params = jnp.asarray(
@@ -266,8 +273,12 @@ def develop_rgba(
             np.asarray(forward_matrix),
         )
     )
-    inv2d = _inv_dens_device(height, width, tuple(cfa)).reshape(
-        3 * height, width
+    inv2d = (
+        _inv_dens_device(height, width, tuple(cfa)).reshape(
+            3 * height, width
+        )
+        if use_table
+        else None
     )
     return PD.develop_rgba_pallas(
         raw_u16, params, inv2d,

@@ -147,6 +147,41 @@ def test_fused_rgba_all_cfas(sensor):
     assert np.max(np.abs(got - rgb)) <= 1, sensor
 
 
+@pytest.mark.parametrize(
+    "shape,sensor",
+    [
+        ((24, 256), "rggb"),
+        ((30, 100), "bggr"),  # odd band + non-lane width: pad cols in play
+        ((66, 128), "grbg"),  # multi-band: interior band borders
+    ],
+)
+def test_develop_inkernel_normalizer_bitwise_equals_table(shape, sensor):
+    """inv_mode=compute (in-kernel 1/conv(mask)) must be BITWISE equal to
+    the streamed-table path, not just <= 1 LSB: the conv over the 0/1 mask
+    sums small exact integers, so 1.0/den rounds identically to the numpy
+    table (pallas_develop.py docstring exactness argument). Any drift
+    means the mask border predicate is wrong."""
+    import jax.numpy as jnp
+    from mcraw import preview as P
+    from mcraw.metadata import CFA_PATTERNS
+
+    rng = np.random.default_rng(11)
+    h, w = shape
+    raw = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    black = np.array([16, 20, 24, 28], np.float32)
+    white = np.float32(4095.0)
+    neutral = np.array([0.55, 1.0, 0.71], np.float32)
+    fwd = np.array(
+        [0.6, 0.2, 0.16, 0.25, 0.7, 0.05, 0.02, 0.18, 0.62], np.float32
+    ).reshape(3, 3)
+    cfa = tuple(CFA_PATTERNS[sensor])
+    args = (jnp.asarray(raw), black, white, neutral, fwd)
+    kw = dict(height=h, width=w, cfa=cfa, interpret=True)
+    got = np.asarray(P.develop_rgba(*args, use_table=False, **kw))
+    want = np.asarray(P.develop_rgba(*args, use_table=True, **kw))
+    assert np.array_equal(got, want)
+
+
 def test_preview_frame_rgba_end_to_end():
     """Decoder -> preview_frame_rgba pipeline (interpret on CPU)."""
     blob = _clip_with_flat_color(512, 512, 512)
