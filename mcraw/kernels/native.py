@@ -300,3 +300,142 @@ def legacy_scan_parallel(
     refs = np.concatenate([p[1] for p in parts])
     offs = np.concatenate([p[2] for p in parts])
     return bits, refs, offs
+
+
+def legacy_scan_speculative(
+    data: np.ndarray,
+    num_blocks: int,
+    start_offset: int = 0,
+    nseg: int | None = None,
+    window: int = 4096,
+    stats: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Parallel legacy header walk WITHOUT the trailing offset table.
+
+    The table (RawData_Legacy.cpp:452-469) is optional — a clip encoded
+    without it previously had no parallel scan path at all (VERDICT r3
+    #6). This path needs no alignment oracle: the header chain is
+    self-synchronizing. K threads scan speculatively from evenly spaced
+    byte guesses (almost certainly MISALIGNED — reading payload bytes as
+    headers); each also overscans `window` bytes past the next guess.
+    Because both the true chain and a speculative chain advance by the
+    same header-driven steps from any position they share, the true chain
+    entering segment k (known once segment k-1 is stitched) either lands
+    on a position segment k's speculative chain visited — the SPLICE
+    point, after which segment k's records are exact — or, for
+    adversarial payloads that never converge, the segment is rescanned
+    serially from its true entry (correct, just not parallel).
+
+    Every emitted block is therefore on the true chain by induction from
+    the true `start_offset`; equality with the serial scan is structural,
+    not probabilistic (tests/test_pipeline.py pins it on random AND
+    non-converging adversarial payloads). Returns None when the stitched
+    walk cannot produce `num_blocks` blocks (truncation near EOF, tiny
+    payloads) — callers fall back to the serial scan for its exact
+    error semantics. `stats` (optional dict) gets `spliced`/`rescanned`
+    segment counts and `splice_bytes` (serial bytes spent per splice).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mcraw_legacy_scan_range"):
+        return None
+    n = len(data)
+    if num_blocks <= 0 or n - start_offset < 4 * window:
+        return None
+    if nseg is None:
+        nseg = min(16, os.cpu_count() or 1)
+        # Keep segments big enough that the splice work (~window bytes
+        # serial-equivalent) stays negligible.
+        nseg = max(1, min(nseg, (n - start_offset) // (64 * window)))
+    if nseg < 2:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    dptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    seg = (n - start_offset) // nseg
+    guesses = [start_offset + k * seg for k in range(nseg)] + [n]
+
+    def scan_from(s, limit):
+        cap = min(num_blocks + 1, max(1, (limit - s) // 2 + 2))
+        bits = np.empty(cap, dtype=np.int32)
+        refs = np.empty(cap, dtype=np.uint16)
+        offs = np.empty(cap, dtype=np.int64)
+        end = ctypes.c_int64(0)
+        cnt = lib.mcraw_legacy_scan_range(
+            dptr, n, s, limit, cap,
+            bits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            refs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(end),
+        )
+        return int(cnt), bits, refs, offs
+
+    def limit_of(k):
+        return n if k + 1 >= nseg else min(guesses[k + 1] + window, n)
+
+    recs = list(
+        _scan_pool().map(
+            lambda k: scan_from(guesses[k], limit_of(k)), range(nseg)
+        )
+    )
+
+    st = {"spliced": 0, "rescanned": 0, "splice_bytes": 0}
+    parts = []
+    have = 0
+    cnt, bits, refs, offs = recs[0]
+    j = 0  # first valid (true-chain) record index in the current arrays
+    k = 0  # current segment
+    while True:
+        next_g = guesses[k + 1]
+        h = offs[:cnt] - 2  # header positions of the current records
+        upto = int(np.searchsorted(h[j:], next_g)) + j
+        take = min(upto - j, num_blocks - have)
+        parts.append((bits[j:j + take], refs[j:j + take], offs[j:j + take]))
+        have += take
+        if have == num_blocks:
+            break
+        # (take == upto - j here: a num_blocks-bounded take implies
+        # have == num_blocks, already broken out above.)
+        if k + 1 >= nseg or upto == cnt:
+            # Ran out of segments, or this segment's records were
+            # exhausted before its boundary (truncation): serial fallback
+            # owns the error semantics.
+            return None
+        # True positions inside segment k+1 known from our overscan.
+        ov = h[upto:]
+        ncnt, nbits, nrefs, noffs = recs[k + 1]
+        hn = noffs[:ncnt] - 2
+        pos = np.searchsorted(hn, ov)
+        ok = pos < ncnt
+        ok[ok] = hn[pos[ok]] == ov[ok]
+        m = int(np.argmax(ok)) if ok.any() else -1
+        if m >= 0:
+            take2 = min(m, num_blocks - have)
+            parts.append(
+                (
+                    bits[upto:upto + take2],
+                    refs[upto:upto + take2],
+                    offs[upto:upto + take2],
+                )
+            )
+            have += take2
+            if have == num_blocks:
+                break
+            st["spliced"] += 1
+            st["splice_bytes"] += int(ov[m] - next_g)
+            cnt, bits, refs, offs = recs[k + 1]
+            j = int(pos[m])
+        else:
+            # No convergence in the window: rescan segment k+1 serially
+            # from its true entry position.
+            st["rescanned"] += 1
+            cnt, bits, refs, offs = scan_from(int(ov[0]), limit_of(k + 1))
+            j = 0
+        k += 1
+    if stats is not None:
+        stats.update(st)
+    if have < num_blocks:
+        return None
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )

@@ -1246,18 +1246,24 @@ def prepare_legacy_light(
     kernel lanes from _v6_legacy_build."""
     from . import numpy_ref as R
     from . import unpack as UU
-    from .native import legacy_scan, legacy_scan_parallel
+    from . import native as _native
 
     payload = np.asarray(payload, dtype=np.uint8)
     pw = R.legacy_padded_width(width)
     num_blocks = height * (pw // 32) * 2
 
+    # Table-backed chunk-parallel scan, speculative parallel scan for
+    # table-less clips, serial fallback (same ladder as prepare_legacy).
     scanned = None
     if num_blocks >= UU.LEGACY_PARALLEL_MIN_BLOCKS:
         chunks = R.legacy_chunk_offsets(payload)
         if chunks:
-            scanned = legacy_scan_parallel(payload, num_blocks, chunks)
-    bits, refs, offs = scanned or legacy_scan(payload, num_blocks)
+            scanned = _native.legacy_scan_parallel(
+                payload, num_blocks, chunks
+            )
+        if scanned is None:
+            scanned = _native.legacy_scan_speculative(payload, num_blocks)
+    bits, refs, offs = scanned or _native.legacy_scan(payload, num_blocks)
 
     # Static content span for the kernel scratch (offsets are monotone, so
     # each chunk's end is its last block's offset + <= 32 payload bytes).

@@ -172,18 +172,24 @@ def prepare_legacy(
     padded_width = R.legacy_padded_width(width)
     num_blocks = height * (padded_width // 32) * 2
 
-    from .native import legacy_scan, legacy_scan_parallel
+    from . import native as _native
 
     # Chunk-parallel scan over the trailing offset table when present
     # (RawData_Legacy.cpp:452-469 — the format affordance the reference
-    # parses and ignores; SURVEY.md §2.5 item 3). Falls back to the serial
-    # walk for small frames or unusable tables.
+    # parses and ignores; SURVEY.md §2.5 item 3); table-less or
+    # bogus-table clips go through the SPECULATIVE parallel scan
+    # (self-synchronizing header chain, native.legacy_scan_speculative).
+    # Falls back to the serial walk for small frames / non-convergence.
     scanned = None
     if num_blocks >= LEGACY_PARALLEL_MIN_BLOCKS:
         chunks = R.legacy_chunk_offsets(payload)
         if chunks:
-            scanned = legacy_scan_parallel(payload, num_blocks, chunks)
-    bits, refs, offs = scanned or legacy_scan(payload, num_blocks)
+            scanned = _native.legacy_scan_parallel(
+                payload, num_blocks, chunks
+            )
+        if scanned is None:
+            scanned = _native.legacy_scan_speculative(payload, num_blocks)
+    bits, refs, offs = scanned or _native.legacy_scan(payload, num_blocks)
 
     n = len(payload)
     pad = T.LEGACY_MAX_LENGTH

@@ -527,6 +527,114 @@ def test_legacy_mismatched_chunk_table_property(rng):
                 ), f"parallel scan silently diverged for table {t[:4]}..."
 
 
+def test_legacy_speculative_scan_matches_serial(rng):
+    """Speculative parallel scan (NO offset table, VERDICT r3 #6) == the
+    serial walk on table-less clips: guesses are misaligned byte
+    positions, yet the self-synchronizing header chain splices every
+    segment onto the true chain (or rescans it serially). Sweeps content
+    classes so block-length distributions vary."""
+    from mcraw.kernels import native as N
+    from mcraw.kernels import numpy_ref as R
+
+    if N.get_lib() is None:
+        pytest.skip("native extension unavailable")
+    h, w = 128, 1024
+    nblk = h * (R.legacy_padded_width(w) // 32) * 2
+    for hi in (1 << 16, 1 << 12, 1 << 6, 1 << 3):
+        img = rng.integers(0, hi, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(
+            E.encode_legacy(img, add_offset_table=False), dtype=np.uint8
+        )
+        ser = N.legacy_scan(payload, nblk)
+        stats = {}
+        spec = N.legacy_scan_speculative(
+            payload, nblk, nseg=4, window=4096, stats=stats
+        )
+        assert spec is not None, (hi, len(payload))
+        for a, b in zip(ser, spec):
+            assert np.array_equal(
+                np.asarray(a, np.int64), np.asarray(b, np.int64)
+            ), hi
+        # random content converges: the parallel path actually engaged
+        assert stats["spliced"] + stats["rescanned"] == 3, (hi, stats)
+        assert stats["spliced"] >= 1, (hi, stats)
+
+
+def test_legacy_speculative_scan_adversarial_no_convergence():
+    """A stream built to DEFEAT speculation: every block is bits=15 with
+    all-0xF0 payload bytes, so a chain started at any phase other than
+    the true one steps by 34 forever and never lands on the true chain.
+    The speculative scan must detect the miss, rescan each segment
+    serially from its true entry, and still equal the serial walk —
+    correctness is structural, not probabilistic."""
+    from mcraw.kernels import native as N
+
+    if N.get_lib() is None:
+        pytest.skip("native extension unavailable")
+    nblk = 3000  # 3000 * 34 B + tail > 4 * window
+    block = bytes([0xF0, 0x00]) + bytes([0xF0]) * 32
+    payload = np.frombuffer(
+        block * nblk + b"\x00" * 64, dtype=np.uint8
+    )
+    ser = N.legacy_scan(payload, nblk)
+    stats = {}
+    spec = N.legacy_scan_speculative(
+        payload, nblk, nseg=4, window=2048, stats=stats
+    )
+    assert spec is not None
+    for a, b in zip(ser, spec):
+        assert np.array_equal(np.asarray(a, np.int64), np.asarray(b, np.int64))
+    assert stats["rescanned"] >= 1, stats
+
+
+def test_legacy_speculative_scan_truncation_falls_back():
+    """num_blocks beyond the stream: the speculative path returns None so
+    the serial scan owns the (reference-exact) truncation error."""
+    from mcraw.kernels import native as N
+
+    if N.get_lib() is None:
+        pytest.skip("native extension unavailable")
+    block = bytes([0xF0, 0x00]) + bytes([0xF0]) * 32
+    payload = np.frombuffer(block * 2000, dtype=np.uint8)
+    assert (
+        N.legacy_scan_speculative(payload, 2500, nseg=4, window=2048)
+        is None
+    )
+
+
+def test_legacy_tableless_prepare_uses_speculative(rng, monkeypatch):
+    """prepare_legacy on a table-less clip routes through the speculative
+    scan (when the frame is big enough) and decodes exactly."""
+    from mcraw.kernels import native as N
+    from mcraw.kernels import numpy_ref as R
+    from mcraw.kernels import unpack as U2
+
+    if N.get_lib() is None:
+        pytest.skip("native extension unavailable")
+    h, w = 256, 1024
+    img = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    payload = np.frombuffer(
+        E.encode_legacy(img, add_offset_table=False), dtype=np.uint8
+    )
+    calls = {}
+    orig = N.legacy_scan_speculative
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        calls["used"] = out is not None
+        return out
+
+    monkeypatch.setattr(U2, "LEGACY_PARALLEL_MIN_BLOCKS", 1)
+    monkeypatch.setattr(N.os, "cpu_count", lambda: 8)  # multicore host
+    monkeypatch.setattr(N, "legacy_scan_speculative", spy)
+    plan = U2.prepare_legacy(payload, w, h)
+    assert calls.get("used"), "speculative scan did not engage"
+    nblk = h * (R.legacy_padded_width(w) // 32) * 2
+    ser = N.legacy_scan(payload, nblk)
+    assert np.array_equal(np.asarray(plan.offsets, np.int64), ser[2])
+    assert np.array_equal(np.asarray(R.decode_legacy(payload, w, h)), img)
+
+
 def test_legacy_corrupt_embedded_table_decodes_exactly(rng, monkeypatch):
     """A clip whose EMBEDDED trailing table is corrupted mid-block must
     still decode exactly end-to-end (continuity check -> serial-scan
