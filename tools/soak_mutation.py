@@ -80,6 +80,81 @@ def random_image(rng, h, w):
     return ri(rng, h, w)
 
 
+def bayer_scene(rng, h, w):
+    """Phone-sensor-like content (VERDICT r3 #9): 2x2 CFA-periodic channel
+    means (G brighter than R/B), a smooth illumination gradient,
+    level-scaled shot noise, deep shadows, and saturating specular
+    highlights at a realistic white level. Produces the block-class
+    mixtures real encoders see — mostly 9-12 bit mids, 5-8 bit shadows,
+    16-bit-class highlight blocks — with per-block refs that track the
+    local mean (unlike uniform noise, where refs are ~0)."""
+    depth = int(rng.choice([10, 12, 14]))
+    white = (1 << depth) - 1
+    black = int(rng.integers(0, 260))
+    # Illumination: product of two smooth 1-D profiles + a tilt.
+    gy = np.interp(
+        np.arange(h), [0, h - 1], rng.uniform(0.05, 1.0, 2)
+    )[:, None]
+    gx = np.interp(
+        np.arange(w), [0, w - 1], rng.uniform(0.05, 1.0, 2)
+    )[None, :]
+    lum = gy * gx
+    # CFA gains: G sites ~unity, R/B lower (white balance applied later
+    # in the pipeline, not on the sensor).
+    gains = np.array(
+        [
+            [rng.uniform(0.35, 0.7), 1.0],
+            [1.0, rng.uniform(0.35, 0.7)],
+        ]
+    )
+    cfa_gain = np.tile(gains, ((h + 1) // 2, (w + 1) // 2))[:h, :w]
+    sig = lum * cfa_gain * white * rng.uniform(0.1, 0.9)
+    # Shot noise ~ sqrt(signal), plus read noise.
+    img = sig + rng.normal(0, 1, (h, w)) * (
+        np.sqrt(np.maximum(sig, 0)) * 0.8 + 2.0
+    )
+    # Specular highlights: a few saturating blobs.
+    for _ in range(int(rng.integers(0, 4))):
+        cy, cx = int(rng.integers(0, h)), int(rng.integers(0, w))
+        r = int(rng.integers(2, 12))
+        yy, xx = np.ogrid[:h, :w]
+        img = np.where(
+            (yy - cy) ** 2 + (xx - cx) ** 2 < r * r, float(white), img
+        )
+    return (img + black).clip(0, white).astype(np.uint16)
+
+
+def make_phone_coder(rng, *, legacy):
+    """Conservative encoder heuristics phone firmware plausibly uses (the
+    canonical test coder always picks the MINIMAL class): ref = block
+    min, but bits rounded UP to a coarse class set, or chosen per-ROW of
+    blocks (one class for a whole stripe), or with a fixed headroom bit."""
+    coarse = np.array([0, 1, 2, 4, 6, 8, 10, 16], dtype=np.int64)
+    style = int(rng.integers(0, 3))
+    row_blocks = int(rng.choice([8, 16, 32, 64]))
+
+    def coder(blocks, ref_max):
+        n = len(blocks)
+        refs = np.minimum(blocks.min(axis=1), ref_max)
+        resid = (blocks - refs[:, None]) & 0xFFFF
+        needed = np.array(
+            [int(x).bit_length() for x in resid.max(axis=1)]
+        )
+        if style == 0:  # round up to a coarse class set
+            bits = coarse[np.searchsorted(coarse, needed)]
+        elif style == 1:  # one class per row-of-blocks stripe
+            bits = needed.copy()
+            for s in range(0, n, row_blocks):
+                bits[s : s + row_blocks] = bits[s : s + row_blocks].max()
+        else:  # fixed headroom bit (never risk the tight class)
+            bits = np.where((needed > 0) & (needed < 16), needed + 1, needed)
+        bits = np.where(needed > 10, np.maximum(bits, 11), bits)
+        cap = 15 if legacy else 16
+        return np.minimum(bits, cap), refs
+
+    return coder
+
+
 def main():
     budget_s = float(sys.argv[1]) if len(sys.argv) > 1 else 600.0
 
@@ -101,23 +176,38 @@ def main():
         iters += 1
         h = int(rng.integers(4, 120)) & ~3 or 4
         w = int(rng.integers(16, 500))
-        img = random_image(rng, h, w)
-        ew = (w + 63) // 64 * 64 + 64 * int(rng.integers(0, 3))
-        # encodedHeight: any value >= h, including non-multiples of 4.
-        eh = h + int(rng.integers(0, 9))
-        gaps = (
-            rng.bytes(int(rng.integers(0, 64))),
-            rng.bytes(int(rng.integers(0, 64))),
-        )
-        meta_tail = rng.integers(
-            0, 1 << 16, size=int(rng.integers(0, 64)), dtype=np.uint16
-        )
-        main_coder = make_coder(
-            rng, cap_bits=16, cap_ref=0xFFFF, wrap_ok=True
-        )
-        meta_coder = make_coder(
-            rng, cap_bits=15, cap_ref=0x0FFF, wrap_ok=True
-        )
+        phone = iters % 2 == 0  # alternate flavors (VERDICT r3 #9)
+        if phone:
+            # Real-encoder heuristics: sensor-like content, encodedWidth
+            # rounded to a line pitch, encodedHeight padded to a row
+            # group, conservative-class main coder, canonical metadata.
+            img = bayer_scene(rng, h, w)
+            pitch = int(rng.choice([64, 128, 256, 512]))
+            ew = -(-w // pitch) * pitch
+            rowg = int(rng.choice([4, 8, 16, 32]))
+            eh = -(-h // rowg) * rowg
+            gaps = (b"", b"")
+            meta_tail = None
+            main_coder = make_phone_coder(rng, legacy=False)
+            meta_coder = None
+        else:
+            img = random_image(rng, h, w)
+            ew = (w + 63) // 64 * 64 + 64 * int(rng.integers(0, 3))
+            # encodedHeight: any value >= h, incl. non-multiples of 4.
+            eh = h + int(rng.integers(0, 9))
+            gaps = (
+                rng.bytes(int(rng.integers(0, 64))),
+                rng.bytes(int(rng.integers(0, 64))),
+            )
+            meta_tail = rng.integers(
+                0, 1 << 16, size=int(rng.integers(0, 64)), dtype=np.uint16
+            )
+            main_coder = make_coder(
+                rng, cap_bits=16, cap_ref=0xFFFF, wrap_ok=True
+            )
+            meta_coder = make_coder(
+                rng, cap_bits=15, cap_ref=0x0FFF, wrap_ok=True
+            )
         do_xla = iters % 10 == 1
         try:
             payload = np.frombuffer(
@@ -158,8 +248,10 @@ def main():
 
         # Legacy: inline headers cap refs at 12 bits, nibbles at 15.
         try:
-            leg_coder = make_coder(
-                rng, cap_bits=15, cap_ref=0x0FFF, wrap_ok=True
+            leg_coder = (
+                make_phone_coder(rng, legacy=True)
+                if phone
+                else make_coder(rng, cap_bits=15, cap_ref=0x0FFF, wrap_ok=True)
             )
             table = bool(rng.integers(0, 2))
             crows = (
