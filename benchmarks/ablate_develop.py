@@ -37,8 +37,13 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 H, W = 3072, 4096
-N = 8
-ITERS = 60
+# The axon remote-compile helper dies (HTTP 500, subprocess exit 1) on
+# programs with >= 4 inline develop pallas calls — probed 2026-08-20:
+# N=2 compiles, N=4 fails, deterministically, while decode kernels take
+# N=8 fine. N=2 keeps trap #5 (distinct args) honest; the larger RTT
+# share per force is identical in the null leg and subtracts out.
+N = 2
+ITERS = 120
 
 # name: (use_table, ablate, band_rows)
 VARIANTS = {

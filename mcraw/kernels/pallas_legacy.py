@@ -1428,9 +1428,13 @@ def prepare_chunked_legacy_v5(plan: U.LegacyPlan):
 
 def decode_legacy_pallas_v5(
     payload: np.ndarray, width: int, height: int,
-    plane_mode: str = "packed", interpret: bool = False,
+    plane_mode: str = "packed", interpret: bool = False, **kw,
 ):
-    """Full legacy decode with fused interleave (no epilogue)."""
+    """Full legacy decode with fused interleave (no epilogue).
+
+    Extra keyword arguments forward to :func:`_unpack_legacy_pallas_v5`
+    (variant flags — tools/hw_parity.py sweeps the shipping set on
+    hardware each round, VERDICT r3 #8)."""
     plan = U.prepare_legacy(payload, width, height)
     payload2d, base_rows, meta, num_chunks, segs, rows = (
         prepare_chunked_legacy_v5(plan)
@@ -1443,6 +1447,7 @@ def decode_legacy_pallas_v5(
         rows=rows,
         plane_mode=plane_mode,
         interpret=interpret,
+        **kw,
     )
     img = out[: plan.height * segs].reshape(plan.height, segs * 128)
     return img[:, : plan.width]

@@ -1527,9 +1527,14 @@ def prepare_chunked_v5(plan: U.ModernPlan):
 
 
 def decode_modern_pallas_v5(
-    payload: np.ndarray, width: int, height: int, interpret: bool = False
+    payload: np.ndarray, width: int, height: int, interpret: bool = False,
+    **kw,
 ):
-    """Full modern decode, fused de-interleave (no XLA epilogue)."""
+    """Full modern decode, fused de-interleave (no XLA epilogue).
+
+    Extra keyword arguments forward to :func:`_unpack_image_pallas_v5`
+    (variant flags — tools/hw_parity.py sweeps the shipping set on
+    hardware each round, VERDICT r3 #8)."""
     plan = U.prepare_modern(payload, width, height)
     payload2d, base_rows, meta, num_chunks, txp, tr_sub = prepare_chunked_v5(
         plan
@@ -1544,6 +1549,7 @@ def decode_modern_pallas_v5(
         tx=plan.tiles_x,
         nfields=v5_required_fields_cls(plan.cls),
         interpret=interpret,
+        **kw,
     )
     img = img3.reshape(img3.shape[0], txp * 64)
     return img[: plan.height, : plan.width]

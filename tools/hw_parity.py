@@ -50,6 +50,41 @@ GEOMETRIES = {
 
 CONTENTS = ("mid12", "full16", "zeros", "lo10")
 
+# Shipping variant flags (VERDICT r3 #8): every kernel kwarg reachable
+# WITHOUT MCRAW_UNSAFE_VARIANTS, swept on hardware each round so no
+# flag in the default namespace can rot into a Mosaic crash unseen.
+# (wide_store / chunk_desc / legacy sub=N are quarantined behind
+# MCRAW_UNSAFE_VARIANTS — known SIGABRTs, deliberately NOT swept.)
+MODERN_V5_FLAGS = {
+    "out3d": {"flat_out": False},
+    "chunk_mt": {"chunk_mt": True},
+    "chunk_oh": {"chunk_oh": True},
+    "chunk_oh_halves": {"chunk_oh": True, "plane_mode": "halves"},
+    "halves": {"plane_mode": "halves"},
+    "packed": {"plane_mode": "packed"},
+    "packed2": {"plane_mode": "packed2"},
+    "s8": {"plane_mode": "s8"},
+    "desc_bytedot": {"desc_mode": "bytedot"},
+    "pick_stack": {"pick_stack": True},
+}
+LEGACY_V5_FLAGS = {
+    # (meta_layout="lanes" is NOT a caller flag: it changes the meta
+    # input layout contract; the v6 m24="lanes" case covers that kernel
+    # branch with correctly-built inputs.)
+    "bytes": {"plane_mode": "bytes"},
+    "packed2": {"plane_mode": "packed2"},
+    "meta_dot3": {"meta_mode": "dot3"},
+    "meta_onedot": {"meta_mode": "onedot"},
+}
+LEGACY_V6_FLAGS = {
+    "widen": {"meta_dot": False},
+    "m24": {"m24": True},
+    "m24_lanes": {"m24": "lanes"},
+    "meta_dot3": {"meta_mode": "dot3"},
+    "bytes": {"plane_mode": "bytes"},
+    "packed2": {"plane_mode": "packed2"},
+}
+
 
 def make_img(h: int, w: int, content: str, seed: int = 11) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -215,9 +250,10 @@ def run_case(case: dict) -> dict:
     payload = get_payload(h, w, content, codec)
     want = int(img.astype(np.int64).sum() & 0xFFFFFFFF)
 
+    kw = case.get("kw") or {}
     t0 = time.perf_counter()
     if codec == 7 and path == "v5":
-        out = PK.decode_modern_pallas_v5(payload, w, h)
+        out = PK.decode_modern_pallas_v5(payload, w, h, **kw)
     elif codec == 7 and path == "v6":
         p32, bits, refs, ty, tx, spans = PK.prepare_modern_light(
             payload, w, h
@@ -228,7 +264,7 @@ def run_case(case: dict) -> dict:
             rows=spans[0], sub_rows=spans[1], nfields=spans[2],
         )
     elif codec == 6 and path == "v5":
-        out = PL.decode_legacy_pallas_v5(payload, w, h)
+        out = PL.decode_legacy_pallas_v5(payload, w, h, **kw)
     elif codec == 6 and path == "v6":
         light = PL.prepare_legacy_light(payload, w, h)
         if light is None:
@@ -237,7 +273,7 @@ def run_case(case: dict) -> dict:
         out = PL.decode_legacy_device_v6(
             jnp.asarray(p32), jnp.asarray(offs), jnp.asarray(bits),
             jnp.asarray(np.asarray(refs, np.int32)),
-            pw=pw, h=h, width=w, rows=rows,
+            pw=pw, h=h, width=w, rows=rows, **kw,
         )
     else:
         return {**case, "status": "SKIP", "note": f"unknown path {path}"}
@@ -279,11 +315,46 @@ def main() -> int:
     paths = ["v5", "v6", "dev"]
     if "--paths" in sys.argv:
         paths = sys.argv[sys.argv.index("--paths") + 1].split(",")
-    tag = ""
+    tag = "_flags" if "--flags" in sys.argv else ""
     if "--tag" in sys.argv:  # results suffix so partial grids don't clobber
         tag = "_" + sys.argv[sys.argv.index("--tag") + 1]
 
     cases = []
+    if "--flags" in sys.argv:
+        # Shipping-flag sweep (VERDICT r3 #8): one geometry is enough —
+        # the point is "does this Mosaic specialization compile + decode
+        # exactly on hardware", not geometry coverage (the main grid has
+        # that). mid12 exercises mixed classes; the modern sweep adds a
+        # full16 default case so the uniform16 fast path is re-swept too.
+        h, w = GEOMETRIES["4k"]
+        for name, kw in MODERN_V5_FLAGS.items():
+            cases.append(
+                {
+                    "geom": "4k", "h": h, "w": w, "content": "mid12",
+                    "codec": 7, "path": "v5", "flag": name, "kw": kw,
+                }
+            )
+        for name, kw in LEGACY_V5_FLAGS.items():
+            cases.append(
+                {
+                    "geom": "4k", "h": h, "w": w, "content": "mid12",
+                    "codec": 6, "path": "v5", "flag": name, "kw": kw,
+                }
+            )
+        for name, kw in LEGACY_V6_FLAGS.items():
+            cases.append(
+                {
+                    "geom": "4k", "h": h, "w": w, "content": "mid12",
+                    "codec": 6, "path": "v6", "flag": name, "kw": kw,
+                }
+            )
+        cases.append(
+            {
+                "geom": "4k", "h": h, "w": w, "content": "full16",
+                "codec": 7, "path": "v5", "flag": "uniform16", "kw": {},
+            }
+        )
+        geoms, contents = [], []  # flags replace the main grid
     for g in geoms:
         h, w = GEOMETRIES[g]
         for content in contents:
@@ -313,6 +384,8 @@ def main() -> int:
             f"{case['geom']} {case['content']} c{case['codec']} "
             f"{case['path']}"
         )
+        if case.get("flag"):
+            label += f" [{case['flag']}]"
         print(f"[{i + 1}/{len(cases)}] {label} ...", flush=True)
         try:
             proc = subprocess.run(
