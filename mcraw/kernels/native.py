@@ -351,7 +351,15 @@ def legacy_scan_speculative(
     data = np.ascontiguousarray(data, dtype=np.uint8)
     dptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     seg = (n - start_offset) // nseg
-    guesses = [start_offset + k * seg for k in range(nseg)] + [n]
+    # PARITY TRAP: every legacy block is 2 + kLegacyBlockLength[bits]
+    # bytes — always EVEN — so any chain's byte-position parity is
+    # invariant. A guess with parity opposite to start_offset's can never
+    # land on the true chain (found empirically: 8/15 segments of a 6-bit
+    # 4K frame "failed to converge" before this). Align every guess to
+    # the true chain's parity.
+    guesses = [
+        start_offset + (k * seg - (k * seg & 1)) for k in range(nseg)
+    ] + [n]
 
     def scan_from(s, limit):
         cap = min(num_blocks + 1, max(1, (limit - s) // 2 + 2))
