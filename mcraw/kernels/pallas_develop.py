@@ -13,14 +13,17 @@ gamma — in one pass over row bands held in VMEM:
     pass over the halo band, horizontal pass via pltpu.roll lane rotates
     with the wrapped border lane zeroed); K_CROSS is vertical + horizontal
     + center;
-  - the mask normalizers 1/conv(mask) are computed IN-KERNEL by running
-    the same separable convs over the 0/1 CFA masks (inv_mode="compute",
-    the default): the sums are small exact integers, so 1.0/den is
-    bitwise-identical to the precomputed numpy table — and it removes the
-    (3H, W) f32 table stream that was 151 MB of the kernel's ~226 MB
-    per-frame HBM traffic at 4K (plus the one-time ~150 MB host build +
-    upload per geometry). inv_mode="table" keeps the streamed-table path
-    as the A/B baseline (shared with the XLA pipeline);
+  - the mask normalizers 1/conv(mask) are computed IN-KERNEL in CLOSED
+    FORM (the default; see the kernel comment — K_FULL factorizes over
+    the single-phase masks, K_CROSS reduces to an arms count): every
+    value is the correctly rounded f32 of 1/{1,2,3,4}, bitwise-identical
+    to the precomputed numpy table — and it removes the (3H, W) f32
+    table stream that was 151 MB of the kernel's ~226 MB per-frame HBM
+    traffic at 4K (plus the one-time ~150 MB host build + upload per
+    geometry). Running literal convs over the 0/1 masks instead measured
+    0.34 ms/4K frame — the kernel is VPU-bound, not bandwidth-bound.
+    inv2d != None keeps the streamed-table path as the A/B baseline
+    (shared with the XLA pipeline);
   - white balance folds into the normalizer multiply; the sRGB curve uses
     exp(log(x)/2.4) (Mosaic-supported);
   - output is ONE uint32 plane per pixel: R | G<<8 | B<<16 | 0xFF<<24
@@ -160,11 +163,55 @@ def _develop_kernel(
         return jnp.where(cc == 0, 0.0, r)
 
     if not use_table:
-        # In-kernel normalizer: the mask must be zeroed OUTSIDE the real
-        # image (pad rows/cols) so the borders see exactly the clipped
-        # neighborhoods the precomputed table encodes. (The DATA conv
-        # needs no such predicate — x is already 0 on pad sites.)
-        in_img = (rr >= 0) & (rr < real_h) & (cc < real_w)
+        # CLOSED-FORM normalizer (exact, a few wide VPU ops — running the
+        # convs over the 0/1 masks instead measured 0.34 ms/4K frame, 6x
+        # the whole table multiply; this form measured at table parity
+        # with zero HBM table traffic):
+        #  - R/B (K_FULL = [1,2,1]^T x [1,2,1], single-phase mask): kernel
+        #    and mask both factorize, so conv2(K, a(y)b(x)) = rf(y)*cf(x)
+        #    with rf(y) = 2*[y%2==py] + [y>0][(y-1)%2==py] +
+        #    [y<h-1][(y+1)%2==py] (and cf alike) ∈ {1,2} on real pixels —
+        #    so 1/(rf*cf) = (1/rf)*(1/cf) EXACTLY (powers of two), built
+        #    from NARROW row/col vectors and one broadcast multiply.
+        #  - G (K_CROSS): a G site's cross arms are never G (the two G
+        #    phases differ in both coordinates in every 2x2 Bayer CFA),
+        #    so den = 4 at G sites; a non-G site's four arms are ALL G,
+        #    so den = 4 - (clipped arms), arms = [y==0]+[y==h-1]+
+        #    [x==0]+[x==w-1]. All resulting inverses are the correctly
+        #    rounded f32 of 1/{1,2,3,4} — bitwise equal to the numpy
+        #    table (pinned by tests + the hw checksum gate).
+        rm = rr[1 : BR + 1]  # (BR, 1) global rows of the output band
+        pos = {ch: i for i, ch in enumerate(cfa)}  # channel -> 2x2 index
+
+        def fac(idx, par, last):
+            b0 = (idx & 1) == par
+            bm = (idx > 0) & (((idx - 1) & 1) == par)
+            bp = (idx < last) & (((idx + 1) & 1) == par)
+            f = (
+                jnp.where(b0, 2.0, 0.0)
+                + jnp.where(bm, 1.0, 0.0)
+                + jnp.where(bp, 1.0, 0.0)
+            )
+            return jnp.where(f > 0, 1.0 / f, 0.0)  # {1, 1/2} real pixels
+
+        inv_rb = {}
+        for c in (0, 2):
+            p = pos[c]
+            inv_rb[c] = fac(rm, p // 2, real_h - 1) * fac(
+                cc, p % 2, real_w - 1
+            )
+        arms = (
+            jnp.where(rm == 0, 1, 0)
+            + jnp.where(rm == real_h - 1, 1, 0)
+            + jnp.where(cc == 0, 1, 0)
+            + jnp.where(cc == real_w - 1, 1, 0)
+        )
+        inv_non_g = jnp.where(
+            arms == 0,
+            0.25,
+            jnp.where(arms == 1, 1.0 / 3.0, jnp.where(arms == 2, 0.5, 1.0)),
+        )
+        inv_g = jnp.where(chan[1 : BR + 1] == 1, 0.25, inv_non_g)
 
     rgb = []
     for c in range(3):
@@ -178,20 +225,7 @@ def _develop_kernel(
         if use_table:
             inv = iscr[sl, c]
         else:
-            # Same conv over the 0/1 mask: den is a small exact-integer
-            # f32 (<= 16), so 1.0/den rounds identically to the numpy
-            # table and the output stays bitwise-equal to table mode.
-            # den >= 1 on every real pixel (H, W >= 2: each channel has a
-            # kernel-weighted site in every clipped neighborhood); the
-            # max(den, 1) only rewrites pad columns, which are cropped.
-            mc = jnp.where((chan == c) & in_img, 1.0, 0.0)
-            um, mm, dm = mc[0:BR], mc[1 : BR + 1], mc[2 : BR + 2]
-            if c == 1:
-                den = 4.0 * mm + um + dm + hshift(mm, 1) + hshift(mm, -1)
-            else:
-                vm = um + 2.0 * mm + dm
-                den = 2.0 * vm + hshift(vm, 1) + hshift(vm, -1)
-            inv = 1.0 / jnp.maximum(den, 1.0)
+            inv = inv_g if c == 1 else inv_rb[c]
         rgb.append(jnp.clip(num * inv * g[c], 0.0, 1.0))
 
     if "demosaic" in ablate:  # (timing ablation) through the demosaic
