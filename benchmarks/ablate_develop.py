@@ -45,23 +45,28 @@ H, W = 3072, 4096
 N = 2
 ITERS = 120
 
-# name: (use_table, ablate, band_rows)
+# name: (use_table, ablate, band_rows, extra_kw)
 VARIANTS = {
-    "table": (True, "", None),
-    "compute": (False, "", None),
-    "compute_br32": (False, "", 32),
-    "compute_br128": (False, "", 128),
-    "table_br64": (True, "", 64),
-    "table_dma": (True, "dma", None),
-    "compute_dma": (False, "dma", None),
-    "table_demosaic": (True, "demosaic", None),
-    "compute_demosaic": (False, "demosaic", None),
-    "compute_nogamma": (False, "nogamma", None),
+    "table": (True, "", None, {}),
+    "compute": (False, "", None, {}),
+    "compute_br32": (False, "", 32, {}),
+    "compute_br128": (False, "", 128, {}),
+    "table_br64": (True, "", 64, {}),
+    "table_dma": (True, "dma", None, {}),
+    "compute_dma": (False, "dma", None, {}),
+    "table_demosaic": (True, "demosaic", None, {}),
+    "compute_demosaic": (False, "demosaic", None, {}),
+    "compute_nogamma": (False, "nogamma", None, {}),
+    # minimax polynomial transfer curve (within the <= 1 LSB contract;
+    # NOT checksum-equal to the exact curve, so gated only on
+    # self-consistency via check=False)
+    "compute_gpoly": (False, "", None, {"gamma_mode": "poly"}),
 }
 
 DEFAULT = [
     "null", "table", "compute", "compute_br32", "table_dma", "compute_dma",
     "table_demosaic", "compute_demosaic", "compute_nogamma",
+    "compute_gpoly",
 ]
 
 
@@ -110,14 +115,14 @@ def main():
         expected.append(ct)
     print("gate: table == compute on hw for all frames", flush=True)
 
-    def make_xn(use_table, ablate, br, check):
+    def make_xn(use_table, ablate, br, check, extra_kw=None):
         def xn(*rs):
             acc = jnp.uint32(0)
             for k in range(N):
                 rgba = PD.develop_rgba_pallas.__wrapped__(
                     rs[k], params, inv2d if use_table else None,
                     height=H, width=W, cfa=cfa,
-                    band_rows=br, ablate=ablate,
+                    band_rows=br, ablate=ablate, **(extra_kw or {}),
                 )
                 acc = (
                     acc
@@ -169,8 +174,10 @@ def main():
             if v == "null":
                 fns[v] = make_null()
             else:
-                ut, ab, br = VARIANTS[v]
-                fns[v] = make_xn(ut, ab, br, check=(ab == ""))
+                ut, ab, br, ekw = VARIANTS[v]
+                fns[v] = make_xn(
+                    ut, ab, br, check=(ab == "" and not ekw), extra_kw=ekw
+                )
             print(f"{v} compiled", flush=True)
         except Exception as e:  # noqa: BLE001 — a rejected variant must
             # not kill the rest of the ladder

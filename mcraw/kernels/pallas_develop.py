@@ -48,6 +48,20 @@ from jax.experimental.pallas import tpu as pltpu
 BAND_ROWS = 32  # table mode: 64 exceeds the 16MB VMEM budget at W=4096
 BAND_ROWS_COMPUTE = 64  # compute mode drops the (2,3,BR,W) f32 scratch
 
+# gamma_mode="poly": x^(1/2.4) = t^(5/3) with t = x^0.25 (two fast VPU
+# sqrts), minimax-fit degree-6 polynomial on t in [0.0031308^0.25, 1].
+# Max |error| is 1.0e-3 of a u8 step (f32-evaluated, measured over 400k
+# points) — far inside the pipeline's pinned <= 1 LSB fidelity bound vs
+# the f64 model; a pixel can differ from the exact-curve kernel only if
+# the true value sits within ~1e-3 of a rounding boundary. A/B variant
+# for the exp/log transfer curve (the exact form stays the default
+# pending hardware numbers).
+_GAMMA_POLY = (
+    -0.00452800970223699, 0.1348017327767641, 1.28363868398077,
+    -0.7833762934145094, 0.5923303576762906, -0.28274288031890504,
+    0.05987875888285418,
+)
+
 
 def _develop_kernel(
     *refs,
@@ -57,6 +71,7 @@ def _develop_kernel(
     real_w: int = None,  # true image cols (mask border predicate)
     cfa: tuple = None,
     use_table: bool = True,
+    gamma_mode: str = "exact",
     ablate: str = "",
 ):
     if use_table:
@@ -240,6 +255,14 @@ def _develop_kernel(
         lin = jnp.clip(lin, 0.0, 1.0)
         if "nogamma" in ablate:  # (timing ablation) skip the sRGB curve
             srgb = lin
+        elif gamma_mode == "poly":
+            t = jnp.sqrt(jnp.sqrt(lin))
+            acc = jnp.float32(_GAMMA_POLY[-1])
+            for coef in _GAMMA_POLY[-2::-1]:
+                acc = acc * t + jnp.float32(coef)
+            srgb = jnp.where(
+                lin <= 0.0031308, 12.92 * lin, 1.055 * acc - 0.055
+            )
         else:
             srgb = jnp.where(
                 lin <= 0.0031308,
@@ -258,7 +281,8 @@ def _develop_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "cfa", "band_rows", "ablate", "interpret"
+        "height", "width", "cfa", "band_rows", "gamma_mode", "ablate",
+        "interpret",
     ),
 )
 def develop_rgba_pallas(
@@ -271,6 +295,8 @@ def develop_rgba_pallas(
     width: int,
     cfa: tuple,
     band_rows: int | None = None,  # grid band height (None = mode default)
+    gamma_mode: str = "exact",  # "poly": minimax transfer curve (see
+    # _GAMMA_POLY; <= 1e-3 u8 of exact, inside the fidelity contract)
     ablate: str = "",  # timing ablations (wrong results): dma|demosaic|
     # nogamma — benchmarks/ablate_develop.py
     interpret: bool = False,
@@ -323,7 +349,8 @@ def develop_rgba_pallas(
     out = pl.pallas_call(
         functools.partial(
             _develop_kernel, H=hp, W=wp, real_h=height, real_w=width,
-            cfa=tuple(cfa), use_table=use_table, ablate=ablate,
+            cfa=tuple(cfa), use_table=use_table, gamma_mode=gamma_mode,
+            ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * BR, wp), jnp.uint32),

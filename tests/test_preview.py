@@ -182,6 +182,45 @@ def test_develop_inkernel_normalizer_bitwise_equals_table(shape, sensor):
     assert np.array_equal(got, want)
 
 
+def test_develop_gamma_poly_within_one_lsb():
+    """gamma_mode="poly" (minimax t^(5/3) in fourth-root space) must stay
+    within 1 u8 LSB of the exact exp/log transfer curve per channel — the
+    same fidelity contract the pipeline pins vs the f64 model. Content
+    sweeps the full dynamic range so the curve's knee and both branch
+    sides are exercised."""
+    import jax.numpy as jnp
+    from mcraw.kernels import pallas_develop as PD
+
+    rng = np.random.default_rng(13)
+    h, w = 64, 256
+    raw = rng.integers(0, 1 << 12, size=(h, w), dtype=np.uint16)
+    raw[:8] = 0
+    raw[8:16] = 4095  # saturate
+    params = jnp.asarray(
+        PD.pack_develop_params(
+            np.array([16, 20, 24, 28], np.float32), 4095.0,
+            np.array([0.55, 1.0, 0.71], np.float32),
+            np.array(
+                [0.6, 0.2, 0.16, 0.25, 0.7, 0.05, 0.02, 0.18, 0.62],
+                np.float32,
+            ).reshape(3, 3),
+        )
+    )
+    kw = dict(height=h, width=w, cfa=(0, 1, 1, 2), interpret=True)
+    exact = np.asarray(
+        PD.develop_rgba_pallas(jnp.asarray(raw), params, None, **kw)
+    )
+    poly = np.asarray(
+        PD.develop_rgba_pallas(
+            jnp.asarray(raw), params, None, gamma_mode="poly", **kw
+        )
+    )
+    for sh in (0, 8, 16):
+        a = ((exact >> sh) & 0xFF).astype(np.int64)
+        b = ((poly >> sh) & 0xFF).astype(np.int64)
+        assert np.max(np.abs(a - b)) <= 1
+
+
 def test_preview_frame_rgba_end_to_end():
     """Decoder -> preview_frame_rgba pipeline (interpret on CPU)."""
     blob = _clip_with_flat_color(512, 512, 512)
