@@ -378,6 +378,26 @@ def main() -> int:
                     }
                 )
 
+    def wait_relay(max_probes=70, sleep_s=240) -> bool:
+        """The axon relay dies for hours at a time (CLAUDE.md) — executes
+        HANG rather than error, so a wedged case burns its whole timeout.
+        Gate every case on a bounded EXECUTE probe and wait out outages."""
+        for p in range(max_probes):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; jax.devices(); "
+                     "print(int(jnp.arange(8).sum()))"],
+                    capture_output=True, timeout=90, cwd="/root/repo",
+                )
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"    relay down (probe {p + 1}); waiting", flush=True)
+            time.sleep(sleep_s)
+        return False
+
     results = []
     for i, case in enumerate(cases):
         label = (
@@ -387,6 +407,10 @@ def main() -> int:
         if case.get("flag"):
             label += f" [{case['flag']}]"
         print(f"[{i + 1}/{len(cases)}] {label} ...", flush=True)
+        if not wait_relay():
+            results.append({**case, "status": "RELAY_DOWN"})
+            print("    -> RELAY_DOWN", flush=True)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--case",
@@ -415,7 +439,8 @@ def main() -> int:
         "results": results,
         "summary": {
             s: sum(1 for r in results if r["status"] == s)
-            for s in ("OK", "MISMATCH", "CRASH", "ERROR", "TIMEOUT", "SKIP")
+            for s in ("OK", "MISMATCH", "CRASH", "ERROR", "TIMEOUT",
+                      "SKIP", "RELAY_DOWN")
         },
     }
     dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
