@@ -120,7 +120,10 @@ def main():
     import os
 
     worst = os.environ.get("WORST", "") == "1"
-    imgs, payloads = make_frames(worst_case=worst)
+    # WORST=1 selects pure all-16-bit frames (bench content="all16" —
+    # the uniform16 fast path's content; bench's "worst" adds a 5-bit
+    # tile to force the general kernel instead).
+    imgs, payloads = make_frames(content="all16" if worst else "mix")
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
     plans = [U.prepare_modern(p, W, H) for p in payloads]
     chunked = [PK.prepare_chunked_v5(pl) for pl in plans]

@@ -195,6 +195,11 @@ class ContainerReader:
         for ts, off in zip(sorted_offsets["timestamp"], sorted_offsets["offset"]):
             self._frame_offset_map.setdefault(int(ts), int(off))
         self._sorted_offsets = sorted_offsets
+        # Parsed frame-JSON memo (timestamp -> dict): the batched decode
+        # path reads each frame's metadata twice (run-splitting by
+        # (codec, w, h), then the decode itself). Treat returned dicts as
+        # read-only — they are shared. Bounded: cleared past 4096 entries.
+        self._frame_meta_cache: dict[int, dict] = {}
 
     def _read_extra(self) -> None:
         """readExtra, Decoder.cpp:281-315: walk items to the audio index."""
@@ -250,7 +255,12 @@ class ContainerReader:
         t, msize, mafter = self._read_item(after + size)
         if t != ItemType.METADATA:
             raise IOException("Invalid metadata")
-        metadata = json.loads(self._read1(mafter, msize))
+        metadata = self._frame_meta_cache.get(timestamp)
+        if metadata is None:
+            metadata = json.loads(self._read1(mafter, msize))
+            if len(self._frame_meta_cache) >= 4096:
+                self._frame_meta_cache.clear()
+            self._frame_meta_cache[timestamp] = metadata
         return payload, metadata
 
     def frame_payload_window(

@@ -1229,6 +1229,14 @@ def _unpack_image_pallas_v5(
             and flat_out is True
             and not wide_store
             and not (chunk_mt or chunk_desc or chunk_oh or pick_stack)
+            # Non-default plane/desc modes must hit the general path: the
+            # fast path uses neither planes nor desc dots, so letting it
+            # engage would make a plane_mode/desc_mode A/B on all-16-bit
+            # content compare two identical programs and report the flag
+            # as exactly neutral (the same silent-no-op class the
+            # ValueErrors above exist to prevent).
+            and plane_mode == "bytes"
+            and desc_mode == "dot3"
         )
         nfields = 1
     if chunk_desc:

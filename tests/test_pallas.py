@@ -737,6 +737,25 @@ class TestRequiredFields:
         )
         assert np.array_equal(np.asarray(out6), img)
 
+    @pytest.mark.parametrize("plane_mode", ["halves", "packed"])
+    def test_uniform16_nondefault_plane_mode_general_path(
+        self, rng, plane_mode
+    ):
+        """Non-default plane_mode must NOT silently engage the uniform16
+        fast path (which uses no planes at all — an A/B sweep would then
+        compare identical programs). The gate routes these to the general
+        kernel, which must still decode all-class-16 content exactly —
+        this is also the only interpret coverage of the general path's
+        class-16 machinery now that default all-16 frames take the fast
+        path."""
+        w, h = 256, 64
+        img = rng.integers(2048, 1 << 16, size=(h, w), dtype=np.uint16)
+        payload = np.frombuffer(E.encode_modern(img), dtype=np.uint8)
+        out = PK.decode_modern_pallas_v5(
+            payload, w, h, interpret=True, plane_mode=plane_mode
+        )
+        assert np.array_equal(np.asarray(out), img)
+
     def test_uniform16_batch_and_mixed_fallback(self, rng):
         """Batched v6: a batch is uniform iff ALL frames are (the sentinel
         composes through max()); a mixed batch falls back to the general

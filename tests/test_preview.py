@@ -372,34 +372,11 @@ def test_interpolation_weight_endpoints_and_midpoint():
 
 
 def _develop_f64(raw, black, white, neutral, fwd, cfa):
-    """Scalar float64 model of the EXACT preview pipeline (normalize ->
-    WB folded into the demosaic normalizer -> mask-normalized bilinear
-    demosaic -> fwd matrix -> XYZ(D50)->sRGB -> gamma -> quantize).
-    This is the ground truth the Pallas develop kernel is bounded
-    against."""
-    from mcraw.preview import _K_CROSS, _K_FULL, _XYZ_D50_TO_SRGB, _phase_masks, _np_conv2same
+    """Shared scalar f64 ground-truth model (mcraw.preview.develop_f64 —
+    also used by bench.py's preview-leg hardware gate)."""
+    from mcraw.preview import develop_f64
 
-    h, w = raw.shape
-    yy = np.arange(h)[:, None] % 2
-    xx = np.arange(w)[None, :] % 2
-    b = np.asarray(black, np.float64)
-    bl = np.where(yy == 0, np.where(xx == 0, b[0], b[1]),
-                  np.where(xx == 0, b[2], b[3]))
-    x = np.clip((raw.astype(np.float64) - bl) / (float(white) - bl), 0, 1)
-    masks = _phase_masks(h, w, tuple(cfa)).astype(np.float64)
-    gains = 1.0 / np.asarray(neutral, np.float64)
-    chans = []
-    for c, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL)):
-        k = k.astype(np.float64)
-        num = _np_conv2same(x * masks[c], k)
-        den = _np_conv2same(masks[c], k)
-        chans.append(num / den * gains[c])
-    rgb = np.clip(np.stack(chans, -1), 0, 1)
-    m = _XYZ_D50_TO_SRGB.astype(np.float64) @ np.asarray(fwd, np.float64)
-    rgb = np.clip(rgb @ m.T, 0, 1)
-    rgb = np.where(rgb <= 0.0031308, 12.92 * rgb,
-                   1.055 * np.power(rgb, 1 / 2.4) - 0.055)
-    return np.round(np.clip(rgb, 0, 1) * 255.0).astype(np.int64)
+    return develop_f64(raw, black, white, neutral, fwd, cfa)
 
 
 def test_preview_fidelity_bound_vs_f64_model():

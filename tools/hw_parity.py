@@ -48,7 +48,7 @@ GEOMETRIES = {
     "ragged": (48, 288),
 }
 
-CONTENTS = ("mid12", "full16", "zeros", "lo10")
+CONTENTS = ("mid12", "full16", "zeros", "lo10", "mix16")
 
 # Shipping variant flags (VERDICT r3 #8): every kernel kwarg reachable
 # WITHOUT MCRAW_UNSAFE_VARIANTS, swept on hardware each round so no
@@ -102,9 +102,19 @@ def make_img(h: int, w: int, content: str, seed: int = 11) -> np.ndarray:
         * 1200
         + 2000
     )
-    return (base + rng.normal(0, 30, size=(h, w))).clip(0, 4095).astype(
+    img = (base + rng.normal(0, 30, size=(h, w))).clip(0, 4095).astype(
         np.uint16
     )
+    if content == "mix16":
+        # mid12 with a full-range patch: class-16 blocks flow through the
+        # GENERAL kernel (uniform16 stays off). Without this, no grid
+        # content exercises the general path's class-16 field pass on
+        # hardware — plain full16 takes the uniform16 fast path and the
+        # other contents have no class-16 blocks at all.
+        ph, pw = max(4, h // 4), max(64, w // 4)
+        img[:ph, :pw] = rng.integers(0, 1 << 16, size=(ph, pw),
+                                     dtype=np.uint16)
+    return img
 
 
 def get_payload(h: int, w: int, content: str, codec: int) -> np.ndarray:
@@ -352,6 +362,15 @@ def main() -> int:
             {
                 "geom": "4k", "h": h, "w": w, "content": "full16",
                 "codec": 7, "path": "v5", "flag": "uniform16", "kw": {},
+            }
+        )
+        cases.append(
+            # General kernel WITH class-16 blocks present (mix16 keeps
+            # uniform16 off): the only hardware coverage of the general
+            # path's 16-bit field pass now that full16 fast-paths.
+            {
+                "geom": "4k", "h": h, "w": w, "content": "mix16",
+                "codec": 7, "path": "v5", "flag": "general_mix16", "kw": {},
             }
         )
         geoms, contents = [], []  # flags replace the main grid
