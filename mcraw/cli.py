@@ -6,7 +6,8 @@ count, writes ``audio.wav``, then ``frame_%06d.dng`` for the first N frames
 — byte-identical output to the C++ example on the same container.
 
 Extras beyond the reference: --output-dir, --resume (skip existing DNGs),
---batch (TPU batched decode), `info`, and `encode` (synthetic clips).
+--batch (TPU batched decode), `info`, `verify` (integrity report with
+per-frame error isolation), and `encode` (synthetic clips).
 """
 
 from __future__ import annotations
@@ -146,6 +147,67 @@ def _cmd_info(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_verify(args: argparse.Namespace) -> int:
+    """Clip integrity check: decode every frame and read every audio chunk
+    under per-item error isolation, report JSON, exit nonzero if anything
+    is corrupt.
+
+    The reference has no such tool — its failure mode is throw-and-abort
+    on first use (Decoder.hpp:31-39). --quick walks the container items
+    and parses frame metadata without decoding payloads (structure-only,
+    fast on huge clips)."""
+    import json
+
+    from .metadata import FrameMetadata
+
+    try:
+        d = Decoder(args.input, backend=args.backend)
+    except MotionCamException as e:
+        print(json.dumps({"ok": False, "container_error": str(e)}, indent=2))
+        return 1
+    frames_failed = []
+    for ts in d.frames:
+        try:
+            if args.quick:
+                _, meta = d._reader.frame_payload(ts)
+                fm = FrameMetadata(meta)
+                if fm.compression_type not in (6, 7):
+                    raise ValueError(
+                        f"unknown compressionType {fm.compression_type}"
+                    )
+                if fm.width <= 0 or fm.height <= 0:
+                    raise ValueError(f"bad geometry {fm.width}x{fm.height}")
+            else:
+                img, meta = d.load_frame(ts)
+                fm = FrameMetadata(meta)
+                if img.shape != (fm.height, fm.width):
+                    raise ValueError(
+                        f"short decode: {img.shape} != "
+                        f"({fm.height}, {fm.width})"
+                    )
+        except Exception as e:  # per-frame isolation: keep scanning
+            frames_failed.append({"timestamp": ts, "error": str(e)})
+    audio_failed = 0
+    num_chunks = d._reader.num_audio_chunks
+    for i in range(num_chunks):
+        try:
+            if d._reader.audio_chunk(i) is None:
+                audio_failed += 1
+        except Exception:
+            audio_failed += 1
+    report = {
+        "frames": len(d.frames),
+        "frames_ok": len(d.frames) - len(frames_failed),
+        "frames_failed": frames_failed,
+        "audio_chunks": num_chunks,
+        "audio_chunks_failed": audio_failed,
+        "mode": "quick" if args.quick else "full",
+        "ok": not frames_failed and audio_failed == 0,
+    }
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
 def _cmd_preview(args: argparse.Namespace) -> int:
     """Develop frames to viewable sRGB images (binary PPM, no deps)."""
     from .preview import preview_frame
@@ -194,7 +256,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # Reference-compatible invocation: `mcraw <file> [-n N]`
     if argv and not argv[0].startswith("-") and argv[0] not in (
-        "decode", "info", "encode", "preview"
+        "decode", "info", "encode", "preview", "verify"
     ):
         argv = ["decode"] + argv
 
@@ -232,6 +294,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-n", dest="num_frames", type=int, default=1)
     p.add_argument("--output-dir", default=".")
     p.set_defaults(fn=_cmd_preview)
+
+    p = sub.add_parser("verify", help="clip integrity check (JSON report)")
+    p.add_argument("input")
+    p.add_argument("--backend", default="numpy",
+                   choices=("auto", "jax", "numpy"),
+                   help="decode backend for the full check")
+    p.add_argument("--quick", action="store_true",
+                   help="structure-only walk (no payload decode)")
+    p.set_defaults(fn=_cmd_verify)
 
     p = sub.add_parser("encode", help="author a synthetic .mcraw clip")
     p.add_argument("output")
