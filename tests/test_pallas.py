@@ -390,8 +390,11 @@ def test_pallas_v6_batch_device_prep(rng):
     assert np.array_equal(out, np.stack(imgs))
 
 
-def test_v6_mesh_device_prep(rng):
-    """v6 under shard_map: each shard builds its frames' meta on-device."""
+@pytest.mark.parametrize("content", ["mid12", "all16"])
+def test_v6_mesh_device_prep(rng, content):
+    """v6 under shard_map: each shard builds its frames' meta on-device.
+    all16: the UNIFORM16 sentinel must engage the fast path per-shard
+    under the mesh too (same static threading as the batch path)."""
     import jax
     from jax.sharding import Mesh
     from mcraw.parallel import decode_frames_v6_mesh
@@ -399,8 +402,10 @@ def test_v6_mesh_device_prep(rng):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
     h, w = 16, 256
+    hi = 4096 if content == "mid12" else 1 << 16
+    lo = 0 if content == "mid12" else 2048
     imgs = [
-        rng.integers(0, 4096, size=(h, w), dtype=np.uint16) for _ in range(8)
+        rng.integers(lo, hi, size=(h, w), dtype=np.uint16) for _ in range(8)
     ]
     lights = []
     for img in imgs:
@@ -413,9 +418,12 @@ def test_v6_mesh_device_prep(rng):
         p32s[i, : len(l[0])] = l[0]
     bits = np.stack([l[1] for l in lights])
     refs = np.stack([l[2] for l in lights])
+    nf = max(l[5][2] for l in lights)
+    if content == "all16":
+        assert nf == PK.UNIFORM16  # the sentinel survives the batch max()
     mesh = Mesh(np.array(jax.devices()[:4]), ("frames",))
     out = decode_frames_v6_mesh(
-        p32s, bits, refs, ty=ty, tx=tx, height=h, width=w,
+        p32s, bits, refs, ty=ty, tx=tx, height=h, width=w, nfields=nf,
         mesh=mesh, interpret=True,
     )
     assert len(out.sharding.device_set) == 4
