@@ -417,6 +417,26 @@ def main() -> int:
             time.sleep(sleep_s)
         return False
 
+    def _write_results(results, tag, partial):
+        """Persist after EVERY case (atomic replace): the relay dies for
+        hours at a time and sweeps get killed by outer timeouts — a sweep
+        that only writes at the end loses all its completed evidence."""
+        out = {
+            "partial": partial,
+            "results": results,
+            "summary": {
+                s: sum(1 for r in results if r["status"] == s)
+                for s in ("OK", "MISMATCH", "CRASH", "ERROR", "TIMEOUT",
+                          "SKIP", "RELAY_DOWN")
+            },
+        }
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"hw_parity_results{tag}.json")
+        with open(dst + ".tmp", "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(dst + ".tmp", dst)
+        return out
+
     results = []
     for i, case in enumerate(cases):
         label = (
@@ -453,19 +473,9 @@ def main() -> int:
             res = {**case, "status": "TIMEOUT"}
         results.append(res)
         print(f"    -> {res['status']}", flush=True)
+        _write_results(results, tag, partial=i + 1 < len(cases))
 
-    out = {
-        "results": results,
-        "summary": {
-            s: sum(1 for r in results if r["status"] == s)
-            for s in ("OK", "MISMATCH", "CRASH", "ERROR", "TIMEOUT",
-                      "SKIP", "RELAY_DOWN")
-        },
-    }
-    dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"hw_parity_results{tag}.json")
-    with open(dst, "w") as f:
-        json.dump(out, f, indent=1)
+    out = _write_results(results, tag, partial=False)
     print(json.dumps(out["summary"]))
     bad = [
         r for r in results
