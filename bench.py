@@ -585,14 +585,18 @@ def bench_reference_cpu(payloads):
         return _ref_floor(f"modern_{W}x{H}", None)
 
 
-def _tpu_preflight(tries=6, probe_timeout=100, sleep_s=60):
-    """Bounded check that the accelerator backend can initialize.
+def _tpu_preflight(tries=12, probe_timeout=100, sleep_s=90):
+    """Bounded check that the accelerator backend can initialize AND
+    execute.
 
     The axon TPU lives behind a relay; when the relay is down, jax init
     HANGS (it does not error), which would leave the bench producing no
-    output at all. Probe in a subprocess with a timeout; retry a few
-    times (transient relay outages recover), then fall back to CPU with
-    an explicit note instead of hanging forever.
+    output at all — and in the 2026-08-20 outage mode `jax.devices()`
+    still SUCCEEDED while any execute hung, so the probe must run an
+    EXECUTE (CLAUDE.md). Probe in a subprocess with a timeout; retry
+    through flapping-relay windows (~22 min of patience covers the
+    short down-windows seen 08-20→21), then fall back to CPU with an
+    explicit note instead of hanging forever.
     """
     import os
     import subprocess
@@ -602,7 +606,9 @@ def _tpu_preflight(tries=6, probe_timeout=100, sleep_s=60):
     for k in range(tries):
         try:
             subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "int(jnp.arange(8).sum())"],
                 timeout=probe_timeout,
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
