@@ -594,9 +594,10 @@ def _tpu_preflight(tries=12, probe_timeout=100, sleep_s=90):
     output at all — and in the 2026-08-20 outage mode `jax.devices()`
     still SUCCEEDED while any execute hung, so the probe must run an
     EXECUTE (CLAUDE.md). Probe in a subprocess with a timeout; retry
-    through flapping-relay windows (~22 min of patience covers the
-    short down-windows seen 08-20→21), then fall back to CPU with an
-    explicit note instead of hanging forever.
+    through flapping-relay windows — worst-case patience is
+    tries * (probe_timeout + sleep_s), ~38 min at the defaults, which
+    covers the short down-windows seen 08-20→21 — then fall back to
+    CPU with an explicit note instead of hanging forever.
     """
     import os
     import subprocess

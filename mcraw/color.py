@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .errors import MetadataError
+
 # Robertson (1968) isotherm data: (mired, u, v, slope). Standard published
 # table (Wyszecki & Stiles, Color Science; also the DNG SDK's
 # dng_temperature.cpp kTempTable).
@@ -168,7 +170,8 @@ def interpolated_matrices(container_meta, neutral):
         cm1 = np.asarray(cm.color_matrix(1), np.float64).reshape(3, 3)
         cm2 = np.asarray(cm.color_matrix(2), np.float64).reshape(3, 3)
         fm2 = np.asarray(cm.forward_matrix(2), np.float64).reshape(3, 3)
-    except KeyError:  # single-illuminant container: nothing to interpolate
+    except MetadataError:
+        # single-illuminant container: nothing to interpolate
         return fm1, np.full((3, 3), np.nan), 1.0
     xy = neutral_to_xy(neutral, cm1, cm2)
     g = _interp_weight(cct_from_xy(xy))

@@ -19,8 +19,8 @@ Layout (Decoder.cpp:116-151, 237-315):
 
 from __future__ import annotations
 
+import copy
 import io
-import json
 import mmap
 import struct
 from dataclasses import dataclass
@@ -30,6 +30,7 @@ from typing import BinaryIO
 import numpy as np
 
 from .errors import IOException
+from .metadata import parse_metadata_json
 
 INDEX_MAGIC_NUMBER = 0x8A905612  # Container.hpp:23
 # BufferIndex.magicNumber is an int32, so the magic compares as negative
@@ -164,7 +165,12 @@ class ContainerReader:
         t, size, pos = self._read_item(HEADER_FMT.size)
         if t != ItemType.METADATA:
             raise IOException("Invalid camera metadata")
-        self.container_metadata: dict = json.loads(self._read1(pos, size))
+        # nlohmann-dialect parse (Decoder.cpp:141): rejects NaN/Infinity
+        # literals; failures raise MetadataError (see errors.MetadataError
+        # for the documented divergence vs the reference's abort).
+        self.container_metadata: dict = parse_metadata_json(
+            self._read1(pos, size)
+        )
 
         self._read_index()
         self._reindex_offsets()
@@ -197,8 +203,9 @@ class ContainerReader:
         self._sorted_offsets = sorted_offsets
         # Parsed frame-JSON memo (timestamp -> dict): the batched decode
         # path reads each frame's metadata twice (run-splitting by
-        # (codec, w, h), then the decode itself). Treat returned dicts as
-        # read-only — they are shared. Bounded: cleared past 4096 entries.
+        # (codec, w, h), then the decode itself). frame_payload() hands
+        # out deep copies — the memo itself is never aliased by callers.
+        # Bounded: cleared past 4096 entries.
         self._frame_meta_cache: dict[int, dict] = {}
 
     def _read_extra(self) -> None:
@@ -238,6 +245,12 @@ class ContainerReader:
 
         Mirrors the container walk of loadFrame (Decoder.cpp:184-214) but
         returns the payload undecoded (a zero-copy uint8 view of the mmap).
+
+        The returned metadata dict is a fresh deep copy per call — the
+        parse memo stays internal, so a caller mutating its copy (key
+        normalization, annotation, ...) cannot poison later reads of the
+        same frame (the batch run-splitter reads every frame's metadata
+        twice).
         """
         if timestamp not in self._frame_offset_map:
             raise IOException(f"Frame not found (timestamp: {timestamp})")
@@ -257,11 +270,12 @@ class ContainerReader:
             raise IOException("Invalid metadata")
         metadata = self._frame_meta_cache.get(timestamp)
         if metadata is None:
-            metadata = json.loads(self._read1(mafter, msize))
+            # nlohmann-dialect parse (Decoder.cpp:214) — see _init().
+            metadata = parse_metadata_json(self._read1(mafter, msize))
             if len(self._frame_meta_cache) >= 4096:
                 self._frame_meta_cache.clear()
             self._frame_meta_cache[timestamp] = metadata
-        return payload, metadata
+        return payload, copy.deepcopy(metadata)
 
     def frame_payload_window(
         self, timestamp: int

@@ -24,7 +24,7 @@ import struct
 import numpy as np
 
 from ..errors import MotionCamException
-from ..metadata import CFA_PATTERNS
+from ..metadata import CFA_PATTERNS, ContainerMetadata, FrameMetadata
 
 # TIFF field types (tiny_dng_writer.h:475-491)
 TIFF_BYTE = 1
@@ -208,9 +208,14 @@ class DNGImage:
 
     def set_white_level_short(self, value: float):
         # SetWhiteLevel takes a C `short`; example.cpp passes a double, which
-        # truncates (65535.0 -> -1 -> bytes FF FF on x86).
-        v = int(value)
-        v = ((v + 0x8000) & 0xFFFF) - 0x8000 if -(2**31) <= v < 2**31 else -(2**15)
+        # truncates (65535.0 -> -1 -> bytes FF FF on x86). Doubles whose
+        # truncation falls outside int32 go through cvttsd2si's indefinite
+        # result 0x80000000, low 16 bits = 0 — probed against the compiled
+        # reference (1e308 / -2^63 / 2147483700.0 all emit 0x0000;
+        # 70000.5 emits 0x1170; tools/soak_json.py iters 85/207).
+        t = int(value)
+        v = t if -(2**31) <= t < 2**31 else -(2**31)
+        v = ((v + 0x8000) & 0xFFFF) - 0x8000
         self._tag(TAG_WHITE_LEVEL, TIFF_SHORT, 1, struct.pack("<h", v))
 
     def set_compression(self, v):
@@ -282,10 +287,16 @@ class DNGImage:
 def dng_bytes(
     image: np.ndarray, frame_metadata: dict, container_metadata: dict
 ) -> bytes:
-    """Serialize one frame exactly like writeDng (example.cpp:55-139)."""
-    meta, cmeta = frame_metadata, container_metadata
-    width, height = int(meta["width"]), int(meta["height"])
-    sensor = cmeta["sensorArrangment"]  # misspelled key, example.cpp:68
+    """Serialize one frame exactly like writeDng (example.cpp:55-139).
+
+    Metadata reads go through the nlohmann-typed accessors
+    (mcraw.metadata): missing keys / wrong types / short arrays raise
+    MetadataError where the reference aborts or OOB-reads
+    (example.cpp:61-72 const operator[] + fixed-count Set* reads)."""
+    fm = FrameMetadata(frame_metadata)
+    cm = ContainerMetadata(container_metadata)
+    width, height = fm.width, fm.height
+    sensor = cm.sensor_arrangement  # misspelled key, example.cpp:68
     if sensor not in CFA_PATTERNS:
         raise MotionCamException("Invalid sensor arrangement")
 
@@ -306,17 +317,17 @@ def dng_bytes(
     d.set_samples_per_pixel(1)
     d.set_cfa_repeat_pattern_dim(2, 2)
     d.set_black_level_repeat_dim(2, 2)
-    d.set_black_level(np.asarray(cmeta["blackLevel"], dtype=np.uint16)[:4])
-    d.set_white_level_short(float(cmeta["whiteLevel"]))
+    d.set_black_level(cm.black_level)
+    d.set_white_level_short(cm.white_level)
     d.set_compression(COMPRESSION_NONE)
     d.set_cfa_pattern(CFA_PATTERNS[sensor])
     d.set_cfa_layout(1)
     d.set_bits_per_sample([16])
-    d.set_color_matrix1(cmeta["colorMatrix1"])
-    d.set_color_matrix2(cmeta["colorMatrix2"])
-    d.set_forward_matrix1(cmeta["forwardMatrix1"])
-    d.set_forward_matrix2(cmeta["forwardMatrix2"])
-    d.set_as_shot_neutral(meta["asShotNeutral"])
+    d.set_color_matrix1(cm.color_matrix(1))
+    d.set_color_matrix2(cm.color_matrix(2))
+    d.set_forward_matrix1(cm.forward_matrix(1))
+    d.set_forward_matrix2(cm.forward_matrix(2))
+    d.set_as_shot_neutral(fm.as_shot_neutral)
     d.set_calibration_illuminant1(21)
     d.set_calibration_illuminant2(17)
     d.set_unique_camera_model("MotionCam")
@@ -334,5 +345,9 @@ def dng_bytes(
 def write_dng(
     path: str, image: np.ndarray, frame_metadata: dict, container_metadata: dict
 ) -> None:
+    # Serialize BEFORE opening: a metadata fault must not leave a stray
+    # empty file (the reference faults in writeDng before its
+    # WriteToFile opens anything, example.cpp:55-139).
+    blob = dng_bytes(image, frame_metadata, container_metadata)
     with open(path, "wb") as f:
-        f.write(dng_bytes(image, frame_metadata, container_metadata))
+        f.write(blob)

@@ -312,13 +312,21 @@ def encode_legacy(
     return bytes(out)
 
 
+def _json_bytes(metadata: dict | bytes) -> bytes:
+    """dict -> serialized JSON; bytes pass through VERBATIM so tests and
+    the mutation soak can author malformed / dialect-edge JSON text."""
+    if isinstance(metadata, (bytes, bytearray)):
+        return bytes(metadata)
+    return json.dumps(metadata).encode()
+
+
 class ContainerWriter:
     """Writes a valid version-3 .mcraw container (inverse of Decoder::init)."""
 
-    def __init__(self, container_metadata: dict):
+    def __init__(self, container_metadata: dict | bytes):
         self._out = bytearray()
         self._out += C.HEADER_FMT.pack(C.CONTAINER_ID, C.CONTAINER_VERSION)
-        self._item(C.ItemType.METADATA, json.dumps(container_metadata).encode())
+        self._item(C.ItemType.METADATA, _json_bytes(container_metadata))
         self._frame_offsets: list[tuple[int, int]] = []  # (offset, timestamp)
         self._audio_offsets: list[tuple[int, int]] = []
         self._finished = False
@@ -327,10 +335,12 @@ class ContainerWriter:
         self._out += C.ITEM_FMT.pack(int(t), len(payload))
         self._out += payload
 
-    def add_frame(self, timestamp: int, payload: bytes, frame_metadata: dict) -> None:
+    def add_frame(
+        self, timestamp: int, payload: bytes, frame_metadata: dict | bytes
+    ) -> None:
         self._frame_offsets.append((len(self._out), timestamp))
         self._item(C.ItemType.BUFFER, payload)
-        self._item(C.ItemType.METADATA, json.dumps(frame_metadata).encode())
+        self._item(C.ItemType.METADATA, _json_bytes(frame_metadata))
 
     def add_audio(
         self, samples: np.ndarray, timestamp_ns: int | None = None

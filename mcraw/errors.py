@@ -18,3 +18,18 @@ class IOException(MotionCamException):
 
 class DecodeError(IOException):
     """Codec-level failure (truncated or malformed block data)."""
+
+
+class MetadataError(MotionCamException):
+    """Malformed metadata JSON: parse failure, dialect violation
+    (NaN/Infinity — rejected by nlohmann, accepted by Python json),
+    missing key, or wrong-typed/short value.
+
+    Documented tightening of the reference: its JSON errors are NOT
+    MotionCamExceptions — nlohmann parse_error/type_error escape the
+    example's catch (example.cpp:196-199) and abort the process via
+    std::terminate, and several missing-key paths (const operator[] in
+    writeDng, example.cpp:61-72) are outright UB. We surface the same
+    failures as clean in-hierarchy errors; tests/test_json_parity.py
+    pins each divergence class against the compiled reference.
+    """

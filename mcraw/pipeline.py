@@ -258,6 +258,15 @@ class Decoder:
           (degenerate inputs, perf-irrelevant). Returns the decoded image
           for that case, None when the normal paths should run.
         """
+        if fm.width < 0 or fm.height < 0 or fm.width * fm.height > (1 << 31):
+            # The reference's outData.resize(2*width*height) with these
+            # dims is an int-overflow / huge-size_t abort (length_error
+            # or bad_alloc escaping via std::terminate — observed by
+            # tools/soak_json.py iter 208 for height = 2^64-1). Clean
+            # in-hierarchy error instead of an allocator traceback.
+            raise DecodeError(
+                f"invalid frame geometry {fm.width}x{fm.height}"
+            )
         if modern:
             rows = _modern_payload_rows(payload)
             if rows == 0 or fm.width == 0 or fm.height == 0:

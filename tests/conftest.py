@@ -37,5 +37,16 @@ def ref_lib():
     return ref_shim
 
 
+@pytest.fixture(scope="session")
+def ref_example(ref_lib):
+    """Compiled reference example CLI binary, or skip."""
+    from tools import ref_shim
+
+    exe = ref_shim.build_example()
+    if exe is None:
+        pytest.skip("reference example binary unavailable")
+    return exe
+
+
 def random_plane(rng, h, w, maxv):
     return rng.integers(0, maxv + 1, size=(h, w), dtype=np.uint16)

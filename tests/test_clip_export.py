@@ -118,8 +118,67 @@ def test_cli_verify_corrupt_frame(tmp_path, rng, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert not rep["ok"] and rep["frames_ok"] == 1
     assert [f["timestamp"] for f in rep["frames_failed"]] == [2]
-    # quick mode only walks structure: the corrupt payload parses as
-    # items fine, so it reports ok (and stays cheap on huge clips)
-    assert cli_main(["verify", str(path), "--quick"]) == 0
+    # quick mode doesn't decode payload bodies, but it DOES bounds-check
+    # payload headers (VERDICT r4 Weak #8): the 8-byte stub fails the
+    # modern 16-byte-header check without any decode.
+    assert cli_main(["verify", str(path), "--quick"]) == 1
     rep = json.loads(capsys.readouterr().out)
-    assert rep["mode"] == "quick" and rep["ok"]
+    assert rep["mode"] == "quick" and not rep["ok"]
+    assert [f["timestamp"] for f in rep["frames_failed"]] == [2]
+
+
+def test_cli_verify_quick_structural_payload_checks(tmp_path, rng, capsys):
+    """--quick validates payload headers without decoding (VERDICT r4
+    Weak #8): modern metadata-stream offsets out of bounds and a legacy
+    first block that exceeds the payload are both caught."""
+    import json
+    import struct
+
+    from mcraw.cli import main as cli_main
+
+    # Modern: valid payload, then push bitsOffset past the end
+    # (RawData.cpp:547-548 is the check the reference applies).
+    img = rng.integers(0, 1024, size=(8, 64), dtype=np.uint16)
+    payload = bytearray(E.encode_modern(img))
+    ew, eh, bo, ro = struct.unpack("<IIII", payload[:16])
+    payload[:16] = struct.pack("<IIII", ew, eh, len(payload) + 9, ro)
+    writer = E.ContainerWriter(example_container_metadata())
+    writer.add_frame(1, bytes(payload), example_frame_metadata(64, 8))
+    # Legacy: cut into the first block's declared payload.
+    leg = bytes(E.encode_legacy(img))
+    writer.add_frame(2, leg[:3], example_frame_metadata(64, 8, 6))
+    writer.add_audio(np.zeros(32, np.int16), 500)
+    path = tmp_path / "clip.mcraw"
+    path.write_bytes(writer.finish())
+
+    assert cli_main(["verify", str(path), "--quick"]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert not rep["ok"]
+    bad = {f["timestamp"]: f["error"] for f in rep["frames_failed"]}
+    assert set(bad) == {1, 2}
+    assert "out of bounds" in bad[1]
+    assert "exceeds payload" in bad[2]
+
+
+def test_cli_verify_reference_skipped_audio_not_failure(tmp_path, rng, capsys):
+    """An audio chunk with a negative offset is SKIPPED by the
+    reference's batch loader (Decoder.cpp:173-174) — verify must report
+    it in its own field, not flip the exit status (ADVICE r4)."""
+    import json
+
+    from mcraw.cli import main as cli_main
+
+    writer = E.ContainerWriter(example_container_metadata())
+    img = rng.integers(0, 1024, size=(8, 64), dtype=np.uint16)
+    writer.add_frame(1, E.encode_modern(img), example_frame_metadata(64, 8))
+    writer.add_audio(np.zeros(32, np.int16), 500)
+    writer._audio_offsets.insert(0, (-128, 0))  # the reference-skip class
+    path = tmp_path / "clip.mcraw"
+    path.write_bytes(writer.finish())
+
+    assert cli_main(["verify", str(path)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"]
+    assert rep["audio_chunks"] == 2
+    assert rep["audio_chunks_failed"] == 0
+    assert rep["audio_chunks_skipped_by_reference"] == 1

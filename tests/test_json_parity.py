@@ -1,0 +1,514 @@
+"""JSON metadata dialect + error-surface parity vs the compiled C++
+reference (VERDICT r4 Missing #1 — the last untested parity surface).
+
+The reference parses metadata with nlohmann (Decoder.cpp:141, :214) and
+reads typed keys with NO catch for json exceptions (example.cpp:196-199
+catches only MotionCamException), so malformed JSON aborts the process
+via std::terminate (SIGABRT). Python's json + int() are looser on both
+dialect (NaN/Infinity literals) and conversions (int("42") works), so
+every divergence here was real until mcraw.metadata pinned the nlohmann
+semantics (parse_metadata_json + _to_int/_to_float/_to_str/_to_*_vec).
+
+Every behavior asserted below was first OBSERVED by running the compiled
+reference example on the same mutated container (probe archived in this
+test's assertions themselves — each case re-runs the binary live).
+
+Divergence contract (mirrors the legacy-truncation-UB precedent,
+test_malformed_parity.py):
+- Cases where the reference behavior is DEFINED (success, or a clean
+  "Error:" exit): byte parity — identical stdout/stderr/exit/files.
+- Cases where the reference aborts via uncaught exception (terminate,
+  SIGABRT) or assertion: we match the CLASS (failure, same files
+  emitted before the fault) with a clean in-hierarchy MetadataError at
+  the CLI ("Error: ..." + nonzero exit) — a documented tightening.
+- Cases where the reference's behavior is UB (out-of-bounds reads from
+  short arrays, example.cpp:61-72 + fixed-count Set* calls): the
+  reference may "succeed" emitting garbage bytes; we raise. Pinned as a
+  deliberate tightening.
+"""
+
+import json
+import subprocess
+
+import numpy as np
+import pytest
+
+from mcraw import encode as E
+from mcraw.cli import main as cli_main
+from mcraw.errors import MetadataError
+from mcraw.metadata import (
+    example_container_metadata,
+    example_frame_metadata,
+    parse_metadata_json,
+)
+from mcraw.pipeline import Decoder
+
+
+def _payload(rng, h=16, w=192):
+    img = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    return bytes(E.encode_modern(img))
+
+
+def _clip_raw(payload, cmeta_bytes, fmeta_bytes):
+    """Container with VERBATIM metadata JSON bytes (possibly malformed)."""
+    writer = E.ContainerWriter(cmeta_bytes)
+    writer.add_frame(1000, payload, fmeta_bytes)
+    writer.add_audio(np.zeros(256, np.int16), 0)
+    return writer.finish()
+
+
+def _cm_bytes(**over):
+    return json.dumps({**example_container_metadata(), **over}).encode()
+
+
+def _fm_bytes(**over):
+    base = example_frame_metadata(192, 16, 7)
+    drop = over.pop("_drop", ())
+    d = {k: v for k, v in {**base, **over}.items() if k not in drop}
+    return json.dumps(d).encode()
+
+
+def _run_both(tmp_path, blob, ref_example, capsys, monkeypatch):
+    clip = tmp_path / "clip.mcraw"
+    clip.write_bytes(blob)
+    ref_dir = tmp_path / "ref"
+    my_dir = tmp_path / "mine"
+    ref_dir.mkdir()
+    my_dir.mkdir()
+    ref = subprocess.run(
+        [str(ref_example), str(clip)],
+        cwd=ref_dir, capture_output=True, text=True, timeout=120,
+    )
+    monkeypatch.chdir(my_dir)
+    capsys.readouterr()
+    rc = cli_main(["decode", str(clip), "--backend", "numpy"])
+    out = capsys.readouterr()
+    return ref, rc, out.out, out.err, ref_dir, my_dir
+
+
+def _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch):
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert out == ref.stdout
+    assert err == ref.stderr
+    assert (rc != 0) == (ref.returncode != 0)
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    my_files = sorted(p.name for p in my_dir.iterdir())
+    assert ref_files == my_files
+    for name in ref_files:
+        assert (ref_dir / name).read_bytes() == (my_dir / name).read_bytes()
+
+
+def _assert_abort_parity(
+    tmp_path, blob, ref_example, capsys, monkeypatch, ref_stderr_has
+):
+    """Reference aborts (SIGABRT via terminate/assert); we fail cleanly.
+
+    Pins: same stdout prefix, same files emitted before the fault, a
+    clean single-line 'Error:' from us (no traceback), and the observed
+    reference fault signature (so a future reference-behavior change
+    would surface here)."""
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    # Reference: SIGABRT (-6), with the recorded exception/assert text.
+    assert ref.returncode == -6, (ref.returncode, ref.stderr)
+    assert ref_stderr_has in ref.stderr
+    # Ours: clean in-hierarchy failure, identical stdout up to the fault.
+    assert rc != 0
+    assert out == ref.stdout
+    assert err.startswith("Error: ")
+    assert "Traceback" not in err
+    # Same files on disk at exit (audio.wav or nothing, per fault stage),
+    # and the ones that exist are byte-identical.
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    my_files = sorted(p.name for p in my_dir.iterdir())
+    assert ref_files == my_files
+    for name in ref_files:
+        assert (ref_dir / name).read_bytes() == (my_dir / name).read_bytes()
+
+
+# -- dialect: parse-level ------------------------------------------------
+
+
+def test_container_json_invalid_text(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Unparseable container JSON: reference terminates inside Decoder
+    init (nlohmann parse_error.101, Decoder.cpp:141) before any output;
+    we raise MetadataError at open."""
+    blob = _clip_raw(_payload(rng), b"{not json", _fm_bytes())
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch,
+        "parse_error",
+    )
+
+
+def test_container_json_nan_literal(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """NaN literal: ACCEPTED by Python json, REJECTED by nlohmann
+    (parse_error.101). parse_metadata_json pins the nlohmann dialect —
+    without parse_constant rejection we would silently decode a clip the
+    reference cannot open."""
+    cm = json.dumps(example_container_metadata()).replace("1023.0", "NaN")
+    assert json.loads(cm)["whiteLevel"] != json.loads(cm)["whiteLevel"]
+    blob = _clip_raw(_payload(rng), cm.encode(), _fm_bytes())
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "parse_error"
+    )
+
+
+@pytest.mark.parametrize("lit", ["NaN", "Infinity", "-Infinity"])
+def test_parse_metadata_json_rejects_constants(lit):
+    with pytest.raises(MetadataError, match="invalid metadata JSON"):
+        parse_metadata_json(b'{"whiteLevel": ' + lit.encode() + b"}")
+    # ...and plain json.loads would have accepted it (the divergence
+    # this dialect pin exists to close).
+    json.loads('{"whiteLevel": %s}' % lit)
+
+
+def test_container_json_trailing_garbage(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Trailing non-whitespace after the JSON document: both parsers
+    reject (nlohmann parse_error.101 'unexpected character')."""
+    blob = _clip_raw(
+        _payload(rng),
+        json.dumps(example_container_metadata()).encode() + b"xx",
+        _fm_bytes(),
+    )
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "parse_error"
+    )
+
+
+def test_frame_json_invalid_text(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Unparseable FRAME JSON: the reference prints the frame count and
+    writes audio.wav first, then terminates in loadFrame
+    (Decoder.cpp:214). Stage-exact: both emit identical audio.wav."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), b"[unterminated")
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "parse_error"
+    )
+
+
+def test_container_json_toplevel_array(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Top-level array parses fine in both; the reference then faults on
+    mMetadata["extraData"] over an array (type_error.305,
+    Decoder.cpp:162) before writing audio; our typed accessor raises
+    MetadataError('...not a JSON object')."""
+    blob = _clip_raw(_payload(rng), b"[1, 2, 3]", _fm_bytes())
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.305"
+    )
+
+
+# -- typed access: frame keys (Decoder.cpp:216-218) ----------------------
+
+
+def test_frame_missing_width(tmp_path, rng, ref_example, capsys, monkeypatch):
+    """Missing width: nlohmann non-const operator[] inserts null, then
+    `const int width = null` throws type_error.302 -> terminate."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), _fm_bytes(_drop=("width",)))
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.302"
+    )
+
+
+def test_frame_width_as_string(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width:"192" — Python int("192") would succeed; nlohmann get<int>
+    from a string throws type_error.302. _to_int pins the nlohmann rule
+    (this was a silent full-decode divergence before round 5)."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), _fm_bytes(width="192"))
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.302"
+    )
+
+
+def test_frame_width_int32_wrap_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width = 2^32 + 192: nlohmann stores int64, `const int` conversion
+    wraps to 192 (two's complement) and the reference decodes the frame
+    NORMALLY (observed rc=0). _to_int reproduces the wrap — full byte
+    parity including the emitted DNG."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(width=(1 << 32) + 192)
+    )
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_frame_width_float_truncates_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width = 192.7: static_cast<int>(double) truncates toward zero;
+    the reference decodes normally at width 192 (observed rc=0)."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), _fm_bytes(width=192.7))
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_frame_duplicate_key_last_wins_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Duplicate "width" keys: nlohmann's DOM handler assigns through
+    map operator[] (last wins, json.hpp sax object_element) and Python
+    dict literals also keep the last — byte parity end to end."""
+    fm = (
+        b'{"width": 64, "height": 16, "compressionType": 7, '
+        b'"asShotNeutral": [0.5, 1.0, 0.6], "width": 192}'
+    )
+    blob = _clip_raw(_payload(rng), _cm_bytes(), fm)
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_frame_width_beyond_int64(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width = 10^300: nlohmann parses it as a double; static_cast<int>
+    of an out-of-range double is UB — observed as a huge resize ->
+    std::length_error -> terminate. We raise MetadataError('out of int
+    range') instead of inheriting the UB."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(width=10**300)
+    )
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == -6  # length_error escape (UB consequence)
+    assert rc != 0
+    assert out == ref.stdout
+    assert "Error: " in err and "Traceback" not in err
+
+
+def test_frame_asshotneutral_wrong_type(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """asShotNeutral: "gray" — vector<float> from a string throws
+    type_error.302 in writeDng AFTER the 'Writing frame' line."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(asShotNeutral="gray")
+    )
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error"
+    )
+
+
+# -- typed access: container keys (example.cpp:61-72) --------------------
+
+
+def test_container_missing_key_aborts_ref_clean_error_ours(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Missing whiteLevel: const operator[] on a missing key is
+    documented UB in nlohmann; the vendored build has JSON_ASSERT live,
+    observed as an assertion abort (json.hpp operator[] const). Ours:
+    MetadataError("missing metadata key 'whiteLevel'")."""
+    cm = {k: v for k, v in example_container_metadata().items()
+          if k != "whiteLevel"}
+    blob = _clip_raw(_payload(rng), json.dumps(cm).encode(), _fm_bytes())
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == -6
+    assert "Assertion" in ref.stderr or "assert" in ref.stderr
+    assert rc != 0
+    assert out == ref.stdout  # both printed count + "Writing frame_..."
+    assert "missing metadata key 'whiteLevel'" in err
+    assert "Traceback" not in err
+
+
+@pytest.mark.parametrize(
+    "key,val,nmin",
+    [
+        ("blackLevel", [64, 64], 4),
+        ("colorMatrix1", [1.0] * 6, 9),
+        ("forwardMatrix2", [], 9),
+    ],
+)
+def test_container_short_array_is_our_error_their_oob(
+    rng, key, val, nmin
+):
+    """Short metadata arrays: the reference's fixed-count Set* calls
+    read past the vector (observed: it 'succeeds', emitting whatever
+    heap bytes followed — UB). We refuse with MetadataError, the
+    documented tightening (cannot byte-compare garbage)."""
+    cm = {**example_container_metadata(), key: val}
+    blob = _clip_raw(_payload(rng), json.dumps(cm).encode(), _fm_bytes())
+    d = Decoder(blob, backend="numpy")
+    from mcraw.emit.dng import dng_bytes
+
+    img, fmeta = d.load_frame(d.frames[0])
+    with pytest.raises(MetadataError, match=f"'{key}'"):
+        dng_bytes(img, fmeta, d.container_metadata)
+
+
+def test_frame_asshotneutral_short_is_our_error_their_oob(rng):
+    """asShotNeutral: [0.5] — reference reads 3 rationals from a
+    1-element vector (OOB, observed 'success'). Ours raises."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(asShotNeutral=[0.5])
+    )
+    d = Decoder(blob, backend="numpy")
+    from mcraw.emit.dng import dng_bytes
+
+    img, fmeta = d.load_frame(d.frames[0])
+    with pytest.raises(MetadataError, match="'asShotNeutral'"):
+        dng_bytes(img, fmeta, d.container_metadata)
+
+
+def test_audio_rate_wrong_type_is_clean_error(rng):
+    """extraData.audioSampleRate as a string: nlohmann int conversion
+    throws (Decoder.cpp:162) -> terminate in writeAudio's caller; ours
+    is a clean MetadataError from audio_sample_rate_hz."""
+    cm = example_container_metadata()
+    cm["extraData"]["audioSampleRate"] = "48000"
+    blob = _clip_raw(_payload(rng), json.dumps(cm).encode(), _fm_bytes())
+    d = Decoder(blob, backend="numpy")
+    with pytest.raises(MetadataError, match="audioSampleRate"):
+        d.audio_sample_rate_hz()
+
+
+def test_float_overflow_literal(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """whiteLevel: 1e999 — Python json returns inf SILENTLY; nlohmann's
+    lexer rejects non-finite results (out_of_range.406 -> terminate).
+    parse_metadata_json's parse_float hook pins the rejection."""
+    cm = json.dumps(example_container_metadata()).replace("1023.0", "1e999")
+    blob = _clip_raw(_payload(rng), cm.encode(), _fm_bytes())
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "number overflow"
+    )
+
+
+def test_integer_beyond_uint64_degrades_to_double(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width = 2^64 + 192: nlohmann's lexer can't fit it in uint64 and
+    falls back to DOUBLE (1.8e19), so `const int width` is an
+    out-of-range cast -> observed huge-resize abort. Python's unbounded
+    int would have wrapped it to a decodable 192 — parse_int's
+    int64/uint64 gate closes that silent divergence."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(width=(1 << 64) + 192)
+    )
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == -6
+    assert rc != 0
+    assert out == ref.stdout
+    assert "Error: " in err and "Traceback" not in err
+
+
+# -- divergences found by tools/soak_json.py (round 5) -------------------
+
+
+def test_boolean_rejected_for_exact_double_target(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """whiteLevel: false — the whiteLevel read targets double =
+    number_float_t EXACTLY, whose nlohmann overload accepts only the
+    three number types: boolean -> type_error.302 -> terminate
+    (soak_json iter 117). NOTE the asymmetry pinned by the next test:
+    generic arithmetic targets (int width) DO accept booleans."""
+    blob = _clip_raw(
+        _payload(rng),
+        json.dumps(
+            {**example_container_metadata(), "whiteLevel": False}
+        ).encode(),
+        _fm_bytes(),
+    )
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.302"
+    )
+
+
+@pytest.mark.parametrize(
+    "wl", ["-9223372036854775808", "1e308", "2147483700.0", "70000.5",
+           "-70000.5"]
+)
+def test_whitelevel_short_conversion_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch, wl
+):
+    """SetWhiteLevel takes a C short; example.cpp feeds it a double.
+    Out-of-int32 truncations go through cvttsd2si's indefinite
+    0x80000000 (low 16 bits = 0x0000) on x86-64 — probed live; in-range
+    ones truncate then wrap mod 2^16 (70000.5 -> 0x1170). Byte parity
+    on the full DNG (soak_json iters 85/207)."""
+    cm = json.dumps(example_container_metadata()).replace("1023.0", wl)
+    blob = _clip_raw(_payload(rng), cm.encode(), _fm_bytes())
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_negative_geometry_clean_error(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """height = 2^64-1: nlohmann uint64 -> static_cast<int> = -1 ->
+    resize(huge) -> length_error abort. We raise DecodeError('invalid
+    frame geometry') instead of the NumPy traceback soak_json iter 208
+    exposed."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(height=(1 << 64) - 1)
+    )
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == -6
+    assert "length_error" in ref.stderr
+    assert rc != 0
+    assert out == ref.stdout
+    assert "invalid frame geometry 192x-1" in err
+    assert "Traceback" not in err
+
+
+def test_metadata_height_below_payload_rows_is_our_crop_their_overflow(
+    rng,
+):
+    """Frame JSON height (3) below the payload's encodedHeight (16): the
+    reference memcpys encodedHeight rows into a 3-row buffer — heap
+    overflow, observed as munmap_chunk aborts (soak_json iter 43). Our
+    defined behavior: decode and crop to the metadata height."""
+    img = rng.integers(0, 4096, size=(16, 192), dtype=np.uint16)
+    blob = _clip_raw(
+        bytes(E.encode_modern(img)), _cm_bytes(), _fm_bytes(height=3)
+    )
+    d = Decoder(blob, backend="numpy")
+    out, _ = d.load_frame(d.frames[0])
+    assert out.shape == (3, 192)
+    np.testing.assert_array_equal(out, img[:3])
+
+
+def test_boolean_accepted_for_generic_int_target_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width: true — `int` is NOT one of nlohmann's exact stored types,
+    so the GENERIC arithmetic from_json applies (json.hpp:4959-4990),
+    which static_casts booleans: width = 1 and the reference decodes a
+    1-pixel-wide frame NORMALLY (soak_json iters 116/353 caught us
+    rejecting it). Full byte parity including the 1x16 DNG."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), _fm_bytes(width=True))
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+@pytest.mark.parametrize("ct", [True, 1e308, (1 << 40) + 3])
+def test_compression_type_conversion_clean_error_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch, ct
+):
+    """compressionType: true / 1e308 / 2^40+3 — generic int conversion
+    (bool -> 1, out-of-int32 double -> cvttsd2si INT_MIN, int64 ->
+    wrap32) lands on a value != 6/7, so the reference's clean 'Invalid
+    compression type' IOException path runs (Decoder.cpp:232-234).
+    Byte parity of the clean error (soak_json iters 498/660/661)."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(compressionType=ct)
+    )
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)

@@ -38,14 +38,8 @@ from mcraw.metadata import example_container_metadata, example_frame_metadata
 from mcraw.pipeline import Decoder
 
 
-@pytest.fixture(scope="session")
-def ref_example(ref_lib):
-    from tools import ref_shim
-
-    exe = ref_shim.build_example()
-    if exe is None:
-        pytest.skip("reference example binary unavailable")
-    return exe
+# ref_example fixture: session-scoped, in conftest.py (shared with
+# test_json_parity.py).
 
 
 def _clip(rng, payloads_meta):

@@ -437,8 +437,33 @@ def main() -> int:
         os.replace(dst + ".tmp", dst)
         return out
 
+    # --resume: keep already-OK rows from the existing results file and
+    # only run the cases that are missing or non-OK. Without this a sweep
+    # killed by a relay outage restarts from case 0 every time and never
+    # converges (the r4 tail re-ran 9 already-green cases before dying).
+    done = {}
+    if "--resume" in sys.argv:
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"hw_parity_results{tag}.json")
+        try:
+            with open(dst) as f:
+                for r in json.load(f).get("results", []):
+                    if r.get("status") == "OK":
+                        key = (r.get("geom"), r.get("content"),
+                               r.get("codec"), r.get("path"), r.get("flag"))
+                        done[key] = r
+        except Exception:
+            pass
+
     results = []
     for i, case in enumerate(cases):
+        key = (case.get("geom"), case.get("content"), case.get("codec"),
+               case.get("path"), case.get("flag"))
+        if key in done:
+            results.append(done[key])
+            print(f"[{i + 1}/{len(cases)}] resume: already OK "
+                  f"{key}", flush=True)
+            continue
         label = (
             f"{case['geom']} {case['content']} c{case['codec']} "
             f"{case['path']}"
