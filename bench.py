@@ -19,6 +19,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 - all16_fps: pure all-16-bit frames via the uniform16 fast path.
 - legacy_fps_4k: legacy-codec (type 6) 4K decode, fused v5 kernel.
 - decode_develop_fps: fused RAW->RGBA8888 preview (decode + develop).
+- fps_1080p / legacy_fps_1080p: the same modern/legacy legs at 1920x1080
+  (small-frame dispatch amortization, certified since round 5).
 All legs share the inline-xN + amortized-force + checksum-gate harness.
 
 Correctness is asserted before timing: the device checksum must equal the
@@ -119,7 +121,8 @@ def make_frames(h=None, w=None, content="mix"):
     return imgs, payloads
 
 
-def bench_tpu(imgs, payloads, use_pallas=None):
+def bench_tpu(imgs, payloads, use_pallas=None, h=None, w=None):
+    h, w = h or H, w or W
     import jax
     import jax.numpy as jnp
 
@@ -134,7 +137,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
     from mcraw.kernels import unpack as U
     from mcraw.kernels import pallas_unpack as PK
 
-    plans = [U.prepare_modern(p, W, H) for p in payloads]
+    plans = [U.prepare_modern(p, w, h) for p in payloads]
 
     if use_pallas is None:
         use_pallas = any(d.platform != "cpu" for d in jax.devices())
@@ -161,7 +164,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
             for p2d, ch in zip(padded, chunked)
         ]
         # Content-aware span windows (plane/pick work scales with them).
-        spans = [PK.prepare_modern_light(p, W, H)[5] for p in payloads]
+        spans = [PK.prepare_modern_light(p, w, h)[5] for p in payloads]
         rows = max(s[0] for s in spans)
         sub_rows = max(s[1] for s in spans)
         # Static field-pass count: max over the frames' present classes
@@ -185,7 +188,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
                 num_chunks=num_chunks, txp=txp, tr_sub=tr_sub, tx=tx,
                 rows=rows, sub_rows=sub_rows, nfields=nf,
             )
-            im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
+            im = img3.reshape(img3.shape[0], txp * 64)[:h, :w]
             return device_checksum(im)
 
         run = lambda i: step(
@@ -220,7 +223,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
                     num_chunks=num_chunks, txp=txp, tr_sub=tr_sub, tx=tx,
                     rows=rows, sub_rows=sub_rows, nfields=nf,
                 )
-                im = img3.reshape(img3.shape[0], txp * 64)[:H, :W]
+                im = img3.reshape(img3.shape[0], txp * 64)[:h, :w]
                 o = device_checksum(im)
                 acc = o if acc is None else acc + o
             return acc
@@ -245,7 +248,7 @@ def bench_tpu(imgs, payloads, use_pallas=None):
         def step(payload, offsets, cls, refs, *, ty, tx):
             im = U.decode_modern_device.__wrapped__(
                 payload, offsets, cls, refs,
-                tiles_y=ty, tiles_x=tx, width=W, height=H,
+                tiles_y=ty, tiles_x=tx, width=w, height=h,
             )
             return device_checksum(im)
 
@@ -359,12 +362,14 @@ def _bench_inline_xn(build_call, argsets, want_mod32, iters=None):
     return best
 
 
-def bench_legacy_tpu(imgs):
+def bench_legacy_tpu(imgs, h=None, w=None):
     """Official legacy-codec leg (VERDICT r3 #2): 4K legacy decode fps on
     the fastest shipping path (host-built meta + fused v5 kernel,
     RawData_Legacy.cpp:445-495 parity), same harness discipline and
     correctness gate as the headline."""
     import os
+
+    h, w = h or H, w or W
 
     import jax
     import numpy as np
@@ -375,7 +380,7 @@ def bench_legacy_tpu(imgs):
     from mcraw.kernels.checksum import device_checksum
 
     nleg = 4
-    cache = f"/root/.cache/mcraw_bench_legacy_{H}x{W}_{nleg}.npz"
+    cache = f"/root/.cache/mcraw_bench_legacy_{h}x{w}_{nleg}.npz"
     try:
         z = np.load(cache)
         imgs_l = [z[f"img{k}"] for k in range(nleg)]
@@ -399,7 +404,7 @@ def bench_legacy_tpu(imgs):
             pass
 
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs_l]
-    plans = [U.prepare_legacy(p, W, H) for p in payloads]
+    plans = [U.prepare_legacy(p, w, h) for p in payloads]
     chunked = [PL.prepare_chunked_legacy_v5(pl) for pl in plans]
     nc, segs = chunked[0][3], chunked[0][4]
     lrows = max(c[5] for c in chunked)
@@ -412,7 +417,7 @@ def bench_legacy_tpu(imgs):
         out = PL._unpack_legacy_pallas_v5.__wrapped__(
             p2d, base, meta, num_chunks=nc, rows=lrows
         )
-        im = out[: H * segs].reshape(H, segs * 128)[:, :W]
+        im = out[: h * segs].reshape(h, segs * 128)[:, :w]
         return device_checksum(im, interpret=False)
 
     want = sum(expected[k % nleg] for k in range(n)) % (1 << 32)
@@ -527,6 +532,105 @@ def bench_preview_tpu(payloads, imgs):
     single = jax.jit(call)
     want = 0
     for k in range(n):
+        want = (want + int(jax.block_until_ready(single(*argsets[k])))) % (
+            1 << 32
+        )
+    return 1.0 / _bench_inline_xn(call, argsets, want)
+
+
+def bench_preview_legacy_tpu(imgs):
+    """Legacy-codec decode->develop preview leg (VERDICT r4 #5): develop
+    is codec-agnostic, but until round 5 the certified preview leg only
+    covered the modern codec. Same gates as bench_preview_tpu: decode
+    checksum vs the known-image oracle, develop vs the f64 scalar model
+    (<= 1 LSB/channel), then the inline-xN fused throughput."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from mcraw import encode as E
+    from mcraw.kernels import pallas_develop as PD
+    from mcraw.kernels import pallas_legacy as PL
+    from mcraw.kernels import unpack as U
+    from mcraw.kernels.checksum import device_checksum
+
+    nleg = 2  # develop inline cap (remote-compile helper dies at >= 4)
+    cache = f"/root/.cache/mcraw_bench_legacy_{H}x{W}_4.npz"
+    try:
+        z = np.load(cache)
+        imgs_l = [z[f"img{k}"] for k in range(nleg)]
+        payloads = [z[f"pay{k}"] for k in range(nleg)]
+    except Exception:
+        imgs_l = imgs[:nleg]
+        payloads = [
+            np.frombuffer(E.encode_legacy(im), dtype=np.uint8)
+            for im in imgs_l
+        ]
+
+    cfa = (0, 1, 1, 2)
+    params = jnp.asarray(
+        PD.pack_develop_params(
+            np.zeros(4, np.float32), 4095.0, np.ones(3, np.float32),
+            np.diag([0.9642, 1.0, 0.8249]).astype(np.float32),
+        )
+    )
+    plans = [U.prepare_legacy(p, W, H) for p in payloads]
+    chunked = [PL.prepare_chunked_legacy_v5(pl) for pl in plans]
+    nc, segs = chunked[0][3], chunked[0][4]
+    lrows = max(c[5] for c in chunked)
+    argsets = [
+        tuple(map(jax.device_put, chunked[k][:3])) + (params,)
+        for k in range(nleg)
+    ]
+
+    def decode(p2d, base, meta):
+        out = PL._unpack_legacy_pallas_v5.__wrapped__(
+            p2d, base, meta, num_chunks=nc, rows=lrows
+        )
+        return out[: H * segs].reshape(H, segs * 128)[:, :W]
+
+    # Gate 1: legacy decode checksum vs the known images.
+    dec_jit = jax.jit(
+        lambda p2d, base, meta: device_checksum(
+            decode(p2d, base, meta), interpret=False
+        )
+    )
+    for k in range(nleg):
+        got = int(jax.block_until_ready(dec_jit(*argsets[k][:3])))
+        exp = int(imgs_l[k].astype(np.int64).sum() & 0xFFFFFFFF)
+        assert got == exp, f"legacy preview decode gate: {got} != {exp}"
+
+    def call(p2d, base, meta, prm):
+        rgba = PD.develop_rgba_pallas.__wrapped__(
+            decode(p2d, base, meta), prm, None,
+            height=H, width=W, cfa=cfa,
+        )
+        return device_checksum(rgba, interpret=False)
+
+    # Gate 2: develop half vs the f64 scalar model on one frame.
+    from mcraw.preview import develop_f64
+
+    def full_rgba(p2d, base, meta, prm):
+        return PD.develop_rgba_pallas.__wrapped__(
+            decode(p2d, base, meta), prm, None,
+            height=H, width=W, cfa=cfa,
+        )
+
+    rgba0 = np.asarray(jax.jit(full_rgba)(*argsets[0])).astype(np.int64)
+    model = develop_f64(
+        imgs_l[0], np.zeros(4), 4095.0, np.ones(3),
+        np.diag([0.9642, 1.0, 0.8249]), cfa,
+    )
+    got3 = np.stack(
+        [rgba0 & 0xFF, (rgba0 >> 8) & 0xFF, (rgba0 >> 16) & 0xFF], axis=-1
+    )
+    err = int(np.abs(got3 - model).max())
+    assert err <= 1, f"legacy preview develop gate: max |err| {err} > 1 LSB"
+
+    single = jax.jit(call)
+    want = 0
+    for k in range(nleg):
         want = (want + int(jax.block_until_ready(single(*argsets[k])))) % (
             1 << 32
         )
@@ -718,6 +822,35 @@ def _run(imgs, payloads):
         print(f"warning: preview leg failed ({e!r})", file=sys.stderr)
         fps_preview = None
 
+    try:
+        fps_preview_legacy = (
+            bench_preview_legacy_tpu(imgs) if use_pallas is None else None
+        )
+    except Exception as e:
+        print(f"warning: legacy preview leg failed ({e!r})", file=sys.stderr)
+        fps_preview_legacy = None
+
+    # 1080p legs (VERDICT r4 #4): small-frame dispatch amortization is
+    # exactly where per-launch overhead bites — certify it instead of
+    # leaving the 1080p numbers as engineering-JSON folklore.
+    try:
+        imgs_hd, payloads_hd = make_frames(h=1080, w=1920)
+        fps_1080, _ = bench_tpu(
+            imgs_hd, payloads_hd, use_pallas=use_pallas, h=1080, w=1920
+        )
+    except Exception as e:
+        print(f"warning: 1080p leg failed ({e!r})", file=sys.stderr)
+        imgs_hd, fps_1080 = None, None
+    try:
+        fps_legacy_1080 = (
+            bench_legacy_tpu(imgs_hd, h=1080, w=1920)
+            if use_pallas is None and imgs_hd is not None
+            else None
+        )
+    except Exception as e:
+        print(f"warning: 1080p legacy leg failed ({e!r})", file=sys.stderr)
+        fps_legacy_1080 = None
+
     ref_fps = bench_reference_cpu(payloads)
     vs = fps / ref_fps if ref_fps else fps / 720.0
     print(
@@ -739,6 +872,14 @@ def _run(imgs, payloads):
                 ),
                 "decode_develop_fps": (
                     round(fps_preview, 1) if fps_preview else None
+                ),
+                "decode_develop_legacy_fps": (
+                    round(fps_preview_legacy, 1)
+                    if fps_preview_legacy else None
+                ),
+                "fps_1080p": round(fps_1080, 1) if fps_1080 else None,
+                "legacy_fps_1080p": (
+                    round(fps_legacy_1080, 1) if fps_legacy_1080 else None
                 ),
                 "latency_ms_single_frame": round(latency_ms, 3),
             }

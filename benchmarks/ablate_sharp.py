@@ -47,6 +47,10 @@ VARIANTS = {
     "fields0": ("fields0", {}),
     "fields1": ("fields1", {}),
     "fields2": ("fields2", {}),
+    # fieldsN with the desc dot kept at FULL static width: the pl.when
+    # per-chunk-gating ceiling (structure fixed, only pass work skipped)
+    "f1dw": ("fields1 dwfull", {}),
+    "f2dw": ("fields2 dwfull", {}),
     "mergedout": ("mergedout", {}),
     "nodesc": ("nodesc", {}),
     "nopick": ("nopick", {}),
@@ -122,8 +126,11 @@ def main():
     worst = os.environ.get("WORST", "") == "1"
     # WORST=1 selects pure all-16-bit frames (bench content="all16" —
     # the uniform16 fast path's content; bench's "worst" adds a 5-bit
-    # tile to force the general kernel instead).
-    imgs, payloads = make_frames(content="all16" if worst else "mix")
+    # tile to force the general kernel instead). CONTENT overrides
+    # directly (mix | all16 | worst) — CONTENT=worst is the honest-floor
+    # content for the nfields-gating A/B (VERDICT r4 #3).
+    content = os.environ.get("CONTENT", "all16" if worst else "mix")
+    imgs, payloads = make_frames(content=content)
     expected = [int(i.astype(np.int64).sum() & 0xFFFFFFFF) for i in imgs]
     plans = [U.prepare_modern(p, W, H) for p in payloads]
     chunked = [PK.prepare_chunked_v5(pl) for pl in plans]

@@ -853,7 +853,11 @@ def _unpack_kernel_v5(
         elif "fields" in ablate:
             nf = int(ablate[ablate.index("fields") + 6])
 
-        dw = max(nf, 1) * 128  # descriptor columns actually consumed
+        # descriptor columns actually consumed; "dwfull" keeps the desc
+        # dot at the full static nfields width while fieldsN trims only
+        # the pass loop — isolates desc-width layout effects from pass
+        # work (the fields1 ablation is SLOWER than full on hw, r5).
+        dw = max(nfields if "dwfull" in ablate else nf, 1) * 128
         if "nodesc" in ablate:  # (timing ablation: wrong results;
             # data-dependent so Mosaic keeps a real vector value)
             desc = (

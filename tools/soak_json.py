@@ -56,7 +56,7 @@ def _text_mutations(rng):
     """Byte-level mutators: (name, fn(bytes) -> bytes)."""
 
     def truncate(b):
-        return b[: rng.integers(0, len(b))]
+        return b[: rng.integers(0, len(b) + 1)]
 
     def flip(b):
         if not b:
