@@ -329,7 +329,19 @@ def _bench_inline_xn(build_call, argsets, want_mod32, iters=None):
     calls with DISTINCT jit parameters (trap #5: XLA CSEs identical pure
     pallas calls), fold checksums, ONE amortized scalar force per burst
     (trap #7: keep iters*N >= ~400 frames so the ~29 ms force RTT stays
-    < 0.1 ms/frame), best-of-rounds. Returns seconds/frame."""
+    < 0.1 ms/frame), best-of-rounds. Returns seconds/frame.
+
+    NOTE (trap #9, measured r5): an on-device fori_loop repeating the N
+    calls CANNOT amortize per-dispatch submission — the pallas calls are
+    pure with loop-invariant operands, so XLA LICM/unroll+CSE executes
+    them ONCE and loops over the additions; the checksum still passes
+    (semantics preserved) while the "throughput" inflates by the trip
+    count (observed: 4685 "fps" vs 745 real on the n=2 preview leg).
+    Submission amortization requires DISTINCT per-call data, and the
+    develop legs are capped at N=2 by the remote-compile crash — their
+    official numbers therefore carry ~0.17 ms/frame of submission share;
+    device truth is the net number (benchmarks/probe_fused_preview.json:
+    dec 0.627 + dev 0.398 + fusion 0.079 = 1.103 ms -> ~900 fps)."""
     import jax
     import jax.numpy as jnp
 
