@@ -127,17 +127,26 @@ def _cmd_info(args: argparse.Namespace) -> int:
 
     d = Decoder(args.input, backend="numpy")
     meta = d.container_metadata
+    # Container JSON may legally parse to a non-object (the reference
+    # only faults when it READS a key); info reports null fields then.
+    if not isinstance(meta, dict):
+        meta = {}
+    extra = meta.get("extraData")
+    if not isinstance(extra, dict):
+        extra = {}
     frames = d.frames
     info = {
         "frames": len(frames),
         "first_timestamp": frames[0] if frames else None,
         "last_timestamp": frames[-1] if frames else None,
         "audio_chunks": d._reader.num_audio_chunks,
-        "audio_sample_rate": meta.get("extraData", {}).get("audioSampleRate"),
-        "audio_channels": meta.get("extraData", {}).get("audioChannels"),
+        "audio_sample_rate": extra.get("audioSampleRate"),
+        "audio_channels": extra.get("audioChannels"),
     }
     if frames:
         _, fmeta = d._reader.frame_payload(frames[0])
+        if not isinstance(fmeta, dict):
+            fmeta = {}
         info.update(
             width=fmeta.get("width"),
             height=fmeta.get("height"),

@@ -512,3 +512,57 @@ def test_compression_type_conversion_clean_error_byte_parity(
         _payload(rng), _cm_bytes(), _fm_bytes(compressionType=ct)
     )
     _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_negative_int64_wrapping_to_valid_width_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width = 192 - 2^32 (negative int64): static_cast<int> wraps it to
+    +192 and the reference decodes the frame NORMALLY (observed rc=0) —
+    full byte parity through our wrap32."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(), _fm_bytes(width=192 - (1 << 32))
+    )
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+@pytest.mark.parametrize(
+    "v",
+    [
+        (1 << 63) - 1,       # int64 max: number_integer, wrap32 -> -1
+        -(1 << 63),          # int64 min -> 0 (degenerate zero width)
+        (1 << 64) - 1,       # uint64 max: number_unsigned, wrap32 -> -1
+    ],
+)
+def test_int_boundary_values_same_class(
+    tmp_path, rng, ref_example, capsys, monkeypatch, v
+):
+    """int64/uint64 boundary widths: static_cast<int> wraps; the wrapped
+    value is degenerate geometry here, so both CLIs fail — the reference
+    by resize length_error / clean uncompress error, ours cleanly. Same
+    stdout prefix; neither emits a DNG."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), _fm_bytes(width=v))
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode != 0
+    assert rc != 0
+    assert out == ref.stdout
+    assert "Traceback" not in err
+    assert not any(
+        p.name.endswith(".dng") for p in my_dir.iterdir()
+    )
+
+
+def test_info_on_toplevel_array_container(tmp_path, rng, capsys):
+    """`mcraw info` (an extra command, no reference analogue) must not
+    traceback on a container whose JSON is a non-object — it reports
+    null audio fields."""
+    blob = _clip_raw(_payload(rng), b"[1, 2]", _fm_bytes())
+    p = tmp_path / "c.mcraw"
+    p.write_bytes(blob)
+    rc = cli_main(["info", str(p)])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert rep["frames"] == 1
+    assert rep["audio_sample_rate"] is None
