@@ -182,17 +182,22 @@ def _quick_payload_checks(payload, fm) -> None:
             raise ValueError(f"encodedWidth {ew} < width {fm.width}")
     else:
         # Legacy: inline 2-byte headers; the first block of row 0 must be
-        # reachable and its declared payload must fit in the buffer
-        # (RawData_Legacy.cpp:377-442 truncation early-return territory).
+        # reachable and its declared payload must fit STRICTLY inside the
+        # buffer — the decoder's bounds are `offset + 2 + len >= n`
+        # (RawData_Legacy.cpp:387/:398, the documented trailing-byte
+        # quirk), so an exact-length payload with no trailing byte fails
+        # full decode and must fail quick too (review r5 found the
+        # original `>` check passing exact-length truncations).
         if fm.height > 0 and fm.width > 0:
             if len(payload) < 2:
                 raise ValueError("legacy payload too short for first header")
             bits = min(int(payload[0]) >> 4, 16)
             blen = int(T.LEGACY_BLOCK_LENGTH[bits])
-            if 2 + blen > len(payload):
+            if 2 + blen >= len(payload):
                 raise ValueError(
                     f"legacy first block (bits={bits}, {blen}B) "
-                    f"exceeds payload ({len(payload)}B)"
+                    f"exceeds payload ({len(payload)}B, trailing byte "
+                    f"required)"
                 )
 
 
@@ -320,18 +325,33 @@ def main(argv: list[str] | None = None) -> int:
         print("Usage: decoder <input file> [-n number of frames to export]")
         return -1
 
-    # Reference-compatible invocation: `mcraw <file> [-n N]`
+    # Reference-compatible invocation: `mcraw <file> [-n N]`.
+    # The reference reads ONLY argv[1] (file) and argv[2..3] (iff
+    # argv[2] == "-n" and argc > 3, example.cpp:150-153); everything
+    # else is silently ignored, and the -n value goes through std::stoi
+    # (prefix-parse: "2x" -> 2; no-digit values abort). Replicated for
+    # this invocation shape (probed live, tests/test_cli_argv_parity.py):
+    # - dangling `-n` with no value: ignored (argc > 3 guard);
+    # - `-n 2x`: prefix-parsed to 2;
+    # - unrecognized extra args: ignored (parse_known_args below) —
+    #   while RECOGNIZED extended flags (--output-dir, --batch, ...)
+    #   still work, a deliberate superset;
+    # - `-n <no digits>`: the reference aborts via uncaught stoi
+    #   invalid_argument; argparse rejects cleanly (exit 2) — pinned
+    #   documented tightening.
+    ref_compat = False
     if argv and not argv[0].startswith("-") and argv[0] not in (
         "decode", "info", "encode", "preview", "verify"
     ):
-        # - `<file> -n` with NO value: the reference's `argc > 3` guard
-        #   silently ignores the dangling -n and exports all frames —
-        #   replicated exactly for this exact shape.
-        # - `<file> -n <non-int>`: the reference aborts via an uncaught
-        #   std::stoi invalid_argument; argparse rejects it cleanly
-        #   (exit 2) — documented tightening, pinned by test.
+        ref_compat = True
         if len(argv) == 2 and argv[1] == "-n":
             argv = argv[:1]
+        elif len(argv) >= 3 and argv[1] == "-n":
+            import re
+
+            m = re.match(r"[+-]?\d+", argv[2].strip())
+            if m:  # std::stoi prefix parse (skips leading whitespace)
+                argv[2] = m.group(0)
         argv = ["decode"] + argv
 
     ap = argparse.ArgumentParser(prog="mcraw")
@@ -387,9 +407,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=_cmd_encode)
 
-    args = ap.parse_args(argv)
+    if ref_compat:
+        # The reference ignores arguments it does not read; unknown
+        # extras must not be usage errors in this invocation shape.
+        args, _extras = ap.parse_known_args(argv)
+    else:
+        args = ap.parse_args(argv)
     try:
         return args.fn(args)
+    except MotionCamException as e:
+        # Uniform clean failure for subcommands without their own
+        # handler (info/preview/encode): corrupt metadata must produce
+        # "Error: ...", not a traceback (review r5).
+        print(f"Error: {e}", file=sys.stderr)
+        return -1
     except BrokenPipeError:
         # stdout consumer (e.g. `| head`) closed early — standard CLI
         # convention: exit quietly without a traceback.

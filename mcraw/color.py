@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .errors import MetadataError
-
 # Robertson (1968) isotherm data: (mired, u, v, slope). Standard published
 # table (Wyszecki & Stiles, Color Science; also the DNG SDK's
 # dng_temperature.cpp kTempTable).
@@ -166,13 +164,20 @@ def interpolated_matrices(container_meta, neutral):
         else ContainerMetadata(container_meta)
     )
     fm1 = np.asarray(cm.forward_matrix(1), np.float64).reshape(3, 3)
-    try:
-        cm1 = np.asarray(cm.color_matrix(1), np.float64).reshape(3, 3)
-        cm2 = np.asarray(cm.color_matrix(2), np.float64).reshape(3, 3)
-        fm2 = np.asarray(cm.forward_matrix(2), np.float64).reshape(3, 3)
-    except MetadataError:
-        # single-illuminant container: nothing to interpolate
+    # Single-illuminant fallback ONLY when the 2-set is genuinely ABSENT;
+    # a present-but-malformed matrix must raise (MetadataError), not
+    # silently degrade the preview (review r5).
+    raw = cm.raw
+    if not (
+        isinstance(raw, dict)
+        and "colorMatrix1" in raw
+        and "colorMatrix2" in raw
+        and "forwardMatrix2" in raw
+    ):
         return fm1, np.full((3, 3), np.nan), 1.0
+    cm1 = np.asarray(cm.color_matrix(1), np.float64).reshape(3, 3)
+    cm2 = np.asarray(cm.color_matrix(2), np.float64).reshape(3, 3)
+    fm2 = np.asarray(cm.forward_matrix(2), np.float64).reshape(3, 3)
     xy = neutral_to_xy(neutral, cm1, cm2)
     g = _interp_weight(cct_from_xy(xy))
     return g * fm1 + (1.0 - g) * fm2, g * cm1 + (1.0 - g) * cm2, g

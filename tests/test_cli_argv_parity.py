@@ -97,3 +97,64 @@ def test_non_int_n_both_fail(small_clip, ref_example, tmp_path):
     assert "Traceback" not in mine.stderr
     # neither emitted any output file before failing
     assert sorted(p.name for p in tmp_path.iterdir()) == []
+
+
+def _run_ref_vs_ours(small_clip, ref_example, tmp_path, capsys, monkeypatch,
+                     extra_args):
+    ref_dir = tmp_path / "ref"
+    my_dir = tmp_path / "mine"
+    ref_dir.mkdir()
+    my_dir.mkdir()
+    ref = subprocess.run(
+        [str(ref_example), str(small_clip)] + extra_args,
+        cwd=ref_dir, capture_output=True, text=True, timeout=120,
+    )
+    monkeypatch.chdir(my_dir)
+    capsys.readouterr()
+    rc = cli_main([str(small_clip)] + extra_args)
+    out = capsys.readouterr()
+    return ref, rc, out, ref_dir, my_dir
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["-n", "1x"],          # std::stoi prefix-parse -> 1
+        ["--no-such-flag"],    # argc==3, argv[2] never compared -> ignored
+        ["junk"],              # same shape, non-dash extra
+        ["-n", "1", "junk"],   # extras beyond -n N ignored
+        ["-n", "  1tail"],     # stoi skips leading whitespace too
+    ],
+)
+def test_ref_ignored_argv_shapes_byte_parity(
+    small_clip, ref_example, tmp_path, capsys, monkeypatch, extra
+):
+    """Argv shapes the reference SUCCEEDS on by ignoring what it doesn't
+    read (example.cpp:150-153): byte parity of stdout/files (review r5 —
+    the first argv-parity pass only handled the bare dangling -n)."""
+    ref, rc, out, ref_dir, my_dir = _run_ref_vs_ours(
+        small_clip, ref_example, tmp_path, capsys, monkeypatch, extra
+    )
+    assert ref.returncode == 0, ref.stderr
+    assert rc == 0
+    assert out.out == ref.stdout
+    assert out.err == ref.stderr
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    my_files = sorted(p.name for p in my_dir.iterdir())
+    assert ref_files == my_files
+    for name in ref_files:
+        assert (ref_dir / name).read_bytes() == (my_dir / name).read_bytes()
+
+
+def test_extended_flags_still_work_in_ref_compat_shape(
+    small_clip, tmp_path, capsys, monkeypatch
+):
+    """parse_known_args must not break RECOGNIZED extended flags in the
+    reference-compatible invocation (deliberate superset)."""
+    out_dir = tmp_path / "out"
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main([str(small_clip), "--output-dir", str(out_dir), "-n", "1"])
+    capsys.readouterr()
+    assert rc == 0
+    assert (out_dir / "frame_000000.dng").exists()
+    assert not (out_dir / "frame_000001.dng").exists()

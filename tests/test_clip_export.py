@@ -182,3 +182,31 @@ def test_cli_verify_reference_skipped_audio_not_failure(tmp_path, rng, capsys):
     assert rep["audio_chunks"] == 2
     assert rep["audio_chunks_failed"] == 0
     assert rep["audio_chunks_skipped_by_reference"] == 1
+
+
+def test_cli_verify_quick_exact_length_legacy_truncation(
+    tmp_path, rng, capsys
+):
+    """The legacy decoder's bounds are strict >= (trailing-byte quirk):
+    a payload cut to exactly header+block fails FULL decode, and quick
+    must agree (review r5 found quick passing it with a > check)."""
+    import json
+
+    from mcraw.cli import main as cli_main
+    from mcraw.kernels import tables as T
+
+    img = rng.integers(0, 1024, size=(8, 64), dtype=np.uint16)
+    leg = bytes(E.encode_legacy(img))
+    bits = min(leg[0] >> 4, 16)
+    blen = int(T.LEGACY_BLOCK_LENGTH[bits])
+    writer = E.ContainerWriter(example_container_metadata())
+    writer.add_frame(1, leg[: 2 + blen], example_frame_metadata(64, 8, 6))
+    writer.add_audio(np.zeros(32, np.int16), 500)
+    path = tmp_path / "clip.mcraw"
+    path.write_bytes(writer.finish())
+
+    for mode in ([], ["--quick"]):
+        assert cli_main(["verify", str(path)] + mode) == 1
+        rep = json.loads(capsys.readouterr().out)
+        assert not rep["ok"], mode
+        assert [f["timestamp"] for f in rep["frames_failed"]] == [1]

@@ -566,3 +566,37 @@ def test_info_on_toplevel_array_container(tmp_path, rng, capsys):
     assert rc == 0
     assert rep["frames"] == 1
     assert rep["audio_sample_rate"] is None
+
+
+def test_info_clean_error_on_dialect_invalid_container(tmp_path, rng, capsys):
+    """`mcraw info` on a NaN-literal container: MetadataError at open
+    must produce "Error: ...", not a traceback (review r5 — the parse
+    tightening had regressed info's robustness goal)."""
+    cm = json.dumps(example_container_metadata()).replace("1023.0", "NaN")
+    blob = _clip_raw(_payload(rng), cm.encode(), _fm_bytes())
+    p = tmp_path / "c.mcraw"
+    p.write_bytes(blob)
+    rc = cli_main(["info", str(p)])
+    out = capsys.readouterr()
+    assert rc != 0
+    assert out.err.startswith("Error: invalid metadata JSON")
+
+
+def test_malformed_present_matrix_raises_in_interpolation(rng):
+    """interpolated_matrices: a PRESENT-but-malformed colorMatrix2 must
+    raise, not silently fall back to single-illuminant (review r5)."""
+    from mcraw.color import interpolated_matrices
+
+    cm = example_container_metadata()
+    cm["colorMatrix2"] = "oops"
+    with pytest.raises(MetadataError, match="colorMatrix2"):
+        interpolated_matrices(cm, [0.5, 1.0, 0.6])
+    cm2 = example_container_metadata()
+    cm2["forwardMatrix2"] = [1.0] * 6  # short
+    with pytest.raises(MetadataError, match="forwardMatrix2"):
+        interpolated_matrices(cm2, [0.5, 1.0, 0.6])
+    # absence still falls back
+    cm3 = example_container_metadata()
+    del cm3["colorMatrix2"], cm3["forwardMatrix2"]
+    fwd, _, g = interpolated_matrices(cm3, [0.5, 1.0, 0.6])
+    assert g == 1.0

@@ -319,8 +319,15 @@ def main():
 
         workdir = tempfile.mkdtemp(prefix="soakjson_")
         try:
-            ref, mine, ref_dir, my_dir = run_case(workdir, blob, ref_exe)
-            reason = classify(ref, mine, ref_dir, my_dir)
+            try:
+                ref, mine, ref_dir, my_dir = run_case(workdir, blob, ref_exe)
+                reason = classify(ref, mine, ref_dir, my_dir)
+            except subprocess.TimeoutExpired as e:
+                # A wedged binary on a mutated clip is itself a finding;
+                # record it and keep soaking (the whole input domain is
+                # pathological — one hang must not kill the budget).
+                ref = mine = None
+                reason = f"timeout: {e.cmd[:2]}"
             if reason is not None:
                 fails += 1
                 dump = outdir / f"soak_json_fail_{iters}.json"
@@ -329,10 +336,12 @@ def main():
                     "codec": codec, "mutations": names, "reason": reason,
                     "cmeta": cm.decode("latin1"),
                     "fmeta": fm.decode("latin1"),
-                    "ref_rc": ref.returncode, "ref_out": ref.stdout,
-                    "ref_err": ref.stderr[-400:],
-                    "my_rc": mine.returncode, "my_out": mine.stdout,
-                    "my_err": mine.stderr[-400:],
+                    "ref_rc": ref.returncode if ref else None,
+                    "ref_out": ref.stdout if ref else None,
+                    "ref_err": ref.stderr[-400:] if ref else None,
+                    "my_rc": mine.returncode if mine else None,
+                    "my_out": mine.stdout if mine else None,
+                    "my_err": mine.stderr[-400:] if mine else None,
                 }, indent=1))
                 print(f"FAIL iter={iters} {target} {names}: {reason} "
                       f"-> {dump}", flush=True)
