@@ -600,3 +600,51 @@ def test_malformed_present_matrix_raises_in_interpolation(rng):
     del cm3["colorMatrix2"], cm3["forwardMatrix2"]
     fwd, _, g = interpolated_matrices(cm3, [0.5, 1.0, 0.6])
     assert g == 1.0
+
+
+def test_both_negative_wrapped_dims_class_match(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """width = 2^64 (beyond uint64 -> double -> INT_MIN), height =
+    2^64-1 (-> -1): the reference's int-overflow chain happens to wrap
+    its memcpy size to 0 and returns a negative count -> accidental
+    CLEAN "Failed to uncompress frame" (observed, soak iter 473); ours
+    is the uniform clean geometry error. Same class and stdout; the
+    stderr text difference is the pinned tightening."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(),
+        _fm_bytes(width=1 << 64, height=(1 << 64) - 1),
+    )
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == 255
+    assert ref.stderr == "Error: Failed to uncompress frame\n"
+    assert rc != 0
+    assert out == ref.stdout
+    assert "invalid frame geometry -2147483648x-1" in err
+    assert "Traceback" not in err
+
+
+def test_metadata_height_beyond_payload_is_our_error_their_stale_ub(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Legacy frame JSON height (192.7 -> 192) far beyond the payload's
+    16 encoded rows: the reference's row loop runs off the payload,
+    DecodeBlock early-returns, UNINITIALIZED references are added
+    (RawData_Legacy.cpp:473) and DecodeLegacy still returns h*w -> UB
+    "success" (observed rc=0, soak iter 512). Ours raises the
+    documented truncation error — the same tightening as
+    test_truncated_payload_is_our_error_their_ub."""
+    img = rng.integers(0, 4096, size=(16, 192), dtype=np.uint16)
+    blob = _clip_raw(
+        bytes(E.encode_legacy(img)), _cm_bytes(),
+        _fm_bytes(height=192.7, compressionType=6),
+    )
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == 0  # stale-buffer UB "success"
+    assert rc != 0
+    assert err == "Error: Failed to uncompress legacy frame\n"
+    assert "Traceback" not in err

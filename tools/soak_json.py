@@ -205,8 +205,21 @@ def run_case(workdir, clip_bytes, ref_exe):
     return ref, mine, ref_dir, my_dir
 
 
-def classify(ref, mine, ref_dir, my_dir):
-    """Return None if the contract holds, else a failure reason."""
+def classify(ref, mine, ref_dir, my_dir, geom_mismatch=False):
+    """Return None if the contract holds, else a failure reason.
+
+    geom_mismatch: the mutated frame JSON's (width, height) — parsed
+    with OUR nlohmann-semantics conversions — no longer matches the
+    payload's encoded geometry. The reference's behavior there is the
+    documented truncation/overflow UB family: it may "succeed" off
+    stale buffers (RawData_Legacy.cpp:473 uninitialized refs), abort,
+    or stumble into an accidental clean error whose text depends on
+    int-overflow wraps (e.g. width = 2^64 -> INT_MIN -> memcpy size
+    wraps to 0 -> negative return -> "Failed to uncompress frame").
+    Our uniform clean failure is the pinned tightening
+    (tests/test_json_parity.py), so for these cases a clean failure on
+    our side satisfies the contract regardless of the reference's
+    stderr text or UB-success."""
     ref_files = sorted(os.listdir(ref_dir))
     my_files = sorted(os.listdir(my_dir))
 
@@ -251,10 +264,13 @@ def classify(ref, mine, ref_dir, my_dir):
             if mine.stdout != ref.stdout:
                 return "stdout differs on mutual success"
             return files_equal()
-        # Allowed tightening: reference OOB-reads short arrays into the
-        # DNG (UB "success"); we must have refused with the short-array
-        # MetadataError for a named key.
+        # Allowed tightenings: reference OOB-reads short arrays into the
+        # DNG (UB "success") -> our short-array MetadataError; and
+        # payload-mismatched geometry (UB truncation family) -> our
+        # clean codec/geometry error.
         if clean_ours and "expected >=" in mine.stderr:
+            return None
+        if clean_ours and geom_mismatch:
             return None
         return (
             f"we failed where reference succeeded: rc={mine.returncode} "
@@ -263,7 +279,11 @@ def classify(ref, mine, ref_dir, my_dir):
     if ref.returncode == 255:  # clean "Error:" exit -1 path
         if mine.returncode == 0:
             return "we succeeded where reference cleanly failed"
-        if mine.stdout != ref.stdout or mine.stderr != ref.stderr:
+        if mine.stdout != ref.stdout:
+            return "clean-error stdout parity failed"
+        if mine.stderr != ref.stderr:
+            if clean_ours and geom_mismatch:
+                return None  # accidental-clean-UB text (see docstring)
             return "clean-error byte parity failed"
         return files_equal()
     # Abort class (SIGABRT etc. — negative rc from signal)
@@ -317,11 +337,24 @@ def main():
         w.add_audio(np.zeros(256, np.int16), 0)
         blob = w.finish()
 
+        # Does the mutated frame JSON still describe the real payload
+        # geometry? (See classify's geom_mismatch contract.)
+        gm = False
+        if target == "frame":
+            try:
+                from mcraw.metadata import FrameMetadata, parse_metadata_json
+
+                fparsed = FrameMetadata(parse_metadata_json(fm))
+                gm = (fparsed.width, fparsed.height) != (192, 16)
+            except Exception:
+                gm = False  # unparseable/unconvertible: both CLIs fail
+
         workdir = tempfile.mkdtemp(prefix="soakjson_")
         try:
             try:
                 ref, mine, ref_dir, my_dir = run_case(workdir, blob, ref_exe)
-                reason = classify(ref, mine, ref_dir, my_dir)
+                reason = classify(ref, mine, ref_dir, my_dir,
+                                  geom_mismatch=gm)
             except subprocess.TimeoutExpired as e:
                 # A wedged binary on a mutated clip is itself a finding;
                 # record it and keep soaking (the whole input domain is
