@@ -187,9 +187,12 @@ def _to_float_vec(v: object, key: str, n: int) -> np.ndarray:
         raise MetadataError(
             f"metadata key '{key}': expected >= {n} entries, got {len(v)}"
         )
-    return np.asarray(
-        [_to_float(x, key) for x in v[:n]], dtype=np.float32
-    )
+    # Convert EVERY element, not just the first n: nlohmann materializes
+    # the whole std::vector before the consumer reads n entries, so a
+    # wrong-typed element BEYOND n still throws type_error.302 in the
+    # reference (tools/soak_json.py iter 3990).
+    vals = [_to_float(x, key) for x in v]
+    return np.asarray(vals[:n], dtype=np.float32)
 
 
 def _to_uint16_vec(v: object, key: str, n: int) -> np.ndarray:
@@ -204,10 +207,9 @@ def _to_uint16_vec(v: object, key: str, n: int) -> np.ndarray:
         raise MetadataError(
             f"metadata key '{key}': expected >= {n} entries, got {len(v)}"
         )
-    return (
-        np.asarray([_to_int(x, key) for x in v[:n]], dtype=np.int64)
-        .astype(np.uint16)
-    )
+    # Whole-array conversion before the n-entry read (see _to_float_vec).
+    vals = [_to_int(x, key) for x in v]
+    return np.asarray(vals[:n], dtype=np.int64).astype(np.uint16)
 
 
 @dataclass(frozen=True)

@@ -648,3 +648,37 @@ def test_metadata_height_beyond_payload_is_our_error_their_stale_ub(
     assert rc != 0
     assert err == "Error: Failed to uncompress legacy frame\n"
     assert "Traceback" not in err
+
+
+def test_wrong_typed_element_beyond_consumed_count(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """asShotNeutral = [0.5, 1.0, 0.6, 0.5, "oops", 0.6]: the consumer
+    reads only 3 rationals, but nlohmann converts the WHOLE
+    vector<float> first, so the string at index 4 throws type_error.302
+    -> terminate (soak_json iter 3990 caught us converting only the
+    first 3 and succeeding)."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(),
+        _fm_bytes(asShotNeutral=[0.5, 1.0, 0.6, 0.5, "oops", 0.6]),
+    )
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.302"
+    )
+
+
+def test_long_array_with_valid_extras_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """...but a long array whose extras are VALID numbers converts fine
+    and the extras are ignored by the fixed-count consumer — byte
+    parity (the defined half of the same rule)."""
+    blob = _clip_raw(
+        _payload(rng),
+        json.dumps(
+            {**example_container_metadata(),
+             "blackLevel": [64, 64, 64, 64, 9, 9]}
+        ).encode(),
+        _fm_bytes(asShotNeutral=[0.5, 1.0, 0.6, 0.25]),
+    )
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
