@@ -682,3 +682,31 @@ def test_long_array_with_valid_extras_byte_parity(
         _fm_bytes(asShotNeutral=[0.5, 1.0, 0.6, 0.25]),
     )
     _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_invalid_sensor_arrangement_abort_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Unknown sensorArrangment string: the reference throws a plain
+    std::runtime_error("Invalid sensor arrangement") (example.cpp:105)
+    which is NOT a MotionCamException -> escapes the catch ->
+    terminate. Ours raises the SAME MESSAGE in-hierarchy -> clean
+    "Error: Invalid sensor arrangement"."""
+    blob = _clip_raw(
+        _payload(rng),
+        json.dumps(
+            {**example_container_metadata(), "sensorArrangment": "xyzw"}
+        ).encode(),
+        _fm_bytes(),
+    )
+    ref, rc, out, err, ref_dir, my_dir = _run_both(
+        tmp_path, blob, ref_example, capsys, monkeypatch
+    )
+    assert ref.returncode == -6
+    assert "Invalid sensor arrangement" in ref.stderr
+    assert rc != 0
+    assert out == ref.stdout
+    assert err == "Error: Invalid sensor arrangement\n"
+    ref_files = sorted(p.name for p in ref_dir.iterdir())
+    my_files = sorted(p.name for p in my_dir.iterdir())
+    assert ref_files == my_files  # audio.wav only, no DNG
