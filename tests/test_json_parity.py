@@ -710,3 +710,15 @@ def test_invalid_sensor_arrangement_abort_parity(
     ref_files = sorted(p.name for p in ref_dir.iterdir())
     my_files = sorted(p.name for p in my_dir.iterdir())
     assert ref_files == my_files  # audio.wav only, no DNG
+
+
+def test_frame_json_toplevel_array(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """Frame JSON parses to an array: outMetadata["width"] uses
+    non-const operator[] with a string key on an ARRAY ->
+    type_error.305 -> terminate after audio.wav is written."""
+    blob = _clip_raw(_payload(rng), _cm_bytes(), b"[1, 2]")
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.305"
+    )
