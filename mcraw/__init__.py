@@ -5,7 +5,12 @@ motioncam-decoder reference (see SURVEY.md). Public surface mirrors the
 reference Decoder API (Decoder.hpp:47-92) plus TPU-first batched decode.
 """
 
-from .errors import MotionCamException, IOException, DecodeError  # noqa: F401
+from .errors import (  # noqa: F401
+    DecodeError,
+    IOException,
+    MetadataError,
+    MotionCamException,
+)
 from .container import (  # noqa: F401
     ContainerReader,
     ItemType,
