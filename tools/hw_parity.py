@@ -315,6 +315,23 @@ def main() -> int:
         print("HWPAR " + json.dumps(res))
         return 0 if res["status"] in ("OK", "SKIP") else 1
 
+    if "--cases" in sys.argv:
+        # Batched worker: amortize the ~30-60s tunnel jax-init over a
+        # GROUP of cases (one HWPAR line per case, flushed as soon as it
+        # finishes). A Mosaic SIGABRT still kills the process — the
+        # driver re-runs the group's missing cases per-case.
+        group = json.loads(sys.argv[sys.argv.index("--cases") + 1])
+        rc = 0
+        for case in group:
+            try:
+                res = run_case(case)
+            except Exception as e:
+                res = {**case, "status": "ERROR", "note": repr(e)[:300]}
+            print("HWPAR " + json.dumps(res), flush=True)
+            if res["status"] not in ("OK", "SKIP"):
+                rc = 1
+        return rc
+
     quick = "--quick" in sys.argv
     geoms = ["4k", "1080p"] if quick else list(GEOMETRIES)
     contents = ["mid12"] if quick else list(CONTENTS)
@@ -455,26 +472,20 @@ def main() -> int:
         except Exception:
             pass
 
-    results = []
-    for i, case in enumerate(cases):
-        key = (case.get("geom"), case.get("content"), case.get("codec"),
-               case.get("path"), case.get("flag"))
-        if key in done:
-            results.append(done[key])
-            print(f"[{i + 1}/{len(cases)}] resume: already OK "
-                  f"{key}", flush=True)
-            continue
+    def _label(case):
         label = (
             f"{case['geom']} {case['content']} c{case['codec']} "
             f"{case['path']}"
         )
         if case.get("flag"):
             label += f" [{case['flag']}]"
-        print(f"[{i + 1}/{len(cases)}] {label} ...", flush=True)
-        if not wait_relay():
-            results.append({**case, "status": "RELAY_DOWN"})
-            print("    -> RELAY_DOWN", flush=True)
-            continue
+        return label
+
+    def _key(case):
+        return (case.get("geom"), case.get("content"), case.get("codec"),
+                case.get("path"), case.get("flag"))
+
+    def _run_one(case):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--case",
@@ -488,22 +499,99 @@ def main() -> int:
                 None,
             )
             if line:
-                res = json.loads(line[len("HWPAR "):])
-            else:
-                res = {
-                    **case, "status": "CRASH", "rc": proc.returncode,
-                    "note": (proc.stderr or "")[-300:],
-                }
+                return json.loads(line[len("HWPAR "):])
+            return {
+                **case, "status": "CRASH", "rc": proc.returncode,
+                "note": (proc.stderr or "")[-300:],
+            }
         except subprocess.TimeoutExpired:
-            res = {**case, "status": "TIMEOUT"}
-        results.append(res)
-        print(f"    -> {res['status']}", flush=True)
-        _write_results(results, tag, partial=i + 1 < len(cases))
+            return {**case, "status": "TIMEOUT"}
 
-    out = _write_results(results, tag, partial=False)
+    # Partition pending cases into groups (contiguous, capped): one
+    # subprocess per group amortizes the ~30-60s tunnel jax-init that
+    # otherwise dominates a large grid. Cases a crashed/timed-out group
+    # never reported fall back to the per-case runner.
+    GROUP = 10
+    results = []
+    done_count = 0
+    pending_run = []
+    order = []  # keys in case order, to rebuild results at the end
+    by_key = {}
+    for case in cases:
+        k = _key(case)
+        order.append(k)
+        if k in done:
+            by_key[k] = done[k]
+            done_count += 1
+            print(f"resume: already OK {k}", flush=True)
+        else:
+            pending_run.append(case)
+
+    def _flush(partial=True):
+        res_list = [by_key[k] for k in order if k in by_key]
+        return _write_results(res_list, tag, partial=partial)
+
+    groups = [
+        pending_run[i: i + GROUP]
+        for i in range(0, len(pending_run), GROUP)
+    ]
+    ncases = len(cases)
+    for g, group in enumerate(groups):
+        print(
+            f"[group {g + 1}/{len(groups)}] "
+            + ", ".join(_label(c) for c in group),
+            flush=True,
+        )
+        if not wait_relay():
+            for case in group:
+                by_key[_key(case)] = {**case, "status": "RELAY_DOWN"}
+            _flush()
+            continue
+        got = {}
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cases",
+                 json.dumps(group)],
+                capture_output=True, text=True,
+                timeout=1200 + 1200 * len(group),
+                cwd="/root/repo",
+            )
+            stdout = proc.stdout
+        except subprocess.TimeoutExpired as e:
+            stdout = (e.stdout or b"")
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode("utf-8", "replace")
+        for line in stdout.splitlines():
+            if line.startswith("HWPAR "):
+                res = json.loads(line[len("HWPAR "):])
+                got[_key(res)] = res
+        for case in group:
+            k = _key(case)
+            if k in got:
+                by_key[k] = got[k]
+                print(f"    {_label(case)} -> {got[k]['status']}",
+                      flush=True)
+            else:
+                # Group died before this case reported (Mosaic SIGABRT /
+                # timeout): isolate it in its own process.
+                print(f"    {_label(case)} missing from group; "
+                      f"re-running solo", flush=True)
+                if not wait_relay():
+                    by_key[k] = {**case, "status": "RELAY_DOWN"}
+                else:
+                    by_key[k] = _run_one(case)
+                print(f"    {_label(case)} -> {by_key[k]['status']}",
+                      flush=True)
+            _flush()
+        print(
+            f"  progress: {sum(1 for k in order if k in by_key)}/{ncases}",
+            flush=True,
+        )
+
+    out = _flush(partial=False)
     print(json.dumps(out["summary"]))
     bad = [
-        r for r in results
+        r for r in out["results"]
         if r["status"] not in ("OK", "SKIP")
     ]
     for r in bad:
