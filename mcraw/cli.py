@@ -281,7 +281,9 @@ def _cmd_preview(args: argparse.Namespace) -> int:
     n = len(frames) if args.num_frames is None else min(args.num_frames, len(frames))
     os.makedirs(args.output_dir, exist_ok=True)
     for i in range(n):
-        rgb = np.asarray(preview_frame(d, frames[i]))
+        rgb = np.asarray(
+            preview_frame(d, frames[i], demosaic=args.demosaic)
+        )
         path = os.path.join(args.output_dir, f"preview_{i:06d}.ppm")
         with open(path, "wb") as f:
             f.write(b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0]))
@@ -387,6 +389,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("-n", dest="num_frames", type=int, default=1)
     p.add_argument("--output-dir", default=".")
+    p.add_argument("--demosaic", default="bilinear",
+                   choices=("bilinear", "malvar"),
+                   help="malvar: 5x5 gradient-corrected (MHC) demosaic")
     p.set_defaults(fn=_cmd_preview)
 
     p = sub.add_parser("verify", help="clip integrity check (JSON report)")

@@ -72,6 +72,7 @@ def _develop_kernel(
     cfa: tuple = None,
     use_table: bool = True,
     gamma_mode: str = "exact",
+    demosaic: str = "bilinear",  # "malvar": MHC 5x5 gradient-corrected
     ablate: str = "",
 ):
     if use_table:
@@ -141,11 +142,18 @@ def _develop_kernel(
     g = [p[5], p[6], p[7]]
     m = [[p[8 + 3 * r + c] for c in range(3)] for r in range(3)]
 
-    raw = rscr[sl][0 : BR + 2].astype(jnp.int32).astype(jnp.float32)
+    # Compute halo: +-1 rows for the bilinear 3x3 convs, +-2 for MHC 5x5
+    # (the DMA band already carries BR+16 rows; only the top-pad depth in
+    # the wrapper changes).
+    hN = 2 if demosaic == "malvar" else 1
+    raw = rscr[sl][0 : BR + 2 * hN].astype(jnp.int32).astype(jnp.float32)
 
-    # Global image row of local band row lr is i*BR + lr - 1 (the pad rows
-    # are zeros; their x comes out 0 after the clip, matching zero-pad).
-    rr = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, 1), 0) + (i * BR - 1)
+    # Global image row of local band row lr is i*BR + lr - hN (the pad
+    # rows are zeros; their x comes out 0 after the clip, matching
+    # zero-pad).
+    rr = jax.lax.broadcasted_iota(jnp.int32, (BR + 2 * hN, 1), 0) + (
+        i * BR - hN
+    )
     yy = (rr & 1) == 0
     cc = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
     xx = (cc & 1) == 0
@@ -159,7 +167,9 @@ def _develop_kernel(
     x = jnp.clip((raw - bl) * inv_sc, 0.0, 1.0)
 
     if "dma" in ablate:  # (timing ablation) DMA + normalize only
-        out_ref[:] = jax.lax.bitcast_convert_type(x[1 : BR + 1], jnp.uint32)
+        out_ref[:] = jax.lax.bitcast_convert_type(
+            x[hN : BR + hN], jnp.uint32
+        )
         return
 
     # CFA channel of each site -> masked planes.
@@ -176,6 +186,64 @@ def _develop_kernel(
             return jnp.where(cc == W - 1, 0.0, r)
         r = pltpu.roll(v, 1, 1)
         return jnp.where(cc == 0, 0.0, r)
+
+    if demosaic == "malvar":
+        # Malvar-He-Cutler 5x5 gradient-corrected demosaic
+        # (preview._malvar_f64 is the f64 model; <= 1 LSB differential).
+        # WB is applied BEFORE the demosaic — the MHC correction terms
+        # mix channels, so gains must be on-site. Border taps are
+        # zero-padded (identical to the model's np.pad semantics).
+        def hshift2(v, d):
+            if d == 2:
+                r = pltpu.roll(v, W - 2, 1)
+                return jnp.where(cc >= W - 2, 0.0, r)
+            r = pltpu.roll(v, 2, 1)
+            return jnp.where(cc < 2, 0.0, r)
+
+        gs = jnp.where(
+            chan == 0, g[0], jnp.where(chan == 1, g[1], g[2])
+        )
+        xm = x * gs
+        mid = xm[2 : BR + 2]
+        up1, dn1 = xm[1 : BR + 1], xm[3 : BR + 3]
+        up2, dn2 = xm[0:BR], xm[4 : BR + 4]
+        h1 = hshift(mid, 1) + hshift(mid, -1)
+        h2 = hshift2(mid, 2) + hshift2(mid, -2)
+        v1 = up1 + dn1
+        v2 = up2 + dn2
+        d1 = (
+            hshift(up1, 1) + hshift(up1, -1)
+            + hshift(dn1, 1) + hshift(dn1, -1)
+        )
+        k1 = (4.0 * mid + 2.0 * (h1 + v1) - (h2 + v2)) * 0.125
+        k2 = (5.0 * mid + 4.0 * h1 - d1 - h2 + 0.5 * v2) * 0.125
+        k3 = (5.0 * mid + 4.0 * v1 - d1 - v2 + 0.5 * h2) * 0.125
+        k4 = (6.0 * mid + 2.0 * d1 - 1.5 * (h2 + v2)) * 0.125
+        cm = chan[2 : BR + 2]
+        # Channel of the HORIZONTALLY adjacent site (flips the xx branch
+        # of the chan select) — disambiguates the two G phases.
+        hcm = jnp.where(
+            yy,
+            jnp.where(xx, cfa[1], cfa[0]),
+            jnp.where(xx, cfa[3], cfa[2]),
+        )[2 : BR + 2]
+        gg = jnp.where(cm == 1, mid, k1)
+        rr_c = jnp.where(
+            cm == 0, mid,
+            jnp.where(cm == 1, jnp.where(hcm == 0, k2, k3), k4),
+        )
+        bb = jnp.where(
+            cm == 2, mid,
+            jnp.where(cm == 1, jnp.where(hcm == 2, k2, k3), k4),
+        )
+        rgb = [
+            jnp.clip(rr_c, 0.0, 1.0),
+            jnp.clip(gg, 0.0, 1.0),
+            jnp.clip(bb, 0.0, 1.0),
+        ]
+        return _develop_emit(
+            rgb, m, out_ref, BR, gamma_mode, ablate
+        )
 
     if not use_table:
         # CLOSED-FORM normalizer (exact, a few wide VPU ops — running the
@@ -243,6 +311,12 @@ def _develop_kernel(
             inv = inv_g if c == 1 else inv_rb[c]
         rgb.append(jnp.clip(num * inv * g[c], 0.0, 1.0))
 
+    return _develop_emit(rgb, m, out_ref, BR, gamma_mode, ablate)
+
+
+def _develop_emit(rgb, m, out_ref, BR, gamma_mode, ablate):
+    """Shared tail of the develop kernel: color matrix -> sRGB curve ->
+    quantize -> packed RGBA8888 store (both demosaic paths)."""
     if "demosaic" in ablate:  # (timing ablation) through the demosaic
         out_ref[:] = jax.lax.bitcast_convert_type(
             rgb[0] + rgb[1] + rgb[2], jnp.uint32
@@ -281,8 +355,8 @@ def _develop_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "cfa", "band_rows", "gamma_mode", "ablate",
-        "interpret",
+        "height", "width", "cfa", "band_rows", "gamma_mode", "demosaic",
+        "ablate", "interpret",
     ),
 )
 def develop_rgba_pallas(
@@ -297,6 +371,9 @@ def develop_rgba_pallas(
     band_rows: int | None = None,  # grid band height (None = mode default)
     gamma_mode: str = "exact",  # "poly": minimax transfer curve (see
     # _GAMMA_POLY; <= 1e-3 u8 of exact, inside the fidelity contract)
+    demosaic: str = "bilinear",  # "malvar": MHC 5x5 gradient-corrected
+    # demosaic (WB-first, zero-padded borders; compute mode only — the
+    # streamed table is the bilinear mask normalizer)
     ablate: str = "",  # timing ablations (wrong results): dma|demosaic|
     # nogamma — benchmarks/ablate_develop.py
     interpret: bool = False,
@@ -310,15 +387,30 @@ def develop_rgba_pallas(
     border's mask normalizer (column width-1) already encodes the missing
     neighbor. Padded output columns are cropped."""
     use_table = inv2d is not None
-    BR = band_rows or (BAND_ROWS if use_table else BAND_ROWS_COMPUTE)
+    if demosaic == "malvar" and use_table:
+        raise ValueError(
+            "demosaic='malvar' needs compute mode (the streamed table is "
+            "the bilinear mask normalizer); pass inv2d=None"
+        )
+    # malvar at the compute-mode default BR=64 reproducibly crashes the
+    # axon remote-compile helper at 4K (HTTP 500, subprocess exit 1 —
+    # same failure family as the >=4-inline-develop-calls crash); BR=32
+    # compiles and runs correctly (probed 2026-08-21), so malvar uses
+    # the table-mode band height.
+    BR = band_rows or (
+        BAND_ROWS if use_table or demosaic == "malvar"
+        else BAND_ROWS_COMPUTE
+    )
     nb = -(-height // BR)
     hp = nb * BR
     wp = width + (-width) % 128
-    # One top halo row + bottom zero rows to hp+16: every band's aligned
-    # (BR+16)-row DMA window is in range, and the (BR+2)-row compute halo
-    # is zero-padded exactly like the XLA path.
+    # hN top halo rows (1 bilinear, 2 malvar) + bottom zero rows to
+    # hp+16: every band's aligned (BR+16)-row DMA window is in range, and
+    # the (BR+2*hN)-row compute halo is zero-padded exactly like the
+    # model.
+    hN = 2 if demosaic == "malvar" else 1
     raw_u16 = jnp.pad(
-        raw_u16, ((1, hp + 15 - height), (0, wp - width))
+        raw_u16, ((hN, hp + 16 - hN - height), (0, wp - width))
     )
     inputs = [params, raw_u16]
     in_specs = [
@@ -350,7 +442,7 @@ def develop_rgba_pallas(
         functools.partial(
             _develop_kernel, H=hp, W=wp, real_h=height, real_w=width,
             cfa=tuple(cfa), use_table=use_table, gamma_mode=gamma_mode,
-            ablate=ablate,
+            demosaic=demosaic, ablate=ablate,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * BR, wp), jnp.uint32),

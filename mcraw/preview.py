@@ -107,11 +107,57 @@ def _np_conv2same(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     return acc
 
 
-def develop_f64(raw, black, white, neutral, fwd, cfa) -> np.ndarray:
+def _malvar_f64(x: np.ndarray, chan: np.ndarray, hc: np.ndarray):
+    """Malvar-He-Cutler 5x5 gradient-corrected demosaic on a
+    white-balanced mosaic (float64, zero-padded taps, per-pixel
+    site-class select). Returns (R, G, B) planes (unclipped).
+
+    x: normalized+WB mosaic; chan: per-site channel (0/1/2); hc: channel
+    of the HORIZONTALLY adjacent site (disambiguates the two G phases).
+    """
+    h, w = x.shape
+    p = np.pad(x, 2)
+
+    def sh(dy, dx):
+        return p[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
+
+    h1 = sh(0, 1) + sh(0, -1)
+    v1 = sh(1, 0) + sh(-1, 0)
+    h2 = sh(0, 2) + sh(0, -2)
+    v2 = sh(2, 0) + sh(-2, 0)
+    d1 = sh(1, 1) + sh(1, -1) + sh(-1, 1) + sh(-1, -1)
+    # The four MHC estimators (x 1/8): G at a chroma site; chroma with
+    # its same-color neighbors in-ROW; in-COLUMN; and diagonal.
+    k1 = (4.0 * x + 2.0 * (h1 + v1) - (h2 + v2)) * 0.125
+    k2 = (5.0 * x + 4.0 * h1 - d1 - h2 + 0.5 * v2) * 0.125
+    k3 = (5.0 * x + 4.0 * v1 - d1 - v2 + 0.5 * h2) * 0.125
+    k4 = (6.0 * x + 2.0 * d1 - 1.5 * (h2 + v2)) * 0.125
+
+    g = np.where(chan == 1, x, k1)
+    r = np.where(
+        chan == 0, x,
+        np.where(chan == 1, np.where(hc == 0, k2, k3), k4),
+    )
+    b = np.where(
+        chan == 2, x,
+        np.where(chan == 1, np.where(hc == 2, k2, k3), k4),
+    )
+    return r, g, b
+
+
+def develop_f64(raw, black, white, neutral, fwd, cfa,
+                demosaic: str = "bilinear") -> np.ndarray:
     """Scalar float64 model of the EXACT preview pipeline (normalize ->
     WB folded into the demosaic normalizer -> mask-normalized bilinear
     demosaic -> fwd matrix -> XYZ(D50)->sRGB -> gamma -> quantize).
     Returns (H, W, 3) int64 u8 channel values.
+
+    demosaic="malvar": the Malvar-He-Cutler 5x5 gradient-corrected
+    kernels instead of bilinear. WB is applied BEFORE the demosaic (the
+    MHC correction terms mix channels, so the gains must be on-site);
+    border taps are zero-padded (the 2px ring is clip-darkened — the
+    kernel implements identical semantics). Bilinear keeps its original
+    WB-after-normalized-conv form (channels never mix there).
 
     This is the ground truth the Pallas develop kernel is bounded against
     (<= 1 LSB): tests/test_preview.py pins the bound on small frames, and
@@ -124,15 +170,24 @@ def develop_f64(raw, black, white, neutral, fwd, cfa) -> np.ndarray:
     bl = np.where(yy == 0, np.where(xx == 0, b[0], b[1]),
                   np.where(xx == 0, b[2], b[3]))
     x = np.clip((raw.astype(np.float64) - bl) / (float(white) - bl), 0, 1)
-    masks = _phase_masks(h, w, tuple(cfa)).astype(np.float64)
     gains = 1.0 / np.asarray(neutral, np.float64)
-    chans = []
-    for c, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL)):
-        k = k.astype(np.float64)
-        num = _np_conv2same(x * masks[c], k)
-        den = _np_conv2same(masks[c], k)
-        chans.append(num / den * gains[c])
-    rgb = np.clip(np.stack(chans, -1), 0, 1)
+    if demosaic == "malvar":
+        cfa = tuple(cfa)
+        pos = yy * 2 + xx
+        chan = np.choose(pos, cfa)
+        hc = np.choose(pos ^ 1, cfa)
+        xm = x * gains[chan]
+        r, g, gb = _malvar_f64(xm, chan, hc)
+        rgb = np.clip(np.stack([r, g, gb], -1), 0, 1)
+    else:
+        masks = _phase_masks(h, w, tuple(cfa)).astype(np.float64)
+        chans = []
+        for c, k in ((0, _K_FULL), (1, _K_CROSS), (2, _K_FULL)):
+            k = k.astype(np.float64)
+            num = _np_conv2same(x * masks[c], k)
+            den = _np_conv2same(masks[c], k)
+            chans.append(num / den * gains[c])
+        rgb = np.clip(np.stack(chans, -1), 0, 1)
     m = _XYZ_D50_TO_SRGB.astype(np.float64) @ np.asarray(fwd, np.float64)
     rgb = np.clip(rgb @ m.T, 0, 1)
     rgb = np.where(rgb <= 0.0031308, 12.92 * rgb,
@@ -283,6 +338,7 @@ def develop_rgba(
     width: int,
     cfa: tuple,
     use_table: bool = False,
+    demosaic: str = "bilinear",
     interpret: bool = False,
 ) -> jax.Array:
     """(H, W) uint32 RGBA8888 via the fused Pallas develop kernel
@@ -295,8 +351,16 @@ def develop_rgba(
     to the precomputed table — exact small-integer conv sums — while
     skipping the (3H, W) f32 HBM stream AND the ~150 MB host table build +
     upload per geometry). use_table=True keeps the streamed-table A/B
-    baseline shared with the XLA pipeline."""
+    baseline shared with the XLA pipeline.
+
+    demosaic="malvar": Malvar-He-Cutler 5x5 gradient-corrected demosaic
+    (the ISP-standard quality upgrade over bilinear: gradient terms from
+    the co-sited channel suppress zipper artifacts). Compute mode only;
+    <= 1 LSB vs the develop_f64 malvar model."""
     from .kernels import pallas_develop as PD
+
+    if demosaic == "malvar" and use_table:
+        raise ValueError("malvar demosaic requires use_table=False")
 
     params = jnp.asarray(
         PD.pack_develop_params(
@@ -315,7 +379,8 @@ def develop_rgba(
     )
     return PD.develop_rgba_pallas(
         raw_u16, params, inv2d,
-        height=height, width=width, cfa=tuple(cfa), interpret=interpret,
+        height=height, width=width, cfa=tuple(cfa), demosaic=demosaic,
+        interpret=interpret,
     )
 
 
@@ -326,11 +391,14 @@ def _fused_eligible(height: int, width: int) -> bool:
     return height > 2
 
 
-def _frame_rgba(img, fm, cm, cfa, interpret: bool) -> jax.Array:
+def _frame_rgba(img, fm, cm, cfa, interpret: bool,
+                demosaic: str = "bilinear") -> jax.Array:
     """Shared develop dispatch: fused Pallas kernel when eligible, else
     the XLA pipeline packed to RGBA. The single home of the eligibility
     rule (preview_frame / preview_frame_rgba / preview_clip all route
-    here)."""
+    here). demosaic="malvar" needs the fused kernel; the XLA fallback
+    only implements bilinear, so degenerate geometries fall back to
+    bilinear regardless."""
     from .color import interpolated_matrices
 
     fwd, _, _ = interpolated_matrices(cm, fm.as_shot_neutral)
@@ -344,7 +412,7 @@ def _frame_rgba(img, fm, cm, cfa, interpret: bool) -> jax.Array:
         return develop_rgba(
             img, *args,
             height=fm.height, width=fm.width, cfa=cfa,
-            interpret=interpret,
+            demosaic=demosaic, interpret=interpret,
         )
     rgb = develop(
         img, *args, _inv_dens_device(fm.height, fm.width, cfa),
@@ -363,7 +431,8 @@ def _on_cpu() -> bool:
     return _jax.devices()[0].platform == "cpu"
 
 
-def preview_frame_rgba(decoder, timestamp: int) -> jax.Array:
+def preview_frame_rgba(decoder, timestamp: int,
+                       demosaic: str = "bilinear") -> jax.Array:
     """Decode + fused develop on-device; returns (H, W) uint32 RGBA8888.
 
     Uses the Pallas develop kernel when the geometry allows (width a
@@ -372,10 +441,13 @@ def preview_frame_rgba(decoder, timestamp: int) -> jax.Array:
     img, meta = decoder.load_frame_device(timestamp)
     cm = ContainerMetadata(decoder.container_metadata)
     fm = FrameMetadata(meta)
-    return _frame_rgba(img, fm, cm, tuple(cm.cfa_pattern), _on_cpu())
+    return _frame_rgba(
+        img, fm, cm, tuple(cm.cfa_pattern), _on_cpu(), demosaic=demosaic
+    )
 
 
-def preview_frame(decoder, timestamp: int) -> jax.Array:
+def preview_frame(decoder, timestamp: int,
+                  demosaic: str = "bilinear") -> jax.Array:
     """Decode + develop one frame fully on-device; returns (H, W, 3) uint8.
 
     Routes through the fused Pallas kernel when the geometry allows: on
@@ -384,7 +456,7 @@ def preview_frame(decoder, timestamp: int) -> jax.Array:
     this large fusion — up to 20/255 — however the ops are expressed; the
     Pallas kernel holds <= 1 LSB). Prefer preview_frame_rgba for playback
     (it skips the (H, W, 3) unpack, a layout XLA handles poorly)."""
-    rgba = preview_frame_rgba(decoder, timestamp)
+    rgba = preview_frame_rgba(decoder, timestamp, demosaic=demosaic)
     return jnp.stack(
         [
             (rgba & 0xFF).astype(jnp.uint8),

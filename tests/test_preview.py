@@ -447,3 +447,144 @@ def test_preview_frame_uses_interpolated_matrix(rng):
     want_fm1 = _develop_f64(img, cm.black_level, cm.white_level,
                             fm.as_shot_neutral, _FM1, tuple(cm.cfa_pattern))
     assert np.max(np.abs(want - want_fm1)) > 2  # interpolation matters
+
+
+@pytest.mark.parametrize(
+    "shape,sensor",
+    [((40, 256), "rggb"), ((36, 250), "bggr"), ((64, 128), "grbg"),
+     ((48, 320), "gbrg")],
+)
+def test_malvar_kernel_matches_f64_model(shape, sensor):
+    """Malvar-He-Cutler demosaic (r5 beyond-reference feature): the
+    fused kernel's malvar path vs the f64 scalar model, <= 1 LSB across
+    CFAs, ragged widths, and band borders (band_rows=16 puts interior
+    band seams inside the 5x5 halo)."""
+    import jax.numpy as jnp
+
+    from mcraw.kernels import pallas_develop as PD
+    from mcraw.metadata import CFA_PATTERNS
+    from mcraw.preview import develop_f64
+
+    h, w = shape
+    cfa = tuple(CFA_PATTERNS[sensor])
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    black = np.array([64, 60, 70, 64], np.float32)
+    white = 4095.0
+    neutral = np.array([0.61, 1.0, 0.72], np.float32)
+    fwd = np.array(
+        [[0.86, 0.08, 0.02], [0.04, 0.91, 0.05], [0.01, 0.06, 0.76]],
+        np.float32,
+    )
+    params = jnp.asarray(
+        PD.pack_develop_params(black, white, neutral, fwd)
+    )
+    rgba = np.asarray(
+        PD.develop_rgba_pallas(
+            jnp.asarray(raw), params, None, height=h, width=w, cfa=cfa,
+            demosaic="malvar", band_rows=16, interpret=True,
+        )
+    ).astype(np.int64)
+    model = develop_f64(
+        raw, black, white, neutral, fwd, cfa, demosaic="malvar"
+    )
+    got = np.stack(
+        [rgba & 0xFF, (rgba >> 8) & 0xFF, (rgba >> 16) & 0xFF], -1
+    )
+    assert int(np.abs(got - model).max()) <= 1
+    assert int(((rgba >> 24) & 0xFF).min()) == 255
+
+
+def test_malvar_beats_bilinear_on_gradients():
+    """Quality property: on a smooth neutral-grey linear ramp (where the
+    true full-RGB image is known exactly), MHC's gradient correction
+    must reconstruct the interior strictly better than bilinear."""
+    h, w = 64, 256
+    cfa = (0, 1, 1, 2)
+    # Neutral scene (R=G=B): ideal reconstruction equals the ramp itself.
+    ramp = np.clip(
+        np.linspace(200, 3800, w)[None, :]
+        + np.linspace(0, 280, h)[:, None],
+        0, 4095,
+    ).astype(np.uint16)
+    black = np.zeros(4, np.float32)
+    white = 4095.0
+    neutral = np.ones(3, np.float32)
+    fwd = np.diag([0.9642, 1.0, 0.8249]).astype(np.float32)
+
+    from mcraw.preview import develop_f64
+
+    # On a NEUTRAL scene (every channel sees the same signal), the ideal
+    # demosaic output is the mosaic value itself at every pixel for all
+    # three channels — an analytic ground truth both modes are scored
+    # against after the identical tonemap.
+    truth = develop_f64(
+        ramp, black, white, neutral, fwd, cfa, demosaic="malvar"
+    )
+    bil = develop_f64(ramp, black, white, neutral, fwd, cfa)
+    # Analytic truth: the pipeline applied to the ramp value itself at
+    # every pixel for all three channels (neutral scene, diag matrix).
+    x = np.clip(ramp.astype(np.float64) / white, 0, 1)
+    m = np.diag([0.9642, 1.0, 0.8249])
+    from mcraw.preview import _XYZ_D50_TO_SRGB
+
+    mm = _XYZ_D50_TO_SRGB.astype(np.float64) @ m
+    rgb = np.clip(np.stack([x, x, x], -1) @ mm.T, 0, 1)
+    rgb = np.where(rgb <= 0.0031308, 12.92 * rgb,
+                   1.055 * np.power(rgb, 1 / 2.4) - 0.055)
+    ideal = np.round(np.clip(rgb, 0, 1) * 255.0).astype(np.int64)
+
+    interior = np.s_[4:-4, 4:-4]
+    err_m = np.abs(truth[interior] - ideal[interior]).mean()
+    err_b = np.abs(bil[interior] - ideal[interior]).mean()
+    # On a LINEAR ramp both are near-exact; the property that matters is
+    # that malvar is not WORSE, and strictly better on curvature. Add a
+    # quadratic bump to create curvature:
+    yy, xx = np.mgrid[0:h, 0:w]
+    curved = np.clip(
+        1000 + 2500 * np.sin(xx / 17.0) ** 2 + 400 * np.sin(yy / 9.0),
+        0, 4095,
+    ).astype(np.uint16)
+    t_m = develop_f64(curved, black, white, neutral, fwd, cfa,
+                      demosaic="malvar")
+    t_b = develop_f64(curved, black, white, neutral, fwd, cfa)
+    xc = np.clip(curved.astype(np.float64) / white, 0, 1)
+    rgbc = np.clip(np.stack([xc, xc, xc], -1) @ mm.T, 0, 1)
+    rgbc = np.where(rgbc <= 0.0031308, 12.92 * rgbc,
+                    1.055 * np.power(rgbc, 1 / 2.4) - 0.055)
+    idealc = np.round(np.clip(rgbc, 0, 1) * 255.0).astype(np.int64)
+    em = np.abs(t_m[interior] - idealc[interior]).mean()
+    eb = np.abs(t_b[interior] - idealc[interior]).mean()
+    assert err_m <= err_b + 0.01  # ramp: no worse
+    assert em < eb  # curvature: strictly better
+
+
+def test_preview_cli_demosaic_flag(tmp_path, rng, capsys, monkeypatch):
+    """`mcraw preview --demosaic malvar` produces a PPM that differs
+    from bilinear (the modes are genuinely different pipelines) while
+    both run end-to-end."""
+    from mcraw import encode as E
+    from mcraw.cli import main as cli_main
+    from mcraw.metadata import (
+        example_container_metadata,
+        example_frame_metadata,
+    )
+
+    writer = E.ContainerWriter(example_container_metadata())
+    img = rng.integers(0, 1024, size=(16, 256), dtype=np.uint16)
+    writer.add_frame(1, E.encode_modern(img), example_frame_metadata(256, 16))
+    writer.add_audio(np.zeros(32, np.int16), 500)
+    clip = tmp_path / "clip.mcraw"
+    clip.write_bytes(writer.finish())
+    for mode in ("bilinear", "malvar"):
+        out = tmp_path / mode
+        rc = cli_main([
+            "preview", str(clip), "--output-dir", str(out),
+            "--demosaic", mode,
+        ])
+        capsys.readouterr()
+        assert rc == 0
+        assert (out / "preview_000000.ppm").exists()
+    a = (tmp_path / "bilinear" / "preview_000000.ppm").read_bytes()
+    b = (tmp_path / "malvar" / "preview_000000.ppm").read_bytes()
+    assert a != b

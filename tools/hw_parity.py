@@ -159,8 +159,10 @@ def golden_develop(case: dict) -> str:
     interpret kernel is the tested reference: <= 1 LSB vs the f64 model
     (tests/test_preview.py)."""
     h, w, content = case["h"], case["w"], case["content"]
+    dem = case.get("demosaic", "bilinear")
     os.makedirs(CACHE_DIR, exist_ok=True)
-    path = f"{CACHE_DIR}/dev_{h}x{w}_{content}.npz"
+    suffix = "" if dem == "bilinear" else f"_{dem}"
+    path = f"{CACHE_DIR}/dev_{h}x{w}_{content}{suffix}.npz"
     if not os.path.exists(path):
         import jax.numpy as jnp
 
@@ -169,13 +171,16 @@ def golden_develop(case: dict) -> str:
 
         black, white, neutral, fwd, cfa = _dev_setup(h, w)
         img = make_img(h, w, content)
-        inv2d = preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+        inv2d = (
+            preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+            if dem == "bilinear" else None
+        )
         params = jnp.asarray(
             PD.pack_develop_params(black, white, neutral, fwd)
         )
         rgba = PD.develop_rgba_pallas(
             jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa,
-            interpret=True,
+            demosaic=dem, interpret=True,
         )
         tmp = path + f".tmp{os.getpid()}"
         np.savez(tmp, rgba=np.asarray(rgba))
@@ -232,14 +237,19 @@ def run_case(case: dict) -> dict:
             }
         golden = np.load(gline[len("GOLDEN "):])["rgba"]
 
+        dem = case.get("demosaic", "bilinear")
         black, white, neutral, fwd, cfa = _dev_setup(h, w)
-        inv2d = preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+        inv2d = (
+            preview._inv_dens_device(h, w, cfa).reshape(3 * h, w)
+            if dem == "bilinear" else None
+        )
         params = jnp.asarray(
             PD.pack_develop_params(black, white, neutral, fwd)
         )
         t0 = time.perf_counter()
         rgba = PD.develop_rgba_pallas(
-            jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa
+            jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa,
+            demosaic=dem,
         )
 
         @jax.jit
@@ -379,6 +389,15 @@ def main() -> int:
             {
                 "geom": "4k", "h": h, "w": w, "content": "full16",
                 "codec": 7, "path": "v5", "flag": "uniform16", "kw": {},
+            }
+        )
+        cases.append(
+            # Malvar demosaic (r5): the MHC 5x5 kernel path on silicon
+            # vs the interpret golden.
+            {
+                "geom": "4k", "h": h, "w": w, "content": "mid12",
+                "codec": 0, "path": "dev", "flag": "dev_malvar",
+                "demosaic": "malvar",
             }
         )
         cases.append(
