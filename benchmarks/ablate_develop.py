@@ -61,6 +61,11 @@ VARIANTS = {
     # NOT checksum-equal to the exact curve, so gated only on
     # self-consistency via check=False)
     "compute_gpoly": (False, "", None, {"gamma_mode": "poly"}),
+    # Malvar-He-Cutler 5x5 demosaic (r5 feature; BR=32 default — BR=64
+    # malvar crashes the remote-compile helper at 4K). Different pixels
+    # than bilinear by design -> self-consistency gate only.
+    "malvar": (False, "", None, {"demosaic": "malvar"}),
+    "malvar_br16": (False, "", 16, {"demosaic": "malvar"}),
 }
 
 DEFAULT = [
