@@ -432,6 +432,16 @@ def main() -> int:
                         "codec": 0, "path": "dev",
                     }
                 )
+                if content == "mid12":
+                    # Malvar demosaic (r5): one silicon case per
+                    # geometry (content doesn't change the MHC paths).
+                    cases.append(
+                        {
+                            "geom": g, "h": h, "w": w, "content": content,
+                            "codec": 0, "path": "dev",
+                            "flag": "dev_malvar", "demosaic": "malvar",
+                        }
+                    )
 
     def wait_relay(max_probes=70, sleep_s=240) -> bool:
         """The axon relay dies for hours at a time (CLAUDE.md) — executes
