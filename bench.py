@@ -436,7 +436,7 @@ def bench_legacy_tpu(imgs, h=None, w=None):
     return 1.0 / _bench_inline_xn(call, argsets, want)
 
 
-def bench_preview_tpu(payloads, imgs):
+def bench_preview_tpu(payloads, imgs, demosaic="bilinear"):
     """Official fused decode->develop preview leg (VERDICT r3 #2):
     4K RAW payload -> RGBA8888 on device (decode_modern_device_v6 +
     pallas_develop), the consumer-side pipeline of example.cpp:96-130.
@@ -495,7 +495,7 @@ def bench_preview_tpu(payloads, imgs):
         # inv2d=None: in-kernel normalizer (the shipping default; bitwise
         # equal to the table path, tests/test_preview.py).
         rgba = PD.develop_rgba_pallas.__wrapped__(
-            im, prm, None, height=H, width=W, cfa=cfa
+            im, prm, None, height=H, width=W, cfa=cfa, demosaic=demosaic
         )
         return device_checksum(rgba, interpret=False)
 
@@ -524,7 +524,7 @@ def bench_preview_tpu(payloads, imgs):
             rows=rows, sub_rows=sub_rows, nfields=nf,
         )
         return PD.develop_rgba_pallas.__wrapped__(
-            im, prm, None, height=H, width=W, cfa=cfa
+            im, prm, None, height=H, width=W, cfa=cfa, demosaic=demosaic
         )
 
     from mcraw.preview import develop_f64
@@ -532,7 +532,7 @@ def bench_preview_tpu(payloads, imgs):
     rgba0 = np.asarray(jax.jit(full_rgba)(*argsets[0])).astype(np.int64)
     model = develop_f64(
         imgs[0], np.zeros(4), 4095.0, np.ones(3),
-        np.diag([0.9642, 1.0, 0.8249]), cfa,
+        np.diag([0.9642, 1.0, 0.8249]), cfa, demosaic=demosaic,
     )
     got3 = np.stack(
         [rgba0 & 0xFF, (rgba0 >> 8) & 0xFF, (rgba0 >> 16) & 0xFF], axis=-1
@@ -841,6 +841,14 @@ def _run(imgs, payloads):
     except Exception as e:
         print(f"warning: legacy preview leg failed ({e!r})", file=sys.stderr)
         fps_preview_legacy = None
+    try:
+        fps_preview_malvar = (
+            bench_preview_tpu(payloads, imgs, demosaic="malvar")
+            if use_pallas is None else None
+        )
+    except Exception as e:
+        print(f"warning: malvar preview leg failed ({e!r})", file=sys.stderr)
+        fps_preview_malvar = None
 
     # 1080p legs (VERDICT r4 #4): small-frame dispatch amortization is
     # exactly where per-launch overhead bites — certify it instead of
@@ -884,6 +892,10 @@ def _run(imgs, payloads):
                 ),
                 "decode_develop_fps": (
                     round(fps_preview, 1) if fps_preview else None
+                ),
+                "decode_develop_malvar_fps": (
+                    round(fps_preview_malvar, 1)
+                    if fps_preview_malvar else None
                 ),
                 "decode_develop_legacy_fps": (
                     round(fps_preview_legacy, 1)
