@@ -467,7 +467,8 @@ def preview_frame(decoder, timestamp: int,
     )
 
 
-def preview_clip(decoder, timestamps=None, batch_frames: int = 8):
+def preview_clip(decoder, timestamps=None, batch_frames: int = 8,
+                 demosaic: str = "bilinear"):
     """Playback pipeline: yields (timestamp, (H, W) uint32 RGBA8888 device
     array) for each frame, decoding in batched launches (the v6 batch
     path) and developing with the fused kernel (XLA fallback for
@@ -484,5 +485,7 @@ def preview_clip(decoder, timestamps=None, batch_frames: int = 8):
     ):
         for k in range(imgs.shape[0]):
             fm = FrameMetadata(metas[k])
-            yield timestamps[i], _frame_rgba(imgs[k], fm, cm, cfa, interp)
+            yield timestamps[i], _frame_rgba(
+                imgs[k], fm, cm, cfa, interp, demosaic=demosaic
+            )
             i += 1
