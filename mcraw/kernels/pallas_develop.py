@@ -241,9 +241,7 @@ def _develop_kernel(
             jnp.clip(gg, 0.0, 1.0),
             jnp.clip(bb, 0.0, 1.0),
         ]
-        return _develop_emit(
-            rgb, m, out_ref, BR, gamma_mode, ablate
-        )
+        return _develop_emit(rgb, m, out_ref, gamma_mode, ablate)
 
     if not use_table:
         # CLOSED-FORM normalizer (exact, a few wide VPU ops — running the
@@ -311,10 +309,10 @@ def _develop_kernel(
             inv = inv_g if c == 1 else inv_rb[c]
         rgb.append(jnp.clip(num * inv * g[c], 0.0, 1.0))
 
-    return _develop_emit(rgb, m, out_ref, BR, gamma_mode, ablate)
+    return _develop_emit(rgb, m, out_ref, gamma_mode, ablate)
 
 
-def _develop_emit(rgb, m, out_ref, BR, gamma_mode, ablate):
+def _develop_emit(rgb, m, out_ref, gamma_mode, ablate):
     """Shared tail of the develop kernel: color matrix -> sRGB curve ->
     quantize -> packed RGBA8888 store (both demosaic paths)."""
     if "demosaic" in ablate:  # (timing ablation) through the demosaic

@@ -359,8 +359,6 @@ def develop_rgba(
     <= 1 LSB vs the develop_f64 malvar model."""
     from .kernels import pallas_develop as PD
 
-    if demosaic == "malvar" and use_table:
-        raise ValueError("malvar demosaic requires use_table=False")
 
     params = jnp.asarray(
         PD.pack_develop_params(
@@ -413,6 +411,13 @@ def _frame_rgba(img, fm, cm, cfa, interpret: bool,
             img, *args,
             height=fm.height, width=fm.width, cfa=cfa,
             demosaic=demosaic, interpret=interpret,
+        )
+    if demosaic != "bilinear":
+        # The XLA fallback implements only bilinear; silently substituting
+        # it would misrepresent the requested mode.
+        raise ValueError(
+            f"demosaic={demosaic!r} needs the fused kernel, which this "
+            f"geometry ({fm.height}x{fm.width}) cannot use"
         )
     rgb = develop(
         img, *args, _inv_dens_device(fm.height, fm.width, cfa),
