@@ -288,10 +288,18 @@ def classify(ref, mine, ref_dir, my_dir, geom_mismatch=False):
         return files_equal()
     # Abort class (SIGABRT etc. — negative rc from signal)
     if mine.returncode == 0:
+        if geom_mismatch:
+            return None  # ref UB-decoded then died later; we cropped
         return "we succeeded where reference aborted"
     if not clean_ours:
         return f"our failure not clean: stderr={mine.stderr[:200]!r}"
     if mine.stdout != ref.stdout:
+        if geom_mismatch:
+            # Fault STAGE legitimately differs: we stop at the decode
+            # (truncation error) where the reference UB-"succeeds" the
+            # decode off stale buffers and dies later (e.g. a missing
+            # writeDng key) — after printing its "Writing ..." line.
+            return None
         return "stdout-prefix parity failed on abort case"
     return None
 
