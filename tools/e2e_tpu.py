@@ -33,7 +33,12 @@ def main() -> int:
     assert ref_exe, "reference example unavailable"
 
     d = tempfile.mkdtemp(prefix="mcraw_e2e_")
-    env = {**os.environ, "PYTHONPATH": REPO}
+    # APPEND to PYTHONPATH: the axon TPU plugin loads from a site dir
+    # already on it (overwriting breaks backend registration).
+    env = {
+        **os.environ,
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    }
     for codec in (7, 6):
         clip = os.path.join(d, f"clip{codec}.mcraw")
         subprocess.run(
