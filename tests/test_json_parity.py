@@ -722,3 +722,19 @@ def test_frame_json_toplevel_array(
     _assert_abort_parity(
         tmp_path, blob, ref_example, capsys, monkeypatch, "type_error.305"
     )
+
+
+def test_beyond_int64min_width_fast_clean_error(rng):
+    """width = -(2^63)-1 (below int64 min -> nlohmann double fallback ->
+    INT_MIN) with height = -7: the reference grinds minutes inside a
+    multi-GB zero-filling resize (resource-exhaustion UB, observed as a
+    soak timeout); we reject the geometry instantly and cleanly."""
+    blob = _clip_raw(
+        _payload(rng), _cm_bytes(),
+        _fm_bytes(width=-(1 << 63) - 1, height=-7),
+    )
+    d = Decoder(blob, backend="numpy")
+    from mcraw.errors import DecodeError
+
+    with pytest.raises(DecodeError, match="invalid frame geometry"):
+        d.load_frame(d.frames[0])

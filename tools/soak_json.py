@@ -367,8 +367,20 @@ def main():
                 # A wedged binary on a mutated clip is itself a finding;
                 # record it and keep soaking (the whole input domain is
                 # pathological — one hang must not kill the budget).
+                # EXCEPT: the REFERENCE grinding >120s on payload-
+                # mismatched geometry is its resource-exhaustion UB
+                # (observed: width = -(2^63)-1 -> INT_MIN, height = -7
+                # -> a multi-GB zero-filling resize) — our side rejects
+                # the same metadata instantly; nothing to match.
                 ref = mine = None
-                reason = f"timeout: {e.cmd[:2]}"
+                timed_out_ref = str(e.cmd[0]).endswith("ref_example")
+                if timed_out_ref and gm:
+                    print(f"  note iter={iters}: reference resource-"
+                          f"exhaustion timeout on mismatched geometry "
+                          f"(allowed UB class)", flush=True)
+                    reason = None
+                else:
+                    reason = f"timeout: {e.cmd[:2]}"
             if reason is not None:
                 fails += 1
                 dump = outdir / f"soak_json_fail_{iters}.json"
