@@ -78,7 +78,15 @@ def parse_metadata_json(data: bytes) -> object:
     Python's json would accept, and overflowing number literals; huge
     integer literals degrade to double exactly like nlohmann's lexer.
     Raises MetadataError (the reference's parse_error escapes its catch
-    and aborts, example.cpp:196-199)."""
+    and aborts, example.cpp:196-199).
+
+    NUL semantics (probed live, found by tools/soak_json.py): nlohmann
+    truncates the input at the first NUL byte — '{...}\\x00<garbage>'
+    parses (everything after the NUL silently ignored) while a NUL
+    inside the document fails as a truncated document. Replicated by
+    splitting at the first NUL before parsing."""
+    if isinstance(data, (bytes, bytearray)):
+        data = bytes(data).split(b"\x00", 1)[0]
     try:
         return json.loads(
             data,

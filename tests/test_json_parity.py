@@ -738,3 +738,29 @@ def test_beyond_int64min_width_fast_clean_error(rng):
 
     with pytest.raises(DecodeError, match="invalid frame geometry"):
         d.load_frame(d.frames[0])
+
+
+def test_trailing_nul_and_garbage_byte_parity(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """'{...}\\x00x' container JSON: nlohmann truncates the input at the
+    first NUL byte, so the document PARSES and everything after the NUL
+    — including non-NUL garbage — is silently ignored (probed live;
+    found by soak_json iter 3596, where we rejected with 'Extra data').
+    Full byte parity."""
+    cm = json.dumps(example_container_metadata()).encode() + b"\x00x"
+    blob = _clip_raw(_payload(rng), cm, _fm_bytes())
+    _assert_byte_parity(tmp_path, blob, ref_example, capsys, monkeypatch)
+
+
+def test_mid_document_nul_both_fail(
+    tmp_path, rng, ref_example, capsys, monkeypatch
+):
+    """A NUL INSIDE the document: the truncate-at-first-NUL model leaves
+    an unterminated document -> parse error in both."""
+    base = json.dumps(example_container_metadata()).encode()
+    cm = base[:-2] + b"\x00" + base[-2:]
+    blob = _clip_raw(_payload(rng), cm, _fm_bytes())
+    _assert_abort_parity(
+        tmp_path, blob, ref_example, capsys, monkeypatch, "parse_error"
+    )
