@@ -18,7 +18,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   the uniform16 fast path and no longer bound anything from below).
 - all16_fps: pure all-16-bit frames via the uniform16 fast path.
 - legacy_fps_4k: legacy-codec (type 6) 4K decode, fused v5 kernel.
-- decode_develop_fps: fused RAW->RGBA8888 preview (decode + develop).
+- decode_develop_fps: fused RAW->RGBA8888 preview (decode + develop);
+  decode_develop_malvar_fps: the same leg with the Malvar-He-Cutler
+  demosaic; decode_develop_legacy_fps: the legacy-codec preview leg.
 - fps_1080p / legacy_fps_1080p: the same modern/legacy legs at 1920x1080
   (small-frame dispatch amortization, certified since round 5).
 All legs share the inline-xN + amortized-force + checksum-gate harness.
