@@ -326,7 +326,8 @@ def _timed(f):
     return time.perf_counter() - t0
 
 
-def _bench_inline_xn(build_call, argsets, want_mod32, iters=None):
+def _bench_inline_xn(build_call, argsets, want_mod32, iters=None,
+                     frames_per_call=1):
     """Shared device-throughput discipline for the extra legs: N inline
     calls with DISTINCT jit parameters (trap #5: XLA CSEs identical pure
     pallas calls), fold checksums, ONE amortized scalar force per burst
@@ -339,17 +340,20 @@ def _bench_inline_xn(build_call, argsets, want_mod32, iters=None):
     them ONCE and loops over the additions; the checksum still passes
     (semantics preserved) while the "throughput" inflates by the trip
     count (observed: 4685 "fps" vs 745 real on the n=2 preview leg).
-    Submission amortization requires DISTINCT per-call data, and the
-    develop legs are capped at N=2 by the remote-compile crash — their
-    official numbers therefore carry ~0.17 ms/frame of submission share;
-    device truth is the net number (benchmarks/probe_fused_preview.json:
-    dec 0.627 + dev 0.398 + fusion 0.079 = 1.103 ms -> ~900 fps)."""
+    Submission amortization requires DISTINCT per-call data. The develop
+    legs are capped at 2 develop custom-calls per program by the
+    remote-compile crash; since late r5 they vmap 2 distinct frames
+    through each develop call (frames_per_call=2, 4 frames/dispatch),
+    halving the residual submission share vs the old n=2 shape
+    (~0.17 ms/frame); device truth is still the net number
+    (benchmarks/probe_fused_preview.json: dec 0.627 + dev 0.398 +
+    fusion 0.079 = 1.103 ms -> ~900 fps)."""
     import jax
     import jax.numpy as jnp
 
     n = len(argsets)
     if iters is None:
-        iters = max(ITERS_XN, -(-400 // n))
+        iters = max(ITERS_XN, -(-400 // (n * frames_per_call)))
     flat = [x for a in argsets for x in a]
     na = len(argsets[0])
 
@@ -370,7 +374,9 @@ def _bench_inline_xn(build_call, argsets, want_mod32, iters=None):
             o = fn(*flat)
             acc = o if acc is None else acc + o
         total = int(acc) % (1 << 32)
-        best = min(best, (time.perf_counter() - t0) / (iters * n))
+        best = min(
+            best, (time.perf_counter() - t0) / (iters * n * frames_per_call)
+        )
         assert total == (want_mod32 * iters) % (1 << 32), \
             "burst checksum mismatch"
     return best
@@ -463,11 +469,17 @@ def bench_preview_tpu(payloads, imgs, demosaic="bilinear"):
             np.diag([0.9642, 1.0, 0.8249]).astype(np.float32),
         )
     )
-    # n=2: the axon remote-compile helper dies on programs with >= 4
-    # inline develop pallas calls (probed 2026-08-20; decode kernels take
-    # 8 fine). Distinct args still defeat CSE (trap #5); the RTT share is
-    # amortized over ITERS_XN chained dispatches per force (trap #7).
-    n = 2
+    # 4 distinct frames, dispatched as 2 PAIRS: each pair shares one
+    # vmapped develop pallas call (leading grid axis), so the program
+    # still holds only 2 develop custom-calls — under the remote-compile
+    # helper's >=4-inline-develop crash threshold (probed 2026-08-20;
+    # decode kernels take 8 fine) — while a dispatch now covers 4 frames,
+    # halving the per-dispatch submission share the n=2 construction was
+    # stuck with (trap #9: in-program loops can't amortize it). Distinct
+    # args still defeat CSE (trap #5); the RTT share is amortized over
+    # ITERS_XN chained dispatches per force (trap #7). Falls back to the
+    # unbatched n=2 r5 shape if the batched program fails to compile.
+    n = 4
     lights = [
         PK.prepare_modern_light(p, W, H) for p in payloads[: n]
     ]
@@ -544,12 +556,51 @@ def bench_preview_tpu(payloads, imgs, demosaic="bilinear"):
     assert int(((rgba0 >> 24) & 0xFF).min()) == 255, "alpha != 255"
 
     single = jax.jit(call)
-    want = 0
-    for k in range(n):
-        want = (want + int(jax.block_until_ready(single(*argsets[k])))) % (
-            1 << 32
+    per = [int(jax.block_until_ready(single(*argsets[k]))) for k in range(n)]
+
+    def dev_one(im, prm):
+        return PD.develop_rgba_pallas.__wrapped__(
+            im, prm, None, height=H, width=W, cfa=cfa, demosaic=demosaic
         )
-    return 1.0 / _bench_inline_xn(call, argsets, want)
+
+    def call2(pa, ba, ra, pb, bb, rb, prm):
+        ima = PK.decode_modern_device_v6.__wrapped__(
+            pa, ba, ra, ty=ty, tx=tx, height=H, width=W,
+            rows=rows, sub_rows=sub_rows, nfields=nf,
+        )
+        imb = PK.decode_modern_device_v6.__wrapped__(
+            pb, bb, rb, ty=ty, tx=tx, height=H, width=W,
+            rows=rows, sub_rows=sub_rows, nfields=nf,
+        )
+        rgba = jax.vmap(dev_one, in_axes=(0, None))(
+            jnp.stack([ima, imb]), prm
+        )
+        return device_checksum(rgba.reshape(2 * H, W), interpret=False)
+
+    args2 = [
+        argsets[0][:3] + argsets[1][:3] + (params,),
+        argsets[2][:3] + argsets[3][:3] + (params,),
+    ]
+    try:
+        # Exactness of the vmap lift is gated right here: each batched
+        # pair's checksum must equal the sum of its (oracle-gated)
+        # single-frame checksums — a wrong lift cannot certify.
+        s2 = jax.jit(call2)
+        for j in range(2):
+            got = int(jax.block_until_ready(s2(*args2[j]))) % (1 << 32)
+            exp = (per[2 * j] + per[2 * j + 1]) % (1 << 32)
+            assert got == exp, f"paired develop gate: {got} != {exp}"
+        want4 = sum(per) % (1 << 32)
+        return 1.0 / _bench_inline_xn(
+            call2, args2, want4, frames_per_call=2
+        )
+    except Exception as e:  # helper crash / Mosaic reject of the lift
+        import sys
+
+        print(f"paired develop leg fell back ({type(e).__name__}: {e}); "
+              "using unbatched n=2", file=sys.stderr)
+        want01 = (per[0] + per[1]) % (1 << 32)
+        return 1.0 / _bench_inline_xn(call, argsets[:2], want01)
 
 
 def bench_preview_legacy_tpu(imgs):
@@ -569,7 +620,10 @@ def bench_preview_legacy_tpu(imgs):
     from mcraw.kernels import unpack as U
     from mcraw.kernels.checksum import device_checksum
 
-    nleg = 2  # develop inline cap (remote-compile helper dies at >= 4)
+    # 4 distinct frames as 2 vmapped pairs — 2 develop custom-calls per
+    # program (the remote-compile helper dies at >= 4 inline develop
+    # calls), 4 frames per dispatch; falls back to unbatched n=2.
+    nleg = 4
     cache = f"/root/.cache/mcraw_bench_legacy_{H}x{W}_4.npz"
     try:
         z = np.load(cache)
@@ -643,12 +697,41 @@ def bench_preview_legacy_tpu(imgs):
     assert err <= 1, f"legacy preview develop gate: max |err| {err} > 1 LSB"
 
     single = jax.jit(call)
-    want = 0
-    for k in range(nleg):
-        want = (want + int(jax.block_until_ready(single(*argsets[k])))) % (
-            1 << 32
+    per = [
+        int(jax.block_until_ready(single(*argsets[k]))) for k in range(nleg)
+    ]
+
+    def dev_one(im, prm):
+        return PD.develop_rgba_pallas.__wrapped__(
+            im, prm, None, height=H, width=W, cfa=cfa
         )
-    return 1.0 / _bench_inline_xn(call, argsets, want)
+
+    def call2(pa, ba, ma, pb, bb, mb, prm):
+        rgba = jax.vmap(dev_one, in_axes=(0, None))(
+            jnp.stack([decode(pa, ba, ma), decode(pb, bb, mb)]), prm
+        )
+        return device_checksum(rgba.reshape(2 * H, W), interpret=False)
+
+    args2 = [
+        argsets[0][:3] + argsets[1][:3] + (params,),
+        argsets[2][:3] + argsets[3][:3] + (params,),
+    ]
+    try:
+        s2 = jax.jit(call2)
+        for j in range(2):
+            got = int(jax.block_until_ready(s2(*args2[j]))) % (1 << 32)
+            exp = (per[2 * j] + per[2 * j + 1]) % (1 << 32)
+            assert got == exp, f"legacy paired develop gate: {got} != {exp}"
+        return 1.0 / _bench_inline_xn(
+            call2, args2, sum(per) % (1 << 32), frames_per_call=2
+        )
+    except Exception as e:  # helper crash / Mosaic reject of the lift
+        import sys
+
+        print(f"legacy paired develop leg fell back ({type(e).__name__}: "
+              f"{e}); using unbatched n=2", file=sys.stderr)
+        want01 = (per[0] + per[1]) % (1 << 32)
+        return 1.0 / _bench_inline_xn(call, argsets[:2], want01)
 
 
 _REF_FLOOR_CACHE = "/root/.cache/mcraw_ref_floor.json"

@@ -588,3 +588,37 @@ def test_preview_cli_demosaic_flag(tmp_path, rng, capsys, monkeypatch):
     a = (tmp_path / "bilinear" / "preview_000000.ppm").read_bytes()
     b = (tmp_path / "malvar" / "preview_000000.ppm").read_bytes()
     assert a != b
+
+
+@pytest.mark.parametrize("demosaic", ["bilinear", "malvar"])
+def test_develop_vmap_lift_exact(demosaic):
+    """The official preview bench dispatches frames in PAIRS through one
+    vmapped develop pallas call (bench.py bench_preview_tpu: 2 develop
+    custom-calls per program, 4 frames per dispatch — the remote-compile
+    helper crashes at >= 4 inline develop calls). The vmap lift (leading
+    grid axis over frames) must be bit-exact vs per-frame calls for both
+    demosaic modes; on hardware the bench re-gates this per pair against
+    oracle-gated single-frame checksums."""
+    import jax
+    import jax.numpy as jnp
+    from mcraw.kernels import pallas_develop as PD
+
+    h, w = 16, 128
+    rng = np.random.default_rng(7)
+    ims = rng.integers(0, 4096, size=(2, h, w), dtype=np.uint16)
+    params = jnp.asarray(
+        PD.pack_develop_params(
+            np.zeros(4, np.float32), 4095.0, np.ones(3, np.float32),
+            np.diag([0.9642, 1.0, 0.8249]).astype(np.float32),
+        )
+    )
+
+    def one(im):
+        return PD.develop_rgba_pallas.__wrapped__(
+            im, params, None, height=h, width=w, cfa=(0, 1, 1, 2),
+            demosaic=demosaic, interpret=True,
+        )
+
+    singles = np.stack([np.asarray(one(jnp.asarray(im))) for im in ims])
+    batched = np.asarray(jax.vmap(one)(jnp.asarray(ims)))
+    assert np.array_equal(batched, singles)
