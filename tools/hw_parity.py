@@ -219,23 +219,28 @@ def run_case(case: dict) -> dict:
         from mcraw import preview
         from mcraw.kernels import pallas_develop as PD
 
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--golden",
-             json.dumps(case)],
-            capture_output=True, text=True, timeout=2400, env=env,
-            cwd="/tmp",  # keep the axon plugin out of the golden process
+        def fetch_golden(c):
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--golden",
+                 json.dumps(c)],
+                capture_output=True, text=True, timeout=2400, env=env,
+                cwd="/tmp",  # keep the axon plugin out of the golden process
+            )
+            gline = next(
+                (l for l in proc.stdout.splitlines()
+                 if l.startswith("GOLDEN ")),
+                None,
+            )
+            if gline is None:
+                return None, "golden failed: " + (proc.stderr or "")[-200:]
+            return np.load(gline[len("GOLDEN "):])["rgba"], ""
+
+        golden, err = fetch_golden(
+            {k: v for k, v in case.items() if k != "vmap"}
         )
-        gline = next(
-            (l for l in proc.stdout.splitlines() if l.startswith("GOLDEN ")),
-            None,
-        )
-        if gline is None:
-            return {
-                **case, "status": "ERROR",
-                "note": "golden failed: " + (proc.stderr or "")[-200:],
-            }
-        golden = np.load(gline[len("GOLDEN "):])["rgba"]
+        if golden is None:
+            return {**case, "status": "ERROR", "note": err}
 
         dem = case.get("demosaic", "bilinear")
         black, white, neutral, fwd, cfa = _dev_setup(h, w)
@@ -246,11 +251,6 @@ def run_case(case: dict) -> dict:
         params = jnp.asarray(
             PD.pack_develop_params(black, white, neutral, fwd)
         )
-        t0 = time.perf_counter()
-        rgba = PD.develop_rgba_pallas(
-            jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa,
-            demosaic=dem,
-        )
 
         @jax.jit
         def maxdiff(a, b):
@@ -260,6 +260,49 @@ def run_case(case: dict) -> dict:
                 cb = ((b >> jnp.uint32(sh)) & 0xFF).astype(jnp.int32)
                 d = jnp.maximum(d, jnp.max(jnp.abs(ca - cb)))
             return d
+
+        if case.get("vmap"):
+            # Paired develop (bench.py preview legs, late r5): 2
+            # distinct-content frames share ONE develop pallas call via a
+            # vmap leading grid axis; each output slice must match its
+            # own interpret golden. Compute mode only — the bench pairs
+            # run inv2d=None (compute==table is bitwise-pinned in tests).
+            case2 = {
+                **{k: v for k, v in case.items() if k != "vmap"},
+                "content": case.get("content2", "lo10"),
+            }
+            golden2, err2 = fetch_golden(case2)
+            if golden2 is None:
+                return {**case, "status": "ERROR", "note": err2}
+            img2 = make_img(h, w, case2["content"])
+
+            def dev_one(im):
+                return PD.develop_rgba_pallas.__wrapped__(
+                    im, params, None, height=h, width=w, cfa=cfa,
+                    demosaic=dem,
+                )
+
+            t0 = time.perf_counter()
+            pair = jax.jit(jax.vmap(dev_one))(
+                jnp.stack([jnp.asarray(img), jnp.asarray(img2)])
+            )
+            md = max(
+                int(jax.block_until_ready(
+                    maxdiff(pair[0], jnp.asarray(golden)))),
+                int(jax.block_until_ready(
+                    maxdiff(pair[1], jnp.asarray(golden2)))),
+            )
+            dt = time.perf_counter() - t0
+            return {
+                **case, "status": "OK" if md <= 1 else "MISMATCH",
+                "max_u8_diff": md, "wall_s": round(dt, 2),
+            }
+
+        t0 = time.perf_counter()
+        rgba = PD.develop_rgba_pallas(
+            jnp.asarray(img), params, inv2d, height=h, width=w, cfa=cfa,
+            demosaic=dem,
+        )
 
         md = int(jax.block_until_ready(maxdiff(rgba, jnp.asarray(golden))))
         dt = time.perf_counter() - t0
@@ -407,6 +450,16 @@ def main() -> int:
             {
                 "geom": "4k", "h": h, "w": w, "content": "mix16",
                 "codec": 7, "path": "v5", "flag": "general_mix16", "kw": {},
+            }
+        )
+        cases.append(
+            # Paired develop (late r5): the bench preview legs vmap 2
+            # distinct frames through one develop pallas call — cover the
+            # lift on silicon against per-content interpret goldens.
+            {
+                "geom": "4k", "h": h, "w": w, "content": "mid12",
+                "codec": 0, "path": "dev", "flag": "dev_vmap",
+                "vmap": True,
             }
         )
         geoms, contents = [], []  # flags replace the main grid
