@@ -342,7 +342,7 @@ def _bench_inline_xn(build_call, argsets, want_mod32, iters=None,
     count (observed: 4685 "fps" vs 745 real on the n=2 preview leg).
     Submission amortization requires DISTINCT per-call data. The develop
     legs are capped at 2 develop custom-calls per program by the
-    remote-compile crash; since late r5 they vmap 2 distinct frames
+    remote-compile crash; since late r5 they batch 2 distinct frames
     through each develop call (frames_per_call=2, 4 frames/dispatch),
     halving the residual submission share vs the old n=2 shape
     (~0.17 ms/frame); device truth is still the net number
@@ -470,7 +470,8 @@ def bench_preview_tpu(payloads, imgs, demosaic="bilinear"):
         )
     )
     # 4 distinct frames, dispatched as 2 PAIRS: each pair shares one
-    # vmapped develop pallas call (leading grid axis), so the program
+    # BATCHED develop pallas call (native frame-major band grid — vmap
+    # can't lift the kernel's ANY-space operands), so the program
     # still holds only 2 develop custom-calls — under the remote-compile
     # helper's >=4-inline-develop crash threshold (probed 2026-08-20;
     # decode kernels take 8 fine) — while a dispatch now covers 4 frames,
@@ -558,11 +559,6 @@ def bench_preview_tpu(payloads, imgs, demosaic="bilinear"):
     single = jax.jit(call)
     per = [int(jax.block_until_ready(single(*argsets[k]))) for k in range(n)]
 
-    def dev_one(im, prm):
-        return PD.develop_rgba_pallas.__wrapped__(
-            im, prm, None, height=H, width=W, cfa=cfa, demosaic=demosaic
-        )
-
     def call2(pa, ba, ra, pb, bb, rb, prm):
         ima = PK.decode_modern_device_v6.__wrapped__(
             pa, ba, ra, ty=ty, tx=tx, height=H, width=W,
@@ -572,8 +568,11 @@ def bench_preview_tpu(payloads, imgs, demosaic="bilinear"):
             pb, bb, rb, ty=ty, tx=tx, height=H, width=W,
             rows=rows, sub_rows=sub_rows, nfields=nf,
         )
-        rgba = jax.vmap(dev_one, in_axes=(0, None))(
-            jnp.stack([ima, imb]), prm
+        # Native batched develop (kernel-level frame-major band grid):
+        # jax.vmap cannot lift the kernel's ANY-space operands.
+        rgba = PD.develop_rgba_pallas.__wrapped__(
+            jnp.stack([ima, imb]), prm, None,
+            height=H, width=W, cfa=cfa, demosaic=demosaic,
         )
         return device_checksum(rgba.reshape(2 * H, W), interpret=False)
 
@@ -620,7 +619,7 @@ def bench_preview_legacy_tpu(imgs):
     from mcraw.kernels import unpack as U
     from mcraw.kernels.checksum import device_checksum
 
-    # 4 distinct frames as 2 vmapped pairs — 2 develop custom-calls per
+    # 4 distinct frames as 2 batched pairs — 2 develop custom-calls per
     # program (the remote-compile helper dies at >= 4 inline develop
     # calls), 4 frames per dispatch; falls back to unbatched n=2.
     nleg = 4
@@ -701,14 +700,10 @@ def bench_preview_legacy_tpu(imgs):
         int(jax.block_until_ready(single(*argsets[k]))) for k in range(nleg)
     ]
 
-    def dev_one(im, prm):
-        return PD.develop_rgba_pallas.__wrapped__(
-            im, prm, None, height=H, width=W, cfa=cfa
-        )
-
     def call2(pa, ba, ma, pb, bb, mb, prm):
-        rgba = jax.vmap(dev_one, in_axes=(0, None))(
-            jnp.stack([decode(pa, ba, ma), decode(pb, bb, mb)]), prm
+        rgba = PD.develop_rgba_pallas.__wrapped__(
+            jnp.stack([decode(pa, ba, ma), decode(pb, bb, mb)]), prm, None,
+            height=H, width=W, cfa=cfa,
         )
         return device_checksum(rgba.reshape(2 * H, W), interpret=False)
 

@@ -74,6 +74,9 @@ def _develop_kernel(
     gamma_mode: str = "exact",
     demosaic: str = "bilinear",  # "malvar": MHC 5x5 gradient-corrected
     ablate: str = "",
+    nb_per: int = 0,  # batched mode: bands PER FRAME (0 = single frame,
+    # the certified default — the batched arithmetic is compiled out)
+    fstride: int = 0,  # batched mode: rows per frame block in raw_ref
 ):
     if use_table:
         params_ref, raw_ref, inv_ref, out_ref, rscr, iscr, sems = refs
@@ -92,21 +95,41 @@ def _develop_kernel(
     n = pl.num_programs(0)
     BR = out_ref.shape[0]
     slot = jax.lax.rem(i, 2)
+    if nb_per:
+        # Batched frames: i is a LINEAR band id over frames (frame-major,
+        # band-minor). Each frame occupies an fstride-row, BR-aligned
+        # block in raw_ref (wrapper invariant: fstride = hp + BR >=
+        # band window end hp + 16), so a band's DMA start is computed
+        # per-frame; jax.vmap can't lift this kernel (ANY-space operands
+        # need whole-array trivial block specs), hence the native path.
+        ib = jax.lax.rem(i, nb_per)
 
-    def start_band(b, dst):
-        # raw_ref is padded with 1 top + >=1 bottom zero rows, so every
-        # band's halo window starts at b*BR with no edge clipping.
+        def _r0(l):
+            return (
+                jax.lax.div(l, nb_per) * fstride
+                + jax.lax.rem(l, nb_per) * BR
+            )
+    else:
+        ib = i
+
+        def _r0(l):
+            return l * BR
+
+    def start_band(l, dst):
+        # raw_ref is padded with hN top + >=16 bottom zero rows per
+        # frame, so every band's halo window starts at _r0(l) with no
+        # edge clipping.
         cp = [
             pltpu.make_async_copy(
-                raw_ref.at[pl.ds(b * BR, BR + 16), :], rscr.at[dst],
+                raw_ref.at[pl.ds(_r0(l), BR + 16), :], rscr.at[dst],
                 sems.at[dst, 0],
             )
         ]
-        if use_table:
+        if use_table:  # table mode is single-frame only (wrapper raises)
             for c in range(3):
                 cp.append(
                     pltpu.make_async_copy(
-                        inv_ref.at[pl.ds(c * H + b * BR, BR), :],
+                        inv_ref.at[pl.ds(c * H + l * BR, BR), :],
                         iscr.at[dst, c],
                         sems.at[dst, 1 + c],
                     )
@@ -126,7 +149,7 @@ def _develop_kernel(
     # Wait this band's slot copies.
     sl = slot
     pltpu.make_async_copy(
-        raw_ref.at[pl.ds(i * BR, BR + 16), :], rscr.at[sl], sems.at[sl, 0]
+        raw_ref.at[pl.ds(_r0(i), BR + 16), :], rscr.at[sl], sems.at[sl, 0]
     ).wait()
     if use_table:
         for c in range(3):
@@ -152,7 +175,7 @@ def _develop_kernel(
     # rows are zeros; their x comes out 0 after the clip, matching
     # zero-pad).
     rr = jax.lax.broadcasted_iota(jnp.int32, (BR + 2 * hN, 1), 0) + (
-        i * BR - hN
+        ib * BR - hN
     )
     yy = (rr & 1) == 0
     cc = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -378,6 +401,11 @@ def develop_rgba_pallas(
 ):
     """(H, W) uint32 RGBA8888 preview, fully fused in one kernel.
 
+    raw_u16 may also be a BATCH (B, H, W) — compute mode only — decoded
+    in ONE kernel launch with a frame-major linear band grid; returns
+    (B, H, W) uint32. Bit-identical per frame to B single calls (pinned
+    in tests/test_preview.py; re-gated per pair on hw by the bench).
+
     Any width: non-128-multiples (e.g. the dominant phone full-res
     4032x3024) are zero-padded on the right to the next lane multiple.
     The padded columns behave exactly like the XLA path's zero padding —
@@ -407,9 +435,31 @@ def develop_rgba_pallas(
     # the (BR+2*hN)-row compute halo is zero-padded exactly like the
     # model.
     hN = 2 if demosaic == "malvar" else 1
-    raw_u16 = jnp.pad(
-        raw_u16, ((hN, hp + 16 - hN - height), (0, wp - width))
-    )
+    batched = raw_u16.ndim == 3
+    B = raw_u16.shape[0] if batched else 1
+    if batched and use_table:
+        raise ValueError(
+            "batched develop requires compute mode (pass inv2d=None)"
+        )
+    if batched:
+        # B frames in ONE kernel launch (linear frame-major band grid):
+        # each frame gets a BR-aligned fstride-row block so the kernel
+        # can compute DMA starts per frame (jax.vmap can't lift the
+        # ANY-space operands). fstride = hp + BR covers the last band's
+        # (BR+16)-row window (BR >= 32 > 16). Used by the bench preview
+        # pairs to cut per-dispatch submission share without adding
+        # develop custom-calls (the remote-compile helper crashes at
+        # >= 4 inline develop calls per program).
+        fstride = hp + BR
+        raw_u16 = jnp.pad(
+            raw_u16,
+            ((0, 0), (hN, fstride - hN - height), (0, wp - width)),
+        ).reshape(B * fstride, wp)
+    else:
+        fstride = 0
+        raw_u16 = jnp.pad(
+            raw_u16, ((hN, hp + 16 - hN - height), (0, wp - width))
+        )
     inputs = [params, raw_u16]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # params
@@ -429,7 +479,7 @@ def develop_rgba_pallas(
     scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nb,),
+        grid=(B * nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (BR, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -441,11 +491,14 @@ def develop_rgba_pallas(
             _develop_kernel, H=hp, W=wp, real_h=height, real_w=width,
             cfa=tuple(cfa), use_table=use_table, gamma_mode=gamma_mode,
             demosaic=demosaic, ablate=ablate,
+            nb_per=(nb if batched else 0), fstride=fstride,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb * BR, wp), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((B * nb * BR, wp), jnp.uint32),
         interpret=interpret,
     )(*inputs)
+    if batched:
+        return out.reshape(B, hp, wp)[:, :height, :width]
     return out[:height, :width]
 
 

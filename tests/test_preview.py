@@ -590,20 +590,29 @@ def test_preview_cli_demosaic_flag(tmp_path, rng, capsys, monkeypatch):
     assert a != b
 
 
-@pytest.mark.parametrize("demosaic", ["bilinear", "malvar"])
-def test_develop_vmap_lift_exact(demosaic):
+@pytest.mark.parametrize(
+    "shape,demosaic",
+    [
+        ((16, 128), "bilinear"),
+        ((66, 100), "bilinear"),  # multi-band + ragged width
+        ((16, 128), "malvar"),
+        ((70, 200), "malvar"),
+    ],
+)
+def test_develop_batch_exact(shape, demosaic):
     """The official preview bench dispatches frames in PAIRS through one
-    vmapped develop pallas call (bench.py bench_preview_tpu: 2 develop
+    BATCHED develop pallas call (bench.py bench_preview_tpu: 2 develop
     custom-calls per program, 4 frames per dispatch — the remote-compile
-    helper crashes at >= 4 inline develop calls). The vmap lift (leading
-    grid axis over frames) must be bit-exact vs per-frame calls for both
-    demosaic modes; on hardware the bench re-gates this per pair against
-    oracle-gated single-frame checksums."""
-    import jax
+    helper crashes at >= 4 inline develop calls; jax.vmap can't lift the
+    kernel's ANY-space operands, so the batch is a native frame-major
+    band grid). (B, H, W) in must be bit-exact vs per-frame calls for
+    both demosaic modes; on hardware the bench re-gates this per pair
+    against oracle-gated single-frame checksums, and hw_parity's
+    dev_batch flag case covers it against interpret goldens."""
     import jax.numpy as jnp
     from mcraw.kernels import pallas_develop as PD
 
-    h, w = 16, 128
+    h, w = shape
     rng = np.random.default_rng(7)
     ims = rng.integers(0, 4096, size=(2, h, w), dtype=np.uint16)
     params = jnp.asarray(
@@ -612,13 +621,18 @@ def test_develop_vmap_lift_exact(demosaic):
             np.diag([0.9642, 1.0, 0.8249]).astype(np.float32),
         )
     )
-
-    def one(im):
-        return PD.develop_rgba_pallas.__wrapped__(
-            im, params, None, height=h, width=w, cfa=(0, 1, 1, 2),
-            demosaic=demosaic, interpret=True,
+    kw = dict(height=h, width=w, cfa=(0, 1, 1, 2), demosaic=demosaic,
+              interpret=True)
+    singles = np.stack([
+        np.asarray(
+            PD.develop_rgba_pallas.__wrapped__(jnp.asarray(im), params,
+                                               None, **kw)
         )
-
-    singles = np.stack([np.asarray(one(jnp.asarray(im))) for im in ims])
-    batched = np.asarray(jax.vmap(one)(jnp.asarray(ims)))
+        for im in ims
+    ])
+    batched = np.asarray(
+        PD.develop_rgba_pallas.__wrapped__(jnp.asarray(ims), params,
+                                           None, **kw)
+    )
+    assert batched.shape == (2, h, w)
     assert np.array_equal(batched, singles)

@@ -237,7 +237,7 @@ def run_case(case: dict) -> dict:
             return np.load(gline[len("GOLDEN "):])["rgba"], ""
 
         golden, err = fetch_golden(
-            {k: v for k, v in case.items() if k != "vmap"}
+            {k: v for k, v in case.items() if k != "batch"}
         )
         if golden is None:
             return {**case, "status": "ERROR", "note": err}
@@ -261,14 +261,15 @@ def run_case(case: dict) -> dict:
                 d = jnp.maximum(d, jnp.max(jnp.abs(ca - cb)))
             return d
 
-        if case.get("vmap"):
+        if case.get("batch"):
             # Paired develop (bench.py preview legs, late r5): 2
-            # distinct-content frames share ONE develop pallas call via a
-            # vmap leading grid axis; each output slice must match its
-            # own interpret golden. Compute mode only — the bench pairs
-            # run inv2d=None (compute==table is bitwise-pinned in tests).
+            # distinct-content frames share ONE develop pallas call via
+            # the kernel's native frame-major band grid (jax.vmap can't
+            # lift its ANY-space operands); each output slice must match
+            # its own interpret golden. Compute mode only — the bench
+            # pairs run inv2d=None (compute==table is bitwise-pinned).
             case2 = {
-                **{k: v for k, v in case.items() if k != "vmap"},
+                **{k: v for k, v in case.items() if k != "batch"},
                 "content": case.get("content2", "lo10"),
             }
             golden2, err2 = fetch_golden(case2)
@@ -276,15 +277,10 @@ def run_case(case: dict) -> dict:
                 return {**case, "status": "ERROR", "note": err2}
             img2 = make_img(h, w, case2["content"])
 
-            def dev_one(im):
-                return PD.develop_rgba_pallas.__wrapped__(
-                    im, params, None, height=h, width=w, cfa=cfa,
-                    demosaic=dem,
-                )
-
             t0 = time.perf_counter()
-            pair = jax.jit(jax.vmap(dev_one))(
-                jnp.stack([jnp.asarray(img), jnp.asarray(img2)])
+            pair = PD.develop_rgba_pallas(
+                jnp.asarray(np.stack([img, img2])), params, None,
+                height=h, width=w, cfa=cfa, demosaic=dem,
             )
             md = max(
                 int(jax.block_until_ready(
@@ -453,13 +449,14 @@ def main() -> int:
             }
         )
         cases.append(
-            # Paired develop (late r5): the bench preview legs vmap 2
-            # distinct frames through one develop pallas call — cover the
-            # lift on silicon against per-content interpret goldens.
+            # Paired develop (late r5): the bench preview legs batch 2
+            # distinct frames through one develop pallas call (native
+            # frame-major band grid) — cover it on silicon against
+            # per-content interpret goldens.
             {
                 "geom": "4k", "h": h, "w": w, "content": "mid12",
-                "codec": 0, "path": "dev", "flag": "dev_vmap",
-                "vmap": True,
+                "codec": 0, "path": "dev", "flag": "dev_batch",
+                "batch": True,
             }
         )
         geoms, contents = [], []  # flags replace the main grid
