@@ -36,6 +36,29 @@ from .metadata import ContainerMetadata, FrameMetadata
 AudioChunk = tuple[int, np.ndarray]  # (timestampNs or -1, interleaved int16)
 
 
+def _jax_devices_or_none():
+    """jax.devices() that degrades instead of raising.
+
+    An installed accelerator platform plugin that cannot initialize (the
+    axon plugin only initializes from its expected cwd; any TPU relay can
+    be down) makes jax.devices() raise even though the CPU backend would
+    work — which used to traceback `mcraw preview` run from another
+    directory. Retry pinned to CPU before giving up; None means no usable
+    JAX platform at all (callers fall back to the NumPy paths)."""
+    try:
+        import jax
+    except Exception:
+        return None
+    try:
+        return jax.devices()
+    except Exception:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            return jax.devices()
+        except Exception:
+            return None
+
+
 def _modern_payload_rows(payload) -> int:
     """Rows the reference's Decode writes: 4*ceil(encodedHeight/4) from the
     payload header (RawData.cpp:507-511, :571). 0 when the payload is too
@@ -99,9 +122,8 @@ class Decoder:
             return False
         if self._kernel == "pallas":
             return True
-        import jax
-
-        return jax.devices()[0].platform not in ("cpu",)
+        devs = _jax_devices_or_none()
+        return devs is not None and devs[0].platform not in ("cpu",)
 
     @property
     def backend(self) -> str:
@@ -295,9 +317,8 @@ class Decoder:
 
     @staticmethod
     def _accel_available() -> bool:
-        import jax
-
-        return jax.devices()[0].platform != "cpu"
+        devs = _jax_devices_or_none()
+        return devs is not None and devs[0].platform != "cpu"
 
     def _load_frame_v6(self, payload, window, meta, fm):
         """Device-prep fast path (modern codec): host runs just the serial

@@ -765,3 +765,32 @@ def test_single_legacy_frame_sharded_across_devices(rng, monkeypatch):
     out2, meta = d.load_frame_sharded(1, mesh)
     assert meta["compressionType"] == 6
     assert np.array_equal(np.asarray(out2), img)
+
+
+def test_kernel_probe_degrades_when_platform_init_fails(monkeypatch, rng):
+    """A registered accelerator plugin that cannot initialize (axon
+    outside its expected cwd, TPU relay down) makes jax.devices() raise
+    RuntimeError — that used to traceback `mcraw preview` instead of
+    falling back to the CPU/XLA path. _use_pallas/_accel_available must
+    degrade to False via _jax_devices_or_none, never raise."""
+    import jax
+
+    from mcraw import pipeline as P
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    # Helper retries with a CPU pin; if even that raises it returns None.
+    monkeypatch.setattr(jax, "devices", boom)
+    real_update = jax.config.update
+    monkeypatch.setattr(
+        jax.config, "update", lambda *a, **k: None
+    )  # keep the test session's forced-CPU config intact
+    try:
+        assert P._jax_devices_or_none() is None
+        blob = E.ContainerWriter(example_container_metadata()).finish()
+        d = Decoder(blob, backend="numpy")
+        assert d._use_pallas() is False
+        assert Decoder._accel_available() is False
+    finally:
+        monkeypatch.setattr(jax.config, "update", real_update)
